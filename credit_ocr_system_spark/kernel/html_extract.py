@@ -1,0 +1,229 @@
+"""Boilerpipe-style HTML main-content extraction (stdlib-only).
+
+Replaces the reference's rasterize+EasyOCR front end
+(``/root/reference/src/ocr/easyocr_client.py:7-85``) for HTML payloads:
+instead of pixels we have a DOM, so "OCR elements" become inline text
+segments with deterministic synthetic geometry, and boilerplate removal
+plays the role of page cleanup. Heuristics are the published
+boilerpipe/readability ones:
+
+* subtree strip of non-content containers (``script``/``style``/
+  ``nav``/``header``/``footer``/``aside``) and elements whose
+  class/id matches a negative token (readability's "unlikely
+  candidates" regex idea);
+* per-block link density (anchor chars / total chars) — link-dense
+  blocks are navigation, dropped at > 1/3 (boilerpipe's
+  densometric rule);
+* short non-heading blocks without label punctuation are dropped
+  (boilerpipe's min-words rule, relaxed for label rows).
+
+Determinism is total: same bytes in, same blocks/segments/geometry out.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Any, Dict, List
+
+STRIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head",
+     "nav", "header", "footer", "aside", "iframe", "form", "button"}
+)
+BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+     "dt", "dd", "blockquote", "pre", "section", "article", "main",
+     "figcaption", "caption", "tr", "table", "ul", "ol", "body"}
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+SEGMENT_TAGS = frozenset({"span", "a", "b", "i", "em", "strong", "label",
+                          "code", "u", "small", "sup", "sub"})
+_NEGATIVE_RE = re.compile(
+    r"nav|menu|sidebar|side-bar|footer|header|comment|promo|advert|"
+    r"banner|breadcrumb|share|social|related|widget|cookie|popup",
+    re.IGNORECASE,
+)
+_WS_RE = re.compile(r"\s+")
+
+MAX_LINK_DENSITY = 1.0 / 3.0
+ROWS_PER_PAGE = 40         # synthetic pagination of the block list
+ROW_PITCH = 30.0           # vertical distance between block baselines
+ROW_TOP = 10.0
+ROW_HEIGHT = 20.0
+CHAR_WIDTH = 8.0           # synthetic glyph advance
+TIGHT_GAP = 6.0            # adjacent inline tags: contiguous glyph run
+COLUMN_GAP = 24.0          # whitespace-separated segments: tab stop
+LEFT_MARGIN = 40.0
+
+
+def _norm(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+class _BlockCollector(HTMLParser):
+    """Single-pass collector of candidate content blocks.
+
+    A *block* is the run of inline content under the nearest block-level
+    element; inline tag boundaries split it into *segments* (these
+    become layout elements). Anchors contribute to the block's
+    link-char count for the densometric filter.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Dict[str, Any]] = []
+        self._strip_depth = 0
+        self._anchor_depth = 0
+        self._segments: List[Dict[str, Any]] = []
+        self._seg_parts: List[str] = []
+        self._anchor_chars = 0
+        self._block_tag = "body"
+        self._saw_ws = True  # whitespace seen since last segment flush
+
+    def _flush_segment(self) -> None:
+        if self._seg_parts:
+            raw = "".join(self._seg_parts)
+            seg = _norm(raw)
+            if raw and not seg:
+                self._saw_ws = True  # whitespace-only run between tags
+            if seg:
+                # "tight" = no whitespace separated this run from the
+                # previous one (adjacent inline tags): a split glyph
+                # run, rendered contiguously. Whitespace between tags
+                # = distinct columns at a tab stop.
+                self._segments.append(
+                    {"text": seg,
+                     "tight": not self._saw_ws and not raw[0].isspace()})
+                self._saw_ws = raw[-1].isspace()
+            self._seg_parts = []
+
+    def _flush_block(self) -> None:
+        self._flush_segment()
+        if self._segments:
+            text = " ".join(s["text"] for s in self._segments)
+            self.blocks.append({
+                "tag": self._block_tag,
+                "segments": self._segments,
+                "text": text,
+                "anchor_chars": self._anchor_chars,
+                "chars": len(text),
+            })
+        self._segments = []
+        self._anchor_chars = 0
+        self._saw_ws = True
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._strip_depth:
+            if tag not in ("br", "img", "hr", "input", "meta", "link"):
+                self._strip_depth += 1
+            return
+        attr_blob = " ".join(
+            v for k, v in attrs if k in ("class", "id", "role") and v)
+        if tag in STRIP_TAGS or _NEGATIVE_RE.search(attr_blob):
+            self._strip_depth = 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+            self._block_tag = tag
+        elif tag in SEGMENT_TAGS:
+            self._flush_segment()
+            if tag == "a":
+                self._anchor_depth += 1
+        elif tag == "br":
+            self._flush_segment()
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._strip_depth:
+            self._strip_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+        elif tag in SEGMENT_TAGS:
+            self._flush_segment()
+            if tag == "a" and self._anchor_depth:
+                self._anchor_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._strip_depth:
+            return
+        if self._anchor_depth:
+            self._anchor_chars += len(_norm(data))
+        self._seg_parts.append(data)
+
+    def close(self) -> None:  # flush trailing content
+        super().close()
+        self._flush_block()
+
+
+def _is_content(block: Dict[str, Any]) -> bool:
+    if block["chars"] == 0:
+        return False
+    link_density = block["anchor_chars"] / block["chars"]
+    if link_density > MAX_LINK_DENSITY:
+        return False
+    words = block["text"].count(" ") + 1
+    if words < 2 and block["tag"] not in HEADING_TAGS \
+            and ":" not in block["text"]:
+        return False
+    return True
+
+
+def _segment_confidence(text: str) -> float:
+    """Deterministic pseudo-confidence in [0.80, 0.99]."""
+    return round(0.80 + (sum(text.encode("utf-8")) % 20) / 100.0, 2)
+
+
+def extract_html(payload: bytes) -> Dict[str, Any]:
+    """HTML bytes → main-content text, spans, and layout elements.
+
+    Returns ``{"extracted_text", "spans", "elements", "page_count"}``.
+    ``spans`` carry (start, end, page) character offsets of each kept
+    block inside ``extracted_text``; ``elements`` are per-segment with
+    synthetic geometry: one row per block (30px pitch — never
+    same-row across blocks under the 15px tolerance), segments advance
+    8px/char with a single-space gap, so the downstream row/merge/pair
+    kernel sees HTML and PDF documents through one interface.
+    """
+    parser = _BlockCollector()
+    parser.feed(payload.decode("utf-8", errors="replace"))
+    parser.close()
+    kept = [b for b in parser.blocks if _is_content(b)]
+
+    elements: List[Dict[str, Any]] = []
+    spans: List[Dict[str, int]] = []
+    text_parts: List[str] = []
+    offset = 0
+    for row_idx, block in enumerate(kept):
+        page = 1 + row_idx // ROWS_PER_PAGE
+        y1 = ROW_TOP + (row_idx % ROWS_PER_PAGE) * ROW_PITCH
+        x = LEFT_MARGIN
+        for seg_idx, seg in enumerate(block["segments"]):
+            text = seg["text"]
+            if seg_idx > 0:
+                x += TIGHT_GAP if seg["tight"] else COLUMN_GAP
+            width = CHAR_WIDTH * len(text)
+            elements.append({
+                "page_num": page,
+                "text": text,
+                "confidence": _segment_confidence(text),
+                "bbox": {
+                    "x1": x, "y1": y1,
+                    "x2": x + width, "y2": y1 + ROW_HEIGHT,
+                    "width": width, "height": ROW_HEIGHT,
+                },
+            })
+            x += width
+        spans.append({
+            "start": offset,
+            "end": offset + len(block["text"]),
+            "page": page,
+        })
+        text_parts.append(block["text"])
+        offset += len(block["text"]) + 1  # '\n' joiner
+    page_count = max((e["page_num"] for e in elements), default=1)
+    return {
+        "extracted_text": "\n".join(text_parts),
+        "spans": spans,
+        "elements": elements,
+        "page_count": page_count,
+    }

@@ -1,0 +1,144 @@
+"""End-to-end extraction job: partitioning, resume, snapshot commits.
+
+The full plan (SURVEY.md §3.2) is a single Catalyst plan per run::
+
+    pages ──repartition(salted url hash)──► mapInPandas(kernel)
+          ──► fields (broadcast join tail) + lineage sidecar
+          ──► snapshot-atomic write
+
+Scale mechanics (north_rule):
+
+* **Salted repartition.** Input splits follow file/layout order, so a
+  crawl's hot domains land clumped. We repartition on
+  ``xxhash64(url, salt)`` before the (expensive) kernel so every
+  partition carries an even share of documents regardless of domain
+  skew. The salt decorrelates reruns and adversarial url sets.
+* **Idempotent resume.** Output commits are snapshot-atomic (staged
+  directory + manifest rename locally; Iceberg snapshot commit on a
+  real catalog). On restart the driver left-anti joins the input
+  against already-committed urls — re-running a half-finished job
+  never recomputes or duplicates a document.
+* **Lineage.** Every commit also writes per-partition lineage rows
+  (counts, bytes, kernel wall time, url range) to the sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import extract_pages
+from ..operators.fields_native import fields_table, field_config_df
+from ..operators.metrics import partition_lineage
+
+SALT_DEFAULT = 0x5CA1AB1E
+
+
+def repartition_salted(df: DataFrame, num_partitions: int,
+                       salt: int = SALT_DEFAULT) -> DataFrame:
+    """Explicit hash partitioning on salted url hash (SURVEY.md §4).
+
+    ``repartition(n, expr)`` hash-partitions on the expression, so
+    partition = hash(xxhash64(url, salt)) mod n — uniform over urls,
+    independent of domain popularity and of input file layout.
+    """
+    return df.repartition(
+        num_partitions,
+        F.xxhash64(F.col("url"), F.lit(salt)))
+
+
+class SnapshotSink:
+    """Minimal snapshot-atomic parquet sink with a manifest log.
+
+    Stands in for an Iceberg table in this sandbox (no catalog jars):
+    data lands in ``snap-<run_id>/`` staging dirs and becomes visible
+    only when the manifest line is appended — the same
+    commit-is-a-pointer-swap discipline as an Iceberg snapshot. On a
+    cluster, swap `write_snapshot` for ``df.writeTo(table).append()``.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest = os.path.join(root, "_manifest.jsonl")
+
+    def committed_snapshots(self) -> list[dict]:
+        if not os.path.exists(self.manifest):
+            return []
+        with open(self.manifest, encoding="utf-8") as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def committed_paths(self) -> list[str]:
+        return [os.path.join(self.root, s["dir"])
+                for s in self.committed_snapshots()]
+
+    def read_committed(self, spark: SparkSession) -> DataFrame | None:
+        paths = self.committed_paths()
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def write_snapshot(self, df: DataFrame, run_id: str,
+                       meta: dict | None = None) -> str:
+        snap_dir = f"snap-{run_id}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, snap_dir))
+        os.makedirs(self.root, exist_ok=True)
+        entry = {"dir": snap_dir, "run_id": run_id,
+                 "committed_at": time.time(), **(meta or {})}
+        # The append+flush of one manifest line is the atomic commit.
+        with open(self.manifest, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        return snap_dir
+
+
+def resume_filter(pages: DataFrame, committed: DataFrame | None,
+                  ) -> DataFrame:
+    """Drop already-committed urls (idempotent restart, SURVEY.md §4)."""
+    if committed is None:
+        return pages
+    return pages.join(committed.select("url"), "url", "left_anti")
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_root: str,
+    num_partitions: int | None = None,
+    salt: int = SALT_DEFAULT,
+) -> dict:
+    """One resumable extraction run; returns commit stats."""
+    run_id = uuid.uuid4().hex[:12]
+    sink_extracted = SnapshotSink(os.path.join(output_root, "extracted"))
+    sink_fields = SnapshotSink(os.path.join(output_root, "fields"))
+    sink_lineage = SnapshotSink(os.path.join(output_root, "lineage"))
+
+    todo = resume_filter(pages, sink_extracted.read_committed(spark))
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    todo = repartition_salted(todo, num_partitions, salt)
+
+    extracted = extract_pages(todo)
+    # One kernel pass feeds three sinks: cache the (much smaller)
+    # extraction output, not the input pages.
+    extracted = extracted.persist()
+    try:
+        n_docs = extracted.count()
+        if n_docs == 0:
+            return {"run_id": run_id, "n_docs": 0, "skipped": True}
+        fields = fields_table(extracted, field_config_df(spark))
+        lineage = partition_lineage(extracted, run_id)
+
+        sink_extracted.write_snapshot(
+            extracted.drop("elements"), run_id, {"n_docs": n_docs})
+        n_fields = fields.count()
+        sink_fields.write_snapshot(fields, run_id, {"n_rows": n_fields})
+        sink_lineage.write_snapshot(lineage, run_id)
+        return {"run_id": run_id, "n_docs": n_docs, "n_fields": n_fields,
+                "skipped": False}
+    finally:
+        extracted.unpersist()

@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def make_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The engine is a plain Python package; executors need it on their
+    ``sys.path``. This builds the exact artifact a cluster submit
+    would ship (north_rule: "packaged for spark-submit --py-files").
+    """
+    import credit_ocr_system_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(),
+                            f"credit_ocr_system_spark-{pkg.__version__}.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.join(
+                    "credit_ocr_system_spark",
+                    os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    return dest
+
+
+def build_session(app_name: str = "credit-ocr-system-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Session tuned for the extraction workload.
+
+    * AQE on (runtime coalesce + skew-join splitting);
+    * Arrow on for pandas-UDF exchange; small Arrow batches because
+      rows carry whole page payloads (binary ``html``) — batch bytes,
+      not batch rows, is the executor-memory bound (SURVEY.md §4);
+    * UTC session timezone so timestamps hash identically everywhere.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and master == "local[*]":
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    # Ship the engine to Python workers — equivalent to
+    # `spark-submit --py-files <zip>`; without it, only drivers whose
+    # CWD happens to contain the package can run the kernel stage.
+    spark.sparkContext.addPyFile(make_pyfiles_zip())
+    return spark

@@ -1,0 +1,275 @@
+"""Deterministic synthetic Common-Crawl-style pages (seed=42).
+
+Input table per BASELINE.json ``input_hint``:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Every page is a pure function of ``(seed, row_id)`` — generation is
+distributed (``spark.range(n).mapInPandas``), order- and
+partitioning-independent, and identical across runs, so goldens and
+benchmarks never depend on external data.
+
+Content design (exercises every kernel path, cf. FIXTURES.md §2):
+
+* domains drawn Zipf-style so a few hot domains dominate — the skew
+  the salted repartitioning must defuse;
+* ~8% of rows carry a ``%PDF-GRAFT`` token-layout payload instead of
+  HTML (payload dispatch on magic bytes, cf. the reference mime
+  whitelist ``src/dms/service.py:79-80``);
+* credit-request forms embed a per-page subset of the 21 configured
+  fields with value variants that fire every cleaning/validation rule
+  (German numbers, bad dates, out-of-range years, OCR'd ``m?`` areas,
+  checkbox booleans), plus split-label fragments and 3-element rows
+  that exercise the merge and pairing special cases.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+from typing import Any, Dict, Iterator, List
+
+import pandas as pd
+
+DEFAULT_SEED = 42
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+_DOMAINS = [
+    "big-portal.example", "mega-news.example", "hot-forum.example",
+    "credit-bank.example", "immo-markt.example", "finanz-blog.example",
+    "city-office.example", "tech-wiki.example", "shop-world.example",
+    "law-docs.example",
+] + [f"site-{i:03d}.example" for i in range(40)]
+
+_COMPANIES = ["DemoTech Solutions", "Nordwind Logistik", "Alpha Immobilien",
+              "Schwaben Maschinenbau", "Hanse Trading", "Rhein Energie",
+              "BlueSky Ventures", "Quantum Foundry", "GrünBau", "Datenwerk"]
+_LEGAL_FORMS = ["GmbH", "AG", "UG", "KG", "GmbH & Co. KG"]
+_CITIES = ["Stuttgart", "Berlin", "Hamburg", "München", "Köln",
+           "Frankfurt", "Dresden", "Leipzig"]
+_STREETS = ["Hauptstraße", "Bahnhofstraße", "Gartenweg", "Marktplatz",
+            "Industriestraße", "Schlossallee"]
+_PROPERTY_TYPES = ["Office", "Commercial Building", "Residential",
+                   "Warehouse", "Mixed Use"]
+_PURPOSES = ["Purchase and Renovation", "New Construction", "Refinancing",
+             "Expansion", "Modernization"]
+_FILLER_WORDS = ("the quick market report shows strong regional demand for "
+                 "commercial property while analysts expect stable rates and "
+                 "careful lending standards over coming quarters with local "
+                 "growth supported by infrastructure investment").split()
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _row_rng(seed: int, row_id: int) -> random.Random:
+    # Avoid str hash() (PYTHONHASHSEED-dependent): pure integer mix.
+    return random.Random(seed * 1_000_003 + row_id)
+
+
+def _money(rng: random.Random, german: bool) -> str:
+    amount = rng.randrange(50, 5000) * 1000
+    s = f"{amount:,}"
+    if german:
+        return f"{s.replace(',', '.')} €"
+    return f"€{s}"
+
+
+def _field_values(rng: random.Random, german: bool) -> Dict[str, str]:
+    """One value per field, with deliberate rule-violating variants."""
+    company = f"{rng.choice(_COMPANIES)} {rng.choice(_LEGAL_FORMS)}"
+    city = rng.choice(_CITIES)
+    good_date = (f"{rng.randrange(1, 29):02d}.{rng.randrange(1, 13):02d}."
+                 f"{rng.randrange(1980, 2024)}")
+    bad_date = f"{rng.randrange(1980, 2024)}-{rng.randrange(1, 13):02d}-01"
+    year = rng.randrange(1850, 2024)
+    bad_year = rng.choice([1750, 2150])
+    vat_ok = f"DE{rng.randrange(100000000, 999999999)}"
+    vat_bad = f"DE{rng.randrange(1000, 99999)}"
+    area = f"{rng.randrange(100, 9000):,}"
+    return {
+        "company_name": company,
+        "legal_form": rng.choice(_LEGAL_FORMS),
+        "founding_date": good_date if rng.random() > 0.12 else bad_date,
+        "business_address": (f"{rng.choice(_STREETS)} "
+                             f"{rng.randrange(1, 200)}, "
+                             f"{rng.randrange(10000, 99999)} {city}"),
+        "commercial_register": (f"HRB {rng.randrange(10000, 999999)} / "
+                                f"{city} Local Court"),
+        "vat_id": vat_ok if rng.random() > 0.12 else vat_bad,
+        "property_type": rng.choice(_PROPERTY_TYPES),
+        "property_name": f"{rng.choice(_PURPOSES).split()[0]} Center {city}",
+        "property_address": (f"{rng.choice(_STREETS)} "
+                             f"{rng.randrange(1, 99)}, {city}"),
+        "purchase_price": _money(rng, german),
+        "requested_amount": _money(rng, german),
+        "purpose": rng.choice(_PURPOSES),
+        "equity_share": _money(rng, german),
+        "construction_year": str(year if rng.random() > 0.08 else bad_year),
+        "total_area": (f"{area} m²" if rng.random() > 0.15
+                       else f"{area} m?"),
+        "loan_amount": _money(rng, german),
+        "term": (f"{rng.randrange(5, 30)} "
+                 f"{'Jahre' if german else 'years'}"
+                 if rng.random() > 0.1 else "fifteen years"),
+        "monthly_payment": f"{_money(rng, german)} per month",
+        "interest_rate": (f"{rng.randrange(1, 9)},{rng.randrange(0, 9)}%"
+                          if german
+                          else f"{rng.randrange(1, 9)}.{rng.randrange(0, 9)}%"
+                          ) if rng.random() > 0.1 else "None",
+        "early_repayment": "[x] yes" if rng.random() > 0.5 else "[ ] no",
+        "public_funding": "[x] yes" if rng.random() > 0.5 else "[ ] no",
+    }
+
+
+# Fields the generator sometimes renders as split fragments; the
+# field config carries the matching "a / b" candidates.
+_SPLITTABLE = {
+    "property_name": ("Property", "Name:"),
+    "commercial_register": ("Commercial", "Register:"),
+    "loan_amount": ("Loan", "Amount:"),
+    "equity_share": ("Equity", "Share:"),
+}
+
+_LABELS = {
+    "company_name": "Company Name", "legal_form": "Legal Form",
+    "founding_date": "Founding Date", "business_address": "Business Address",
+    "commercial_register": "Commercial Register", "vat_id": "VAT ID",
+    "property_type": "Property Type", "property_name": "Property Name",
+    "property_address": "Property Address",
+    "purchase_price": "Purchase Price",
+    "requested_amount": "Requested Amount", "purpose": "Purpose",
+    "equity_share": "Equity Share",
+    "construction_year": "Construction Year", "total_area": "Total Area",
+    "loan_amount": "Loan Amount", "term": "Term",
+    "monthly_payment": "Monthly Payment", "interest_rate": "Interest Rate",
+    "early_repayment": "Early Repayment", "public_funding": "Public Funding",
+}
+_ALL_FIELDS = list(_LABELS)
+
+
+def _filler(rng: random.Random, n_words: int) -> str:
+    return " ".join(rng.choice(_FILLER_WORDS) for _ in range(n_words))
+
+
+def _html_page(rng: random.Random, values: Dict[str, str],
+               fields: List[str], title: str) -> str:
+    nav_links = "".join(
+        f'<a href="/s/{i}">Section {i}</a> ' for i in range(8))
+    sidebar = "".join(
+        f'<li><a href="/t/{i}">{_filler(rng, 2)}</a></li>' for i in range(6))
+    paras = "".join(
+        f"<p>{_filler(rng, rng.randrange(12, 40))}.</p>"
+        for _ in range(rng.randrange(2, 6)))
+    rows = []
+    for f in fields:
+        val = values[f]
+        if f in _SPLITTABLE and rng.random() < 0.4:
+            a, b = _SPLITTABLE[f]
+            rows.append(f'<div class="row"><span>{a}</span>'
+                        f'<span>{b}</span> <span>{val}</span></div>')
+        else:
+            rows.append(f'<div class="row"><span>{_LABELS[f]}:</span> '
+                        f'<span>{val}</span></div>')
+    comments = "".join(
+        f'<div class="comment">{_filler(rng, 8)}</div>' for _ in range(3))
+    return (
+        "<!DOCTYPE html><html><head><title>"
+        f"{title}</title><script>var x=1;</script>"
+        "<style>.row{display:flex}</style></head><body>"
+        f"<nav>{nav_links}</nav><header><h1>{title}</h1></header>"
+        f'<div class="sidebar"><ul>{sidebar}</ul></div>'
+        f"<main><h2>Credit Request — {title}</h2>{paras}"
+        f'<section class="form">{"".join(rows)}</section>'
+        f"{paras}</main>{comments}"
+        f"<footer><a href='/imprint'>Imprint</a> · "
+        f"<a href='/privacy'>Privacy</a></footer></body></html>"
+    )
+
+
+def _pdf_page(rng: random.Random, values: Dict[str, str],
+              fields: List[str], title: str) -> str:
+    """%PDF-GRAFT token layout; one form row per line, 8px/char glyphs."""
+    lines = ["%PDF-GRAFT 1"]
+
+    def tok(page: int, x: float, y: float, text: str, conf: float) -> None:
+        x2 = x + 8.0 * len(text)
+        lines.append(f"E\t{page}\t{x}\t{y}\t{x2}\t{y + 20.0}\t{conf}\t{text}")
+
+    tok(1, 40.0, 20.0, title, 0.97)
+    y = 60.0
+    page = 1
+    for f in fields:
+        val = values[f]
+        conf = round(0.70 + rng.random() * 0.29, 2)
+        vconf = round(0.70 + rng.random() * 0.29, 2)
+        style = rng.random()
+        if f in _SPLITTABLE and style < 0.35:
+            a, b = _SPLITTABLE[f]
+            # split label: small gap → merge path (G3) fires
+            tok(page, 40.0, y, a, conf)
+            tok(page, 40.0 + 8.0 * len(a) + 6.0, y, b, conf)
+            tok(page, 280.0, y, val, vconf)
+        elif style < 0.50 and " " in val:
+            # 3-element row ending in a value → simple_three_element (G6)
+            head, tail = val.split(" ", 1)
+            tok(page, 40.0, y, _LABELS[f] + ":", conf)
+            tok(page, 300.0, y, head, vconf)
+            tok(page, 300.0 + 8.0 * len(head) + 40.0, y, tail, vconf)
+        else:
+            tok(page, 40.0, y, _LABELS[f] + ":", conf)
+            tok(page, 300.0, y, val, vconf)
+        y += 28.0
+        if y > 800.0:
+            y = 60.0
+            page += 1
+    return "\n".join(lines)
+
+
+def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
+    """Generate one pages-table row as a plain dict."""
+    rng = _row_rng(seed, row_id)
+    # Zipf-ish domain popularity: rank ~ floor(pareto) — head is hot.
+    rank = min(int(rng.paretovariate(0.8)) - 1, len(_DOMAINS) - 1)
+    domain = _DOMAINS[rank]
+    url = f"https://{domain}/credit/{row_id:09d}"
+    german = rng.random() < 0.25
+    values = _field_values(rng, german)
+    n_fields = rng.randrange(10, len(_ALL_FIELDS) + 1)
+    fields = sorted(rng.sample(_ALL_FIELDS, n_fields),
+                    key=_ALL_FIELDS.index)
+    title = f"{values['company_name']} Application {row_id}"
+    if rng.random() < 0.08:
+        payload = _pdf_page(rng, values, fields, title).encode("utf-8")
+    else:
+        payload = _html_page(rng, values, fields, title).encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=row_id),
+        "html": payload,
+        "text": title,  # crude pre-extracted text; engine recomputes
+        "lang": "de" if german else "en",
+    }
+
+
+def _gen_batches(iterator: Iterator[pd.DataFrame],
+                 seed: int) -> Iterator[pd.DataFrame]:
+    for batch in iterator:
+        rows = [gen_page(int(i), seed) for i in batch["id"]]
+        yield pd.DataFrame(rows)
+
+
+def pages_df(spark, n_rows: int, seed: int = DEFAULT_SEED,
+             partitions: int = 32):
+    """Distributed deterministic pages DataFrame (no driver-side data)."""
+    import functools
+    base = spark.range(0, n_rows, numPartitions=partitions)
+    return base.mapInPandas(
+        functools.partial(_gen_batches, seed=seed), schema=PAGES_SCHEMA)
+
+
+def write_pages_parquet(spark, path: str, n_rows: int,
+                        seed: int = DEFAULT_SEED,
+                        partitions: int = 32) -> None:
+    pages_df(spark, n_rows, seed, partitions).write.mode(
+        "overwrite").parquet(path)
