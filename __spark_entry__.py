@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke: the extraction engine applied to
+the sf0.001 documents table wrapped as HTML pages.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data operators (dedup,
+similarity search, text analysis). Oracle-less entries are the
+extraction-kernel queries whose semantics (order-dependent greedy
+layout clustering) are not SQL-expressible; those are gated by the
+byte-identical golden-file pytest suite instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executors regardless of CWD."""
+    try:
+        from credit_ocr_system_spark.session import make_pyfiles_zip
+
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass  # already shipped, or local single-process mode
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ship_package(spark)
+    from credit_ocr_system_spark.queries import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from credit_ocr_system_spark.queries import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    built = build_queries()
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in built.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from credit_ocr_system_spark.queries import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,253 @@
+"""Relational operator families over the TPC-H-ish test tables.
+
+One query per operator family from SURVEY.md §2, written as the native
+DataFrame plan we'd want at 100 TB (broadcast dims, map-side partial
+aggregation, window top-1 instead of sorts) with semantics portable to
+the DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+
+* money sums go through ``decimal(18,4)`` so both engines aggregate
+  exactly, then cast to double once at the end (double sums differ
+  bitwise across engines/partitionings);
+* no raw arrays in oracle-checked outputs (engines stringify arrays
+  differently) — counts + exploded rows instead;
+* every computed column is aliased identically in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col):
+    """Exact cross-engine sum: decimal-aggregate, double out."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+# G10/G11/O5 family: grouped aggregation with banded counts ---------------
+
+def pricing_summary(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def value_banding(spark, sf_dir) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(v >= 75, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.when((v >= 50) & (v < 75), 1).otherwise(0))
+                .alias("n_mid"),
+            F.sum(F.when(v < 50, 1).otherwise(0)).alias("n_low"),
+            _dsum(v).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# J6 family: top-1 per group via window -----------------------------------
+
+def latest_event_per_user(spark, sf_dir) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# J1/J2 family: broadcast contains-join, first match in scan order --------
+
+SEARCH_TERMS = ("hash join", "window", "vector", "stream", "group",
+                "partition")
+
+
+def first_doc_containing(spark, sf_dir) -> DataFrame:
+    """For each search term, the first document (lowest doc_id) whose
+    text contains it — the field-matcher join pattern (J1) in
+    miniature: tiny broadcast side, contains theta-predicate,
+    row_number()=1 for the deterministic first match."""
+    docs = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(t,) for t in SEARCH_TERMS], "term string")
+    joined = docs.join(
+        F.broadcast(terms),
+        F.contains(F.lower(F.col("text")), F.col("term")))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("term", F.col("doc_id").cast("bigint").alias("doc_id"),
+                "source")
+    )
+
+
+# O1 family: order / limit / offset ---------------------------------------
+
+def recent_orders_page(spark, sf_dir) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > 10) & (F.col("rank") <= 30))
+        .select(F.col("rank").cast("int"), "o_orderkey", "o_orderdate",
+                "o_totalprice")
+    )
+
+
+# O3 family: set difference (missing members per group) --------------------
+
+def missing_event_types(spark, sf_dir) -> DataFrame:
+    """(user, event_type) pairs the user never emitted — the
+    missing_fields anti-join, exploded to rows so the comparison is
+    array-free."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    return (
+        users.crossJoin(F.broadcast(types))
+        .join(ev.select("user_id", "event_type").distinct(),
+              ["user_id", "event_type"], "left_anti")
+        .select("user_id", F.col("event_type").alias("missing_type"))
+    )
+
+
+# P12 family: currency cleaning ---------------------------------------------
+
+def clean_currency_col(spark, sf_dir) -> DataFrame:
+    """Dirty €-amount strings (integer-derived, so both engines build
+    byte-identical inputs) → cleaned double via the reference's rule:
+    strip €/spaces, ',' → '.', keep digits and dots, cast."""
+    orders = load(spark, sf_dir, "orders")
+    euros = F.col("o_orderkey").cast("bigint")
+    cents = (F.col("o_custkey") % 100).cast("bigint")
+    dirty = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        # German style with trailing symbol and space: "1234,56 €"
+        F.concat(euros.cast("string"), F.lit(","),
+                 F.lpad(cents.cast("string"), 2, "0"), F.lit(" €")),
+    ).otherwise(
+        F.concat(F.lit("€"), euros.cast("string"), F.lit("."),
+                 F.lpad(cents.cast("string"), 2, "0")),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(dirty, "€", ""), " ", ""),
+        ",", ".")
+    cleaned = F.regexp_replace(stripped, r"[^0-9.]", "")
+    return (
+        orders.select(
+            "o_orderkey",
+            dirty.alias("dirty"),
+            F.when(cleaned == "", None)
+             .otherwise(cleaned.try_cast("double")).alias("amount"))
+        .where(F.col("o_orderkey") % 5 != 0)
+    )
+
+
+# P11/P20 family: date format validation -------------------------------------
+
+def validate_dates(spark, sf_dir) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ddmmyyyy = F.date_format(F.col("o_orderdate"), "dd.MM.yyyy")
+    iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+    raw = F.when(F.col("o_orderkey") % 7 == 0, iso).otherwise(ddmmyyyy)
+    ok = raw.rlike(r"^\d{2}\.\d{2}\.\d{4}$")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        ok.alias("is_valid"),
+        F.when(ok, raw).alias("clean_date"),
+    )
+
+
+# P17/P18/P19 family: German numbers + range validation -----------------------
+
+def validate_german_numbers(spark, sf_dir) -> DataFrame:
+    """German-formatted quantity strings → normalize → range-check
+    5..45, with the reference's error strings (array-free: count +
+    first error)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    german = F.concat(qty.cast("string"), F.lit(","),
+                      F.lpad((F.col("l_partkey") % 100).cast("string"),
+                             2, "0"))
+    norm = F.regexp_replace(F.regexp_replace(german, r"\.", ""), ",", ".")
+    as_num = norm.try_cast("double")
+    min_err = F.when(as_num < 5, "Value must be at least 5")
+    max_err = F.when(as_num > 45, "Value must be at most 45")
+    first_error = F.coalesce(min_err, max_err)
+    return (
+        li.where(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            german.alias("raw_value"),
+            as_num.alias("value_num"),
+            first_error.isNull().alias("is_valid"),
+            (F.when(min_err.isNotNull(), 1).otherwise(0)
+             + F.when(max_err.isNotNull(), 1).otherwise(0))
+            .cast("int").alias("n_errors"),
+            first_error.alias("first_error"),
+        )
+    )
+
+
+# P3 family: Python-rstrip label cleaning --------------------------------------
+
+def clean_labels(spark, sf_dir) -> DataFrame:
+    """Replicates Python ``rstrip(':')`` then ``rstrip('?')`` then
+    strip — a run of ':' stripped first, then a run of '?'."""
+    part = load(spark, sf_dir, "part")
+    suffix = (F.col("p_partkey") % 4)
+    dirty = F.concat(
+        F.col("p_name"),
+        F.when(suffix == 0, ":").when(suffix == 1, "?::")
+         .when(suffix == 2, "::??").otherwise(""))
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(dirty, ":+$", ""), r"\?+$", ""))
+    return part.select("p_partkey", dirty.alias("dirty_label"),
+                       cleaned.alias("clean_label"))
+
+
+# J5 family: star-schema join + rollup -----------------------------------------
+
+def revenue_by_region_year(spark, sf_dir) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders
+        .join(F.broadcast(customer),
+              orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"),
+             _dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("region", "order_year")
+    )

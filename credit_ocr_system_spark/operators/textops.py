@@ -1,0 +1,317 @@
+"""Text-analysis and deduplication operators for the documents table.
+
+Large-scale training-data pipeline operators, each expressed as native
+DataFrame ops (JVM-side, whole-stage codegen — no Python in the data
+path) with semantics deliberately chosen to be portable to ANSI SQL so
+every operator has a DuckDB oracle:
+
+* exact dedup           — hash groupBy (md5 of normalized text)
+* word-set Jaccard      — exact near-dup pairs via explode + self-join
+* MinHash LSH           — banded min-hash buckets; candidates by bucket
+                          equality (the 100TB-scale near-dup path)
+* SimHash               — 16-bit sign-vote fingerprint
+* language ID           — stopword-hit heuristic
+* quality scoring       — length/punctuation/stopword/diversity ratios
+* token counting        — whitespace + BPE-ish regex tokenization
+* fingerprinting        — sha256 over whitespace-normalized text
+
+Portability notes (kept identical in the SQL oracles): hashes are
+``md5``/``sha2`` hex strings (never engine-specific ``xxhash64``),
+min-hash minima are lexicographic string minima, SimHash bit votes are
+parities of md5 hex digits (``ascii(char) % 2``), and all double
+aggregates are rounded at the emit boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared tokenization: lowercase, split on whitespace runs, drop empties.
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "von", "mit", "für")
+
+
+# --- exact dedup --------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5 of whitespace-normalized text.
+
+    Keeps the lowest doc_id as the canonical representative; one
+    shuffle (the groupBy), map-side partial aggregation for free.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        documents
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"),
+             F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+    )
+
+
+# --- exact word-set Jaccard pairs ---------------------------------------
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.55,
+                  max_doc_id: int = 200) -> DataFrame:
+    """Exact 1-gram-set Jaccard near-dup pairs (a < b), via
+    explode → equi-join on token → count intersections.
+
+    The O(n²) candidate space is bounded (``max_doc_id``) — this is
+    the *verifier*; at scale MinHash-LSH prunes candidates first and
+    this join runs only inside buckets.
+    """
+    toks = (
+        documents
+        .where(F.col("doc_id") < max_doc_id)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(F.array_distinct(_tokens(F.col("text"))))
+                 .alias("tok"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_tok", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_tok", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- MinHash LSH ---------------------------------------------------------
+
+N_BANDS = 4
+SHINGLE_W = 3
+
+
+def _shingles(tokens_col):
+    """Word 3-gram shingles; empty array when fewer than 3 tokens."""
+    n = F.size(tokens_col)
+    return F.when(
+        n >= SHINGLE_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_W - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens_col, i),
+                F.element_at(tokens_col, i + 1),
+                F.element_at(tokens_col, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Banded min-hash: per (doc, band), the lexicographic min of
+    ``md5(band || ':' || shingle)``. Each band is one hash family
+    member; band-equal minima = LSH bucket collision.
+
+    Output: (doc_id, band, minhash) — long format so the bucket join
+    is a plain equi-join on (band, minhash).
+    """
+    toks = _tokens(F.col("text"))
+    sh = _shingles(toks)
+
+    def band_hash(band: int):
+        # NB: a single-parameter lambda is required — pyspark's
+        # transform() treats two-parameter callables as (element,
+        # index), so a `b=band` default would silently receive the
+        # array index instead of the band id.
+        prefix = f"{band}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.array_min(F.transform(sh, band_hash(band))).alias("minhash"),
+        )
+        for band in range(N_BANDS)
+    ]
+    return (
+        documents
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(F.array(*bands)).alias("bm"))
+        .select("doc_id", F.col("bm.band").alias("band"),
+                F.col("bm.minhash").alias("minhash"))
+        .where(F.col("minhash").isNotNull())
+    )
+
+
+def minhash_candidates(documents: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any band bucket.
+
+    This is the scale path: shuffle is on (band, minhash) — bucket
+    sizes, not n² — and the exact Jaccard verifier then runs only on
+    these pairs.
+    """
+    sigs = minhash_signatures(documents)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.minhash") == F.col("b.minhash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """16-bit SimHash: each distinct token votes ±1 per bit position,
+    bit i taken from the parity of hex digit i of ``md5(token)``;
+    positive vote sum ⇒ bit set.
+    """
+    toks = (
+        documents
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(F.array_distinct(_tokens(F.col("text"))))
+                 .alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", i + 1, 1)) % 2 == 1, 1)
+             .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0,
+                      F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# --- language ID ----------------------------------------------------------
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language guess (n-gram-heuristic family).
+
+    Emits per-language hit counts and the argmax guess; 'unknown' on
+    ties/zero hits, deterministically.
+    """
+    toks = _tokens(F.col("text"))
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        F.when(en > de, "en").when(de > en, "de")
+         .otherwise("unknown").alias("lang_guess"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality features + a composite score.
+
+    Features follow the published web-text quality heuristics
+    (C4/Gopher-style): length, mean token length, stopword ratio,
+    digit/punctuation density, token diversity.
+    """
+    text = F.col("text")
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+    n_digits = (n_chars - F.length(
+        F.regexp_replace(text, r"[0-9]", ""))).cast("double")
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(text, r"[^\w\s]", ""))).cast("double")
+
+    safe_tokens = F.greatest(n_tokens, F.lit(1.0))
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    # raw (unrounded) ratios feed the composite; rounding happens once
+    # per emitted column. Composing *rounded* 1e-6 multiples would park
+    # the composite exactly on round-half boundaries, where Spark and
+    # other engines legitimately disagree on double rounding.
+    stop_raw = stop_hits / safe_tokens
+    digit_raw = n_digits / safe_chars
+    punct_raw = n_punct / safe_chars
+    div_raw = n_distinct / safe_tokens
+    score = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.3
+        + stop_raw * 0.2
+        + div_raw * 0.3
+        + (F.lit(1.0) - punct_raw) * 0.1
+        + (F.lit(1.0) - digit_raw) * 0.1, 3)
+    mean_tok_len = F.round(
+        (n_chars - (n_tokens - 1)) / safe_tokens, 6)
+    stop_ratio = F.round(stop_raw, 6)
+    digit_ratio = F.round(digit_raw, 6)
+    punct_ratio = F.round(punct_raw, 6)
+    diversity = F.round(div_raw, 6)
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        diversity.alias("diversity"),
+        score.alias("quality"),
+    )
+
+
+# --- token counting ---------------------------------------------------------
+
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens per document."""
+    text = F.lower(F.col("text"))
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+         .cast("bigint").alias("re_tokens"),
+    )
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: sha256 over whitespace-normalized lowered
+    text, plus a coarse 64-char-prefix fingerprint for blocking."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )

@@ -1,0 +1,460 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle
+for every operator family (SURVEY.md §2 + training-data ops).
+
+Each entry pairs a DataFrame-native Spark query with an ANSI-SQL oracle
+that DuckDB runs over the same parquet tables. Column names and types
+are aligned on both sides; cross-engine float rules are documented in
+``operators/relational.py``. Extraction-kernel queries (non-SQL-
+expressible: the layout kernel is order-dependent greedy clustering)
+have no oracle and get the driver's rows-only check; their correctness
+gate is the golden-file + reference-parity pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import relational as R
+from .operators import textops as T
+from .operators import similarity as S
+from .operators.textops import (
+    DE_STOPWORDS,
+    EN_STOPWORDS,
+    SIMHASH_BITS,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Extraction-engine queries (rows-only check; pytest goldens are the gate)
+# ---------------------------------------------------------------------------
+
+_X_N_PAGES = 200
+
+
+def _x_pages(spark: SparkSession) -> DataFrame:
+    from .sources.pages import pages_df
+
+    return pages_df(spark, _X_N_PAGES, partitions=8)
+
+
+def x_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extraction import extract_pages
+
+    return extract_pages(_x_pages(spark)).select(
+        "url", "doc_kind", "page_count", "extracted_text",
+        "n_elements", "n_pairs")
+
+
+def x_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extraction import extract_pages
+    from .operators.fields_native import field_config_df, fields_table
+
+    ext = extract_pages(_x_pages(spark))
+    return fields_table(ext, field_config_df(spark)).select(
+        "url", "field_name", "value", "confidence", "page", "source",
+        "is_valid")
+
+
+def x_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extraction import extract_pages
+    from .operators.metrics import partition_lineage
+    from .plans.pipeline import repartition_salted
+
+    ext = extract_pages(repartition_salted(_x_pages(spark), 8))
+    return partition_lineage(ext, "entry-run").select(
+        "partition_id", "n_docs", "n_elements", "n_pairs", "bytes_in")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the extraction engine applied to driver testdata —
+    documents wrapped as HTML pages, through kernel + field join."""
+    from .operators.extraction import extract_pages
+
+    docs = R.load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body>"
+                      "<nav><a href='/'>home</a></nav><main><p>"),
+                F.col("text"),
+                F.lit("</p></main><footer>f</footer></body></html>"),
+            ), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return extract_pages(pages).select(
+        "url", "doc_kind", "extracted_text", "n_elements", "n_pairs")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+_TERMS_SQL = ", ".join(f"('{t}')" for t in R.SEARCH_TERMS)
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+         "t -> t <> '')")
+_EN_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_DE_IN = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n   ".join(
+        f"SUM(CASE WHEN ascii(substr(h, {i + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_distinct({_TOKS})) AS tok
+  FROM documents),
+ hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+ votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_MINHASH_CTE = f"""
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+shingled AS (
+  SELECT doc_id,
+   CASE WHEN len(toks) >= 3
+    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          FOR i IN generate_series(1, len(toks) - 2)]
+    ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks),
+sigs AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+   list_min(list_transform(shingles,
+            s -> md5(CAST(b AS VARCHAR) || ':' || s))) AS minhash
+  FROM shingled, generate_series(0, 3) t(b))
+"""
+
+_ANN_CTE = """
+corpus AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+queries AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS q
+            FROM embeddings WHERE vec_id < 5)
+"""
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(S.N_BUCKET_BITS))
+
+
+ORACLES: Dict[str, str] = {
+    # --- relational families ------------------------------------------
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+ CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+ CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+   AS sum_base_price,
+ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+   AS DOUBLE) AS sum_disc_price,
+ COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "value_banding": """
+SELECT event_type,
+ COUNT(*) AS n_events,
+ CAST(SUM(CASE WHEN value >= 75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+ CAST(SUM(CASE WHEN value >= 50 AND value < 75 THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_mid,
+ CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+ CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "latest_event_per_user": """
+SELECT user_id, event_id, event_type, value
+FROM (SELECT user_id, event_id, event_type, value,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""",
+    "first_doc_containing": f"""
+WITH terms(term) AS (VALUES {_TERMS_SQL})
+SELECT term, CAST(doc_id AS BIGINT) AS doc_id, source
+FROM (SELECT t.term, d.doc_id, d.source,
+       row_number() OVER (PARTITION BY t.term ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN terms t ON contains(lower(d.text), t.term))
+WHERE rn = 1
+""",
+    "recent_orders_page": """
+SELECT CAST(rn AS INT) AS rank, o_orderkey, o_orderdate, o_totalprice
+FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+       row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC)
+         AS rn
+      FROM orders)
+WHERE rn > 10 AND rn <= 30
+""",
+    "missing_event_types": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ t AS (SELECT DISTINCT event_type FROM events),
+ p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT u.user_id, t.event_type AS missing_type
+FROM u CROSS JOIN t
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = u.user_id
+                    AND p.event_type = t.event_type)
+""",
+    "clean_currency": """
+WITH base AS (
+ SELECT o_orderkey,
+  CASE WHEN o_orderkey % 3 = 0
+   THEN CAST(o_orderkey AS VARCHAR) || ',' ||
+        lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0') || ' €'
+   ELSE '€' || CAST(o_orderkey AS VARCHAR) || '.' ||
+        lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0')
+  END AS dirty
+ FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT o_orderkey, dirty,
+ CASE WHEN c = '' THEN NULL ELSE TRY_CAST(c AS DOUBLE) END AS amount
+FROM (SELECT o_orderkey, dirty,
+       regexp_replace(replace(replace(replace(dirty, '€', ''), ' ', ''),
+                      ',', '.'), '[^0-9.]', '', 'g') AS c
+      FROM base)
+""",
+    "validate_dates": """
+SELECT o_orderkey, raw_date,
+ regexp_matches(raw_date, '^\\d{2}\\.\\d{2}\\.\\d{4}$') AS is_valid,
+ CASE WHEN regexp_matches(raw_date, '^\\d{2}\\.\\d{2}\\.\\d{4}$')
+      THEN raw_date END AS clean_date
+FROM (SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+            ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw_date
+      FROM orders)
+""",
+    "validate_german_numbers": """
+SELECT l_orderkey, raw_value, value_num,
+ (min_err IS NULL AND max_err IS NULL) AS is_valid,
+ CAST((CASE WHEN min_err IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN max_err IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+   AS n_errors,
+ COALESCE(min_err, max_err) AS first_error
+FROM (
+ SELECT l_orderkey, raw_value, value_num,
+  CASE WHEN value_num < 5 THEN 'Value must be at least 5' END AS min_err,
+  CASE WHEN value_num > 45 THEN 'Value must be at most 45' END AS max_err
+ FROM (
+  SELECT l_orderkey, raw_value,
+   TRY_CAST(replace(replace(raw_value, '.', ''), ',', '.') AS DOUBLE)
+     AS value_num
+  FROM (
+   SELECT l_orderkey,
+    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ',' ||
+    lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS raw_value
+   FROM lineitem WHERE l_linenumber = 1)))
+""",
+    "clean_labels": """
+SELECT p_partkey, dirty_label,
+ trim(regexp_replace(regexp_replace(dirty_label, ':+$', ''),
+      '\\?+$', '')) AS clean_label
+FROM (SELECT p_partkey,
+       p_name || (CASE p_partkey % 4 WHEN 0 THEN ':' WHEN 1 THEN '?::'
+                  WHEN 2 THEN '::??' ELSE '' END) AS dirty_label
+      FROM part)
+""",
+    "revenue_by_region_year": """
+SELECT r_name AS region, CAST(year(o_orderdate) AS INT) AS order_year,
+ COUNT(*) AS n_orders,
+ CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, order_year ORDER BY region, order_year
+""",
+    # --- dedup / text analysis ----------------------------------------
+    "exact_dedup": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+   AS text_hash,
+ CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+ COUNT(*) AS n_copies
+FROM documents GROUP BY text_hash
+""",
+    "jaccard_pairs": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_distinct({_TOKS})) AS tok
+  FROM documents WHERE doc_id < 200),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+ inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard
+FROM (SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= 0.55
+""",
+    "minhash_signatures": f"""
+WITH {_MINHASH_CTE}
+SELECT doc_id, band, minhash FROM sigs WHERE minhash IS NOT NULL
+""",
+    "minhash_candidates": f"""
+WITH {_MINHASH_CTE},
+ live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM live a JOIN live b
+  ON a.band = b.band AND a.minhash = b.minhash
+ AND a.doc_id < b.doc_id
+""",
+    "simhash": _simhash_oracle(),
+    "language_id": f"""
+SELECT doc_id, en_hits, de_hits,
+ CASE WHEN en_hits > de_hits THEN 'en'
+      WHEN de_hits > en_hits THEN 'de'
+      ELSE 'unknown' END AS lang_guess
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(toks, t -> t IN ({_EN_IN}))) AS INT)
+         AS en_hits,
+       CAST(len(list_filter(toks, t -> t IN ({_DE_IN}))) AS INT)
+         AS de_hits
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+""",
+    "quality_score": f"""
+SELECT doc_id,
+ CAST(n_chars AS BIGINT) AS n_chars,
+ CAST(n_tokens AS BIGINT) AS n_tokens,
+ ROUND((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1.0), 6)
+   AS mean_tok_len,
+ ROUND(stop_hits / greatest(n_tokens, 1.0), 6) AS stop_ratio,
+ ROUND(n_digits / greatest(n_chars, 1.0), 6) AS digit_ratio,
+ ROUND(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+ ROUND(n_distinct / greatest(n_tokens, 1.0), 6) AS diversity,
+ ROUND(least(n_tokens / 50.0, 1.0) * 0.3
+   + (stop_hits / greatest(n_tokens, 1.0)) * 0.2
+   + (n_distinct / greatest(n_tokens, 1.0)) * 0.3
+   + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.1
+   + (1.0 - n_digits / greatest(n_chars, 1.0)) * 0.1, 3)
+   AS quality
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS DOUBLE) AS n_chars,
+       CAST(len(toks) AS DOUBLE) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+       CAST(len(list_filter(toks, t -> t IN ({_EN_IN}))) AS DOUBLE)
+         AS stop_hits,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS DOUBLE) AS n_digits,
+       CAST(length(text)
+            - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         AS DOUBLE) AS n_punct
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents))
+""",
+    "token_counts": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+ CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+ CAST(len(regexp_extract_all(lower(text),
+      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens
+FROM documents
+""",
+    "fingerprints": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+ sha256(norm) AS fp_sha256,
+ md5(substr(norm, 1, 64)) AS fp_prefix64
+FROM (SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+""",
+    # --- similarity search ---------------------------------------------
+    "cosine_topk": f"""
+WITH {_ANN_CTE},
+ scored AS (
+  SELECT query_id, neighbor_id,
+   list_dot_product(q, v) /
+     (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v)))
+     AS cos
+  FROM corpus CROSS JOIN queries)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 10
+""",
+    "bucketed_topk": f"""
+WITH {_ANN_CTE},
+ cb AS (SELECT neighbor_id, v,
+         {_BUCKET_EXPR.format(col='v')} AS bucket FROM corpus),
+ qb AS (SELECT query_id, q,
+         {_BUCKET_EXPR.format(col='q')} AS bucket FROM queries),
+ scored AS (
+  SELECT query_id, neighbor_id,
+   list_dot_product(q, v) /
+     (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v)))
+     AS cos
+  FROM cb JOIN qb ON cb.bucket = qb.bucket)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+}
+
+
+def build_queries() -> Dict[str, QueryFn]:
+    q: Dict[str, QueryFn] = {
+        # relational families
+        "pricing_summary": R.pricing_summary,
+        "value_banding": R.value_banding,
+        "latest_event_per_user": R.latest_event_per_user,
+        "first_doc_containing": R.first_doc_containing,
+        "recent_orders_page": R.recent_orders_page,
+        "missing_event_types": R.missing_event_types,
+        "clean_currency": R.clean_currency_col,
+        "validate_dates": R.validate_dates,
+        "validate_german_numbers": R.validate_german_numbers,
+        "clean_labels": R.clean_labels,
+        "revenue_by_region_year": R.revenue_by_region_year,
+        # dedup / text analysis
+        "exact_dedup": lambda s, d: T.exact_dedup(R.load(s, d, "documents")),
+        "jaccard_pairs": lambda s, d: T.jaccard_pairs(
+            R.load(s, d, "documents")),
+        "minhash_signatures": lambda s, d: T.minhash_signatures(
+            R.load(s, d, "documents")),
+        "minhash_candidates": lambda s, d: T.minhash_candidates(
+            R.load(s, d, "documents")),
+        "simhash": lambda s, d: T.simhash(R.load(s, d, "documents")),
+        "language_id": lambda s, d: T.language_id(
+            R.load(s, d, "documents")),
+        "quality_score": lambda s, d: T.quality_score(
+            R.load(s, d, "documents")),
+        "token_counts": lambda s, d: T.token_counts(
+            R.load(s, d, "documents")),
+        "fingerprints": lambda s, d: T.fingerprints(
+            R.load(s, d, "documents")),
+        # similarity
+        "cosine_topk": lambda s, d: S.cosine_topk(
+            R.load(s, d, "embeddings")),
+        "bucketed_topk": lambda s, d: S.bucketed_topk(
+            R.load(s, d, "embeddings")),
+        # extraction engine (rows-only; goldens are the gate)
+        "x_extract_pages": x_extract_pages,
+        "x_extract_fields": x_extract_fields,
+        "x_extract_lineage": x_extract_lineage,
+    }
+    return q
+
+
+def build_oracles() -> Dict[str, str]:
+    return dict(ORACLES)
