@@ -108,19 +108,23 @@ SHINGLE_W = 3
 
 
 def _shingles(tokens_col):
-    """Word 3-gram shingles; empty array when fewer than 3 tokens."""
+    """Word 3-gram shingles; empty array when fewer than 3 tokens.
+
+    Built from three shifted slices zipped together. Deliberately NOT
+    ``transform(sequence(...), i -> element_at(tokens, i))``: a lambda
+    that references the outer tokens *expression* makes interpreted
+    higher-order functions re-evaluate it per element — O(n²) splits
+    per row (measured 30×+ slowdown at 5k docs). Here every lambda
+    touches only its own arguments.
+    """
     n = F.size(tokens_col)
-    return F.when(
-        n >= SHINGLE_W,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_W - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tokens_col, i),
-                F.element_at(tokens_col, i + 1),
-                F.element_at(tokens_col, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(n - (SHINGLE_W - 1), F.lit(0))
+    t1 = F.slice(tokens_col, 1, m)
+    t2 = F.slice(tokens_col, 2, m)
+    t3 = F.slice(tokens_col, 3, m)
+    pair = F.zip_with(t1, t2, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.zip_with(pair, t3,
+                      lambda ab, c: F.concat(ab, F.lit(" "), c))
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
@@ -131,9 +135,6 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     Output: (doc_id, band, minhash) — long format so the bucket join
     is a plain equi-join on (band, minhash).
     """
-    toks = _tokens(F.col("text"))
-    sh = _shingles(toks)
-
     def band_hash(band: int):
         # NB: a single-parameter lambda is required — pyspark's
         # transform() treats two-parameter callables as (element,
@@ -145,14 +146,16 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     bands = [
         F.struct(
             F.lit(band).alias("band"),
-            F.array_min(F.transform(sh, band_hash(band))).alias("minhash"),
+            F.array_min(F.transform(F.col("sh"), band_hash(band)))
+             .alias("minhash"),
         )
         for band in range(N_BANDS)
     ]
     return (
         documents
         .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.explode(F.array(*bands)).alias("bm"))
+                _shingles(_tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", F.explode(F.array(*bands)).alias("bm"))
         .select("doc_id", F.col("bm.band").alias("band"),
                 F.col("bm.minhash").alias("minhash"))
         .where(F.col("minhash").isNotNull())
