@@ -66,33 +66,37 @@ def match_fields_native(extracted: DataFrame,
     """
     cfg = F.broadcast(config)
 
-    pairs = extracted.select(
-        "url", F.explode("pairs").alias("p")
-    ).select(
+    # Both match sources come from ONE pass over the extraction output:
+    # re-shape pairs and elements into a common struct, concat, explode.
+    # (A union of two selects over `extracted` would make Catalyst run
+    # the upstream kernel stage twice — visible as two MapInArrow scans
+    # in the physical plan.)
+    def _cand(idx, text, value, conf, page, bbox, priority, source):
+        return F.struct(
+            idx.cast("int").alias("match_idx"),
+            text.alias("match_text"),
+            value.alias("value"),
+            conf.alias("confidence"),
+            page.cast("int").alias("page"),
+            bbox.alias("bounding_box"),
+            F.lit(priority).alias("priority"),
+            F.lit(source).alias("source"),
+        )
+
+    pair_cands = F.transform(
+        "pairs",
+        lambda p: _cand(p["pair_idx"], p["label"], p["value"],
+                        p["confidence"], p["page"], p["bounding_box"],
+                        0, "pair"))           # J1 outranks J2
+    line_cands = F.transform(
+        "elements",
+        lambda e: _cand(e["elem_idx"], e["text"], e["text"],
+                        e["confidence"], e["page_num"], e["bbox"],
+                        1, "line"))
+    candidates = extracted.select(
         "url",
-        F.col("p.pair_idx").alias("match_idx"),
-        F.col("p.label").alias("match_text"),
-        F.col("p.value").alias("value"),
-        F.col("p.confidence").alias("confidence"),
-        F.col("p.page").alias("page"),
-        F.col("p.bounding_box").alias("bounding_box"),
-        F.lit(0).alias("priority"),   # J1 outranks J2
-        F.lit("pair").alias("source"),
-    )
-    lines = extracted.select(
-        "url", F.explode("elements").alias("e")
-    ).select(
-        "url",
-        F.col("e.elem_idx").alias("match_idx"),
-        F.col("e.text").alias("match_text"),
-        F.col("e.text").alias("value"),
-        F.col("e.confidence").alias("confidence"),
-        F.col("e.page_num").alias("page"),
-        F.col("e.bbox").alias("bounding_box"),
-        F.lit(1).alias("priority"),
-        F.lit("line").alias("source"),
-    )
-    candidates = pairs.unionByName(lines)
+        F.explode(F.concat(pair_cands, line_cands)).alias("c"),
+    ).select("url", "c.*")
 
     joined = candidates.join(
         cfg, _contains_any(F.col("match_text"), F.col("candidates")))

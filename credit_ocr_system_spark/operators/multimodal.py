@@ -1,0 +1,224 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A 100TB training-data pipeline carries media the same way this engine
+carries page payloads: an opaque ``binary`` column plus a typed
+metadata struct, processed by Arrow-batched iterator UDFs. This module
+provides the full Spark-side plumbing — schemas, deterministic
+synthetic media source, feature extraction, image resize, video frame
+sampling (1→N explode) — with the *codec* behind a seam:
+
+* ``decode_media`` raises ``NotImplementedError`` for real codecs
+  (PIL/ffmpeg/soundfile are not in this container, by design);
+* ``fake_decode`` is the deterministic stand-in used by default: it
+  derives a numpy array purely from the payload bytes + metadata, so
+  every downstream shape/partitioning/batching behavior is real and
+  testable while the codec is swappable.
+
+Scale notes: media payloads are the memory bound, not row counts —
+same Arrow-batch sizing rule as the page kernel. Frame sampling emits
+1→N rows inside the UDF iterator (no explode of a materialized
+array of frames, which would hold all frames of a batch in memory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, "
+    "mime:string>"
+)
+
+_KINDS = ("image", "audio", "video")
+_MAGIC = {"image": b"\x89PNG\r\n", "audio": b"RIFF", "video": b"FTYP"}
+_MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def gen_media_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic media rows (pure function of seed+id)."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        kind = _KINDS[h[0] % 3]
+        size = 256 + (h[1] << 4)
+        # payload = magic + repeated digest: opaque, deterministic bytes
+        body = (h * (size // len(h) + 1))[:size]
+        rows.append({
+            "media_id": i,
+            "kind": kind,
+            "payload": _MAGIC[kind] + body,
+            "meta": {
+                "width": 16 + h[2] % 64 if kind != "audio" else None,
+                "height": 16 + h[3] % 64 if kind != "audio" else None,
+                "sample_rate": 8000 + h[4] * 64 if kind == "audio" else None,
+                "n_frames": 1 if kind == "image"
+                            else 8 + h[5] % 24,
+                "mime": _MIME[kind],
+            },
+        })
+    return rows
+
+
+def media_df(spark, n: int, seed: int = 42,
+             partitions: int = 8) -> DataFrame:
+    return spark.createDataFrame(
+        gen_media_rows(n, seed), schema=MEDIA_SCHEMA
+    ).repartition(partitions, "media_id")
+
+
+def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
+    """Real codec seam — intentionally unimplemented in this container.
+
+    On a cluster with codec libs installed, route to PIL / soundfile /
+    pyav here; everything else in this module is codec-agnostic.
+    """
+    raise NotImplementedError(
+        f"real {kind} decode requires codec libraries; "
+        "use fake_decode for the deterministic test path")
+
+
+def fake_decode(payload: bytes, kind: str, meta: dict) -> np.ndarray:
+    """Deterministic stand-in decode: bytes → typed ndarray.
+
+    Shapes mirror real decodes — image: (h, w, 3) uint8; audio:
+    (samples,) float32 in [-1, 1]; video: (frames, h, w, 3) uint8 —
+    derived entirely from the payload so tests are reproducible.
+    """
+    body = np.frombuffer(payload, dtype=np.uint8)
+    if kind == "image":
+        w, h = meta["width"], meta["height"]
+        need = h * w * 3
+        px = np.resize(body, need).reshape(h, w, 3)
+        return px
+    if kind == "audio":
+        samples = min(len(body) * 4, 4096)
+        wave = np.resize(body, samples).astype(np.float32)
+        return (wave - 127.5) / 127.5
+    if kind == "video":
+        w, h, n = meta["width"], meta["height"], meta["n_frames"]
+        need = n * h * w * 3
+        return np.resize(body, need).reshape(n, h, w, 3)
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, "
+    "feat array<float>, mean_val double, std_val double, "
+    "width int, height int, n_frames int"
+)
+
+_PA_FEATURES = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("feat", pa.list_(pa.float32())),
+    ("mean_val", pa.float64()),
+    ("std_val", pa.float64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+])
+
+N_FEAT = 16
+
+
+def _features_batches(
+        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        cols = batch.to_pylist()
+        rows = []
+        for r in cols:
+            arr = fake_decode(r["payload"], r["kind"], r["meta"])
+            flat = arr.astype(np.float64).ravel()
+            # 16-bin byte histogram as the embedding-ish feature
+            hist, _ = np.histogram(flat, bins=N_FEAT)
+            denom = max(float(flat.size), 1.0)
+            rows.append({
+                "media_id": r["media_id"],
+                "kind": r["kind"],
+                "n_bytes": len(r["payload"]),
+                "feat": (hist / denom).astype(np.float32).tolist(),
+                "mean_val": float(flat.mean()),
+                "std_val": float(flat.std()),
+                "width": r["meta"]["width"],
+                "height": r["meta"]["height"],
+                "n_frames": r["meta"]["n_frames"],
+            })
+        yield pa.RecordBatch.from_pylist(rows, schema=_PA_FEATURES)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the fake-decode seam."""
+    return media.mapInArrow(_features_batches,
+                            schema=MEDIA_FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = ("media_id bigint, frame_idx int, frame binary, "
+                 "width int, height int")
+
+_PA_FRAMES = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int32()),
+    ("frame", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def _frame_batches(every_n: int):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                if r["kind"] != "video":
+                    continue
+                vid = fake_decode(r["payload"], "video", r["meta"])
+                for idx in range(0, vid.shape[0], every_n):
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": idx,
+                        "frame": vid[idx].tobytes(),
+                        "width": r["meta"]["width"],
+                        "height": r["meta"]["height"],
+                    })
+            yield pa.RecordBatch.from_pylist(rows, schema=_PA_FRAMES)
+
+    return run
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """1→N frame sampling inside the UDF iterator (no giant arrays)."""
+    return media.mapInArrow(_frame_batches(every_n), schema=FRAMES_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int = 8,
+                  out_h: int = 8) -> DataFrame:
+    """Nearest-neighbour image resize through the decode seam."""
+    schema = ("media_id bigint, width int, height int, pixels binary")
+    pa_schema = pa.schema([
+        ("media_id", pa.int64()), ("width", pa.int32()),
+        ("height", pa.int32()), ("pixels", pa.binary()),
+    ])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = []
+            for r in batch.to_pylist():
+                if r["kind"] != "image":
+                    continue
+                img = fake_decode(r["payload"], "image", r["meta"])
+                ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
+                small = img[ys][:, xs]
+                rows.append({"media_id": r["media_id"], "width": out_w,
+                             "height": out_h, "pixels": small.tobytes()})
+            yield pa.RecordBatch.from_pylist(rows, schema=pa_schema)
+
+    return media.mapInArrow(run, schema=schema)

@@ -61,6 +61,31 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5,
     )
 
 
+def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
+                    max_id: int = 300) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    The exact verifier of embedding-space dedup: bounded candidate
+    space here; at scale the sign-bucket LSH (``bucketed_topk``'s
+    bucketing) prunes candidates and this join runs bucket-local.
+    """
+    base = embeddings.where(F.col("vec_id") < max_id).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("raw_cos"))
+        .where(F.col("raw_cos") >= threshold)
+        .select("vec_a", "vec_b",
+                F.round(F.col("raw_cos"), 6).alias("cos_sim"))
+    )
+
+
 N_BUCKET_BITS = 4
 
 

@@ -69,6 +69,27 @@ def x_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_id", "n_docs", "n_elements", "n_pairs", "bytes_in")
 
 
+_X_N_MEDIA = 240
+
+
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, media_df
+
+    return extract_media_features(media_df(spark, _X_N_MEDIA))
+
+
+def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_df, sample_video_frames
+
+    return sample_video_frames(media_df(spark, _X_N_MEDIA), every_n=4)
+
+
+def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_df, resize_images
+
+    return resize_images(media_df(spark, _X_N_MEDIA))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the extraction engine applied to driver testdata —
     documents wrapped as HTML pages, through kernel + field join."""
@@ -390,6 +411,18 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 10
 """,
+    "cosine_near_dup": """
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300)
+SELECT vec_a, vec_b, ROUND(raw_cos, 6) AS cos_sim
+FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v))
+          * sqrt(list_dot_product(b.v, b.v))) AS raw_cos
+      FROM base a JOIN base b ON a.vec_id < b.vec_id)
+WHERE raw_cos >= 0.35
+""",
     "bucketed_topk": f"""
 WITH {_ANN_CTE},
  cb AS (SELECT neighbor_id, v,
@@ -448,10 +481,16 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings")),
         "bucketed_topk": lambda s, d: S.bucketed_topk(
             R.load(s, d, "embeddings")),
+        "cosine_near_dup": lambda s, d: S.cosine_near_dup(
+            R.load(s, d, "embeddings")),
         # extraction engine (rows-only; goldens are the gate)
         "x_extract_pages": x_extract_pages,
         "x_extract_fields": x_extract_fields,
         "x_extract_lineage": x_extract_lineage,
+        # multimodal plumbing (rows-only; codec is a documented stub)
+        "x_media_features": x_media_features,
+        "x_media_frames": x_media_frames,
+        "x_media_resize": x_media_resize,
     }
     return q
 

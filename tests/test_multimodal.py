@@ -1,0 +1,79 @@
+"""Multimodal plumbing: schemas, determinism, batching, 1→N explode."""
+
+import numpy as np
+import pytest
+
+from credit_ocr_system_spark.operators.multimodal import (
+    decode_media,
+    extract_media_features,
+    fake_decode,
+    gen_media_rows,
+    media_df,
+    resize_images,
+    sample_video_frames,
+)
+
+N = 120
+
+
+def test_real_decode_is_a_documented_stub():
+    rows = gen_media_rows(3)
+    with pytest.raises(NotImplementedError):
+        decode_media(rows[0]["payload"], rows[0]["kind"], rows[0]["meta"])
+
+
+def test_generation_is_deterministic_and_mixed():
+    a = gen_media_rows(N)
+    b = gen_media_rows(N)
+    assert a == b
+    kinds = {r["kind"] for r in a}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_fake_decode_shapes():
+    for r in gen_media_rows(30):
+        arr = fake_decode(r["payload"], r["kind"], r["meta"])
+        m = r["meta"]
+        if r["kind"] == "image":
+            assert arr.shape == (m["height"], m["width"], 3)
+            assert arr.dtype == np.uint8
+        elif r["kind"] == "audio":
+            assert arr.ndim == 1 and arr.dtype == np.float32
+            assert float(arr.max()) <= 1.0 and float(arr.min()) >= -1.0
+        else:
+            assert arr.shape == (m["n_frames"], m["height"], m["width"], 3)
+
+
+def test_feature_extraction(spark):
+    media = media_df(spark, N)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == N
+    by_id = {r["media_id"]: r for r in feats}
+    # spot-check against the local fake decode
+    for r in gen_media_rows(N)[:10]:
+        arr = fake_decode(r["payload"], r["kind"], r["meta"])
+        got = by_id[r["media_id"]]
+        assert got["kind"] == r["kind"]
+        assert got["mean_val"] == float(arr.astype(np.float64).mean())
+        assert len(got["feat"]) == 16
+        assert abs(sum(got["feat"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_frame_sampling_counts(spark):
+    media = media_df(spark, N)
+    frames = sample_video_frames(media, every_n=4).collect()
+    expected = 0
+    for r in gen_media_rows(N):
+        if r["kind"] == "video":
+            expected += len(range(0, r["meta"]["n_frames"], 4))
+    assert len(frames) == expected
+    for f in frames[:5]:
+        assert len(f["frame"]) == f["width"] * f["height"] * 3
+
+
+def test_resize_images(spark):
+    media = media_df(spark, N)
+    out = resize_images(media, out_w=8, out_h=8).collect()
+    n_images = sum(1 for r in gen_media_rows(N) if r["kind"] == "image")
+    assert len(out) == n_images
+    assert all(len(r["pixels"]) == 8 * 8 * 3 for r in out)
