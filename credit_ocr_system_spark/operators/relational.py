@@ -230,6 +230,32 @@ def clean_labels(spark, sf_dir) -> DataFrame:
                        cleaned.alias("clean_label"))
 
 
+# P16 family: fenced/commented JSON extraction ----------------------------------
+
+def parse_json_props(spark, sf_dir) -> DataFrame:
+    """The reference's LLM-response JSON parse (strip ``` fences, strip
+    // comments, parse) as column expressions — applied to events.props
+    wrapped in the same dirt the LLM emitted
+    (``src/llm/field_extractor.py:53-87``)."""
+    ev = load(spark, sf_dir, "events")
+    dirty = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.lit("```json\n"), F.col("props"),
+                 F.lit(" // trailing note\n```")),
+    ).otherwise(F.col("props"))
+    # strip the first code fence, then line comments
+    unfenced = F.regexp_replace(
+        dirty, r"(?s)^```[^\n]*\n(.*?)\n?```.*$", "$1")
+    uncommented = F.regexp_replace(unfenced, r"//[^\n]*", "")
+    parsed = F.from_json(uncommented, "k INT")
+    return ev.where(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        dirty.alias("raw_props"),
+        F.trim(uncommented).alias("clean_json"),
+        parsed["k"].alias("k_value"),
+    )
+
+
 # J5 family: star-schema join + rollup -----------------------------------------
 
 def revenue_by_region_year(spark, sf_dir) -> DataFrame:

@@ -309,12 +309,81 @@ def token_counts(documents: DataFrame) -> DataFrame:
 
 # --- fingerprinting ----------------------------------------------------------
 
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007  # keeps h*131+255 < 2^63: identical in any engine
+CHAR_SHINGLE_W = 8
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
-    """Content fingerprint: sha256 over whitespace-normalized lowered
-    text, plus a coarse 64-char-prefix fingerprint for blocking."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return documents.select(
+    """Document fingerprints over whitespace-normalized lowered text:
+
+    * ``fp_sha256`` — exact content fingerprint;
+    * ``fp_prefix64`` — md5 of the 64-char prefix (cheap blocking key);
+    * ``fp_roll`` — Karp-Rabin polynomial rolling hash over the char
+      stream (fold ``h = (h*131 + code) mod 1e9+7`` — overflow-free in
+      64-bit, so every engine computes the identical value);
+    * ``fp_shingle_min`` — winnowing-style minimum md5 over 8-char
+      shingles (robust to local edits, the near-dup blocking key).
+    """
+    norm_expr = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    df = documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
+        norm_expr.alias("norm"))
+    norm = F.col("norm")
+    chars = F.filter(F.split(norm, ""), lambda ch: ch != "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("bigint"))
+    fp_roll = F.aggregate(
+        codes, F.lit(0).cast("bigint"),
+        lambda h, c: (h * ROLL_BASE + c) % ROLL_MOD)
+    n_sh = F.greatest(F.length(norm) - (CHAR_SHINGLE_W - 1), F.lit(0))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(norm.substr(i, F.lit(CHAR_SHINGLE_W))))
+    return df.select(
+        "doc_id",
         F.sha2(norm, 256).alias("fp_sha256"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+        fp_roll.alias("fp_roll"),
+        F.when(n_sh > 0, F.array_min(shingle_hashes))
+         .alias("fp_shingle_min"),
+    )
+
+
+# --- shingle (n-gram) Jaccard ------------------------------------------------
+
+def shingle_jaccard_pairs(documents: DataFrame, threshold: float = 0.10,
+                          max_doc_id: int = 150) -> DataFrame:
+    """Exact word-3-gram-shingle Jaccard pairs (a < b) — the n-gram
+    variant of ``jaccard_pairs``; the verifier MinHash-LSH candidates
+    are checked against."""
+    sh = (
+        documents
+        .where(F.col("doc_id") < max_doc_id)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(F.array_distinct(
+                    _shingles(_tokens(F.col("text"))))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

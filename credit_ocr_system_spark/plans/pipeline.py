@@ -36,6 +36,23 @@ from ..operators.extraction import extract_pages
 from ..operators.fields_native import fields_table, field_config_df
 from ..operators.metrics import partition_lineage
 
+
+def doc_status(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Terminal per-document status rows — the batch collapse of the
+    reference's Postgres state machine (``pending extraction → ocr
+    running → llm running → done``, ``database/schemas/schema.sql:
+    23-25``): intermediate states are unobservable inside one atomic
+    snapshot, so only terminal states are recorded, with the
+    reference-style status-string mapping (P21)."""
+    return extracted.select(
+        "url",
+        F.when(F.col("n_elements") == 0, "failed_empty")
+         .when(F.col("n_pairs") == 0, "done_no_pairs")
+         .otherwise("done").alias("status"),
+        F.col("doc_kind"),
+        F.lit(run_id).alias("run_id"),
+    )
+
 SALT_DEFAULT = 0x5CA1AB1E
 
 
@@ -116,6 +133,7 @@ def run_extraction_job(
     sink_extracted = SnapshotSink(os.path.join(output_root, "extracted"))
     sink_fields = SnapshotSink(os.path.join(output_root, "fields"))
     sink_lineage = SnapshotSink(os.path.join(output_root, "lineage"))
+    sink_status = SnapshotSink(os.path.join(output_root, "doc_status"))
 
     todo = resume_filter(pages, sink_extracted.read_committed(spark))
     if num_partitions is None:
@@ -138,6 +156,7 @@ def run_extraction_job(
         n_fields = fields.count()
         sink_fields.write_snapshot(fields, run_id, {"n_rows": n_fields})
         sink_lineage.write_snapshot(lineage, run_id)
+        sink_status.write_snapshot(doc_status(extracted, run_id), run_id)
         return {"run_id": run_id, "n_docs": n_docs, "n_fields": n_fields,
                 "skipped": False}
     finally:

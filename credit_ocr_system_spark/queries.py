@@ -90,6 +90,13 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media_df(spark, _X_N_MEDIA))
 
 
+def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.annotate import annotation_svg
+    from .operators.extraction import extract_pages
+
+    return annotation_svg(extract_pages(_x_pages(spark)))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the extraction engine applied to driver testdata —
     documents wrapped as HTML pages, through kernel + field join."""
@@ -390,10 +397,58 @@ FROM documents
     "fingerprints": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
  sha256(norm) AS fp_sha256,
- md5(substr(norm, 1, 64)) AS fp_prefix64
+ md5(substr(norm, 1, 64)) AS fp_prefix64,
+ list_reduce(
+   list_prepend(CAST(0 AS BIGINT),
+     list_transform(generate_series(1, length(norm)),
+                    i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))),
+   (h, c) -> (h * 131 + c) % 1000000007) AS fp_roll,
+ CASE WHEN length(norm) >= 8 THEN
+   list_min(list_transform(generate_series(1, length(norm) - 7),
+                           i -> md5(substr(norm, i, 8))))
+ END AS fp_shingle_min
 FROM (SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
       FROM documents)
+""",
+    "shingle_jaccard_pairs": f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+     THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           FOR i IN generate_series(1, len(toks) - 2)]
+     ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id < 150)),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard
+FROM (SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= 0.10
+""",
+    "parse_json_props": """
+SELECT event_id, raw_props, trim(uncommented) AS clean_json,
+ CAST(json_extract(trim(uncommented), '$.k') AS INT) AS k_value
+FROM (
+ SELECT event_id, raw_props,
+  regexp_replace(
+    regexp_replace(raw_props, '(?s)^```[^\\n]*\\n(.*?)\\n?```.*$',
+                   '\\1'),
+    '//[^\\n]*', '', 'g') AS uncommented
+ FROM (
+  SELECT event_id,
+   CASE WHEN event_id % 3 = 0
+    THEN '```json' || chr(10) || props || ' // trailing note'
+         || chr(10) || '```'
+    ELSE props END AS raw_props
+  FROM events WHERE event_id % 5 <> 0))
 """,
     # --- similarity search ---------------------------------------------
     "cosine_topk": f"""
@@ -458,6 +513,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "validate_dates": R.validate_dates,
         "validate_german_numbers": R.validate_german_numbers,
         "clean_labels": R.clean_labels,
+        "parse_json_props": R.parse_json_props,
         "revenue_by_region_year": R.revenue_by_region_year,
         # dedup / text analysis
         "exact_dedup": lambda s, d: T.exact_dedup(R.load(s, d, "documents")),
@@ -476,6 +532,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "fingerprints": lambda s, d: T.fingerprints(
             R.load(s, d, "documents")),
+        "shingle_jaccard_pairs": lambda s, d: T.shingle_jaccard_pairs(
+            R.load(s, d, "documents")),
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -491,6 +549,8 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_media_features": x_media_features,
         "x_media_frames": x_media_frames,
         "x_media_resize": x_media_resize,
+        # annotation overlay sink (rows-only; SVG strings)
+        "x_annotations": x_annotations,
     }
     return q
 
