@@ -246,6 +246,11 @@ Reproduce: ``python3 bench.py --scaling``
 """)
 
 
+def _scaling_cache_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "scaling.json")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--extract-only", action="store_true")
@@ -264,6 +269,8 @@ def main() -> None:
     if args.scaling:
         s = scaling()
         write_scaling_report(s)
+        with open(_scaling_cache_path(), "w", encoding="utf-8") as fh:
+            json.dump(s, fh)
         out["metric"] = "scaling_efficiency"
         out["value"] = s["efficiency"]
         out["unit"] = "ratio"
@@ -282,6 +289,9 @@ def main() -> None:
     out["value"] = total
     out["queries"] = timings
     out["extraction"] = extraction
+    if os.path.exists(_scaling_cache_path()):
+        with open(_scaling_cache_path(), encoding="utf-8") as fh:
+            out["scaling"] = json.load(fh)
     print(json.dumps(out))
 
 

@@ -19,19 +19,37 @@ def make_pyfiles_zip(dest: str | None = None) -> str:
     import credit_ocr_system_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if not os.path.isdir(pkg_dir):
+        # Already running from a zip (spark-submit --py-files): the
+        # shipping artifact exists — return it instead of walking a
+        # zip path (which would write out an empty archive).
+        zip_path = pkg_dir
+        while zip_path and not os.path.isfile(zip_path):
+            zip_path = os.path.dirname(zip_path)
+        if zip_path and zipfile.is_zipfile(zip_path):
+            return zip_path
+        raise RuntimeError(
+            f"cannot locate package sources to zip (from {pkg_dir})")
     if dest is None:
         dest = os.path.join(tempfile.gettempdir(),
                             f"credit_ocr_system_spark-{pkg.__version__}.zip")
-    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for name in sorted(files):
-                if not name.endswith(".py"):
-                    continue
+    # Deterministic bytes (pinned timestamps, sorted entries): Spark
+    # refuses a re-added file whose content changed, so the zip must be
+    # identical whether built here or pre-shipped via --py-files.
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in files:
+            if name.endswith(".py"):
                 full = os.path.join(root, name)
-                rel = os.path.join(
-                    "credit_ocr_system_spark",
-                    os.path.relpath(full, pkg_dir))
-                zf.write(full, rel)
+                rel = os.path.join("credit_ocr_system_spark",
+                                   os.path.relpath(full, pkg_dir))
+                entries.append((rel, full))
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(2024, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as fh:
+                zf.writestr(info, fh.read())
     return dest
 
 
@@ -72,5 +90,10 @@ def build_session(app_name: str = "credit-ocr-system-spark",
     # Ship the engine to Python workers — equivalent to
     # `spark-submit --py-files <zip>`; without it, only drivers whose
     # CWD happens to contain the package can run the kernel stage.
-    spark.sparkContext.addPyFile(make_pyfiles_zip())
+    # Tolerate a pre-shipped copy (spark-submit --py-files) — the zip
+    # bytes are deterministic, but a stale build may still linger.
+    try:
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass
     return spark

@@ -141,6 +141,27 @@ def test_salted_repartition_balances(spark):
     assert max(counts) < 2 * (sum(counts) / len(counts))
 
 
+def test_salted_repartition_defuses_single_domain(spark):
+    """Pathological hotspot: 100% of urls on one domain. Partitioning
+    on the salted full-url hash (not the domain) stays uniform."""
+    from pyspark.sql import functions as F
+
+    one_domain = (
+        spark.range(0, 512)
+        .select(
+            F.concat(F.lit("https://hot.example/p/"),
+                     F.col("id").cast("string")).alias("url"))
+    )
+    counts = [
+        r["count"]
+        for r in repartition_salted(one_domain, 8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 2 * (sum(counts) / len(counts))
+
+
 def test_resume_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "out")
     half = pages_df(spark, 60, partitions=4).limit(30)
