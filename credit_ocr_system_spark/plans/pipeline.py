@@ -113,6 +113,23 @@ class SnapshotSink:
         return snap_dir
 
 
+def preflight(pages: DataFrame) -> DataFrame:
+    """Ingestion-side invariants (reference DMS upload checks,
+    ``src/dms/service.py:30-110``, collapsed to input-table filters per
+    SURVEY §3.3): rows without a url cannot be keyed, committed, or
+    resumed — dropped here (the only silent drop in the engine). Empty
+    payloads are NOT dropped: the kernel handles them and doc_status
+    records them as ``failed_empty`` — filtering would need a second
+    pass over the input to account for them. A sha256 fingerprint
+    column is attached for integrity audit (the reference's readback
+    check, ``service.py:83-89``)."""
+    return (
+        pages
+        .where(F.col("url").isNotNull())
+        .withColumn("payload_sha256", F.sha2(F.col("html"), 256))
+    )
+
+
 def resume_filter(pages: DataFrame, committed: DataFrame | None,
                   ) -> DataFrame:
     """Drop already-committed urls (idempotent restart, SURVEY.md §4)."""
@@ -135,7 +152,8 @@ def run_extraction_job(
     sink_lineage = SnapshotSink(os.path.join(output_root, "lineage"))
     sink_status = SnapshotSink(os.path.join(output_root, "doc_status"))
 
-    todo = resume_filter(pages, sink_extracted.read_committed(spark))
+    todo = resume_filter(preflight(pages),
+                         sink_extracted.read_committed(spark))
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     todo = repartition_salted(todo, num_partitions, salt)
