@@ -230,6 +230,42 @@ def clean_labels(spark, sf_dir) -> DataFrame:
                        cleaned.alias("clean_label"))
 
 
+# Sessionization: gap-based event sessions (window-function family) ------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes. Classic lag + conditional
+    cumulative-sum pattern — one shuffle on user_id, both window
+    functions share the same partitioning. Emits per-session summaries.
+    """
+    ev = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; cast via timestamp
+    # (session tz pinned to UTC) to get epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_s = epoch - F.lag(epoch).over(order)
+    new_session = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    with_idx = (
+        ev.withColumn("new_s", new_session)
+        .withColumn("session_idx",
+                    F.sum("new_s").over(
+                        order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        with_idx.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("t_start"),
+             F.max("ts").alias("t_end"),
+             _dsum(F.col("value")).alias("sum_value"))
+        .select("user_id", F.col("session_idx").cast("int"),
+                "n_events", "t_start", "t_end", "sum_value")
+    )
+
+
 # P16 family: fenced/commented JSON extraction ----------------------------------
 
 def parse_json_props(spark, sf_dir) -> DataFrame:

@@ -182,6 +182,65 @@ def minhash_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_clusters(documents: DataFrame,
+                   max_iterations: int = 15) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash
+    candidate graph; cluster id = min doc_id of the component.
+
+    Iterative Hash-to-Min-style label propagation with pointer
+    jumping: each round a doc's label becomes the min of (its label,
+    its neighbors' labels, its label's label). The pointer-jump term
+    gives O(log n) convergence instead of O(diameter) — the property
+    that matters when a hot template chains millions of near-dup pages
+    at 10^12 scale. Lineage is cut per round (localCheckpoint) so the
+    plan doesn't grow with iterations.
+    """
+    edges = minhash_candidates(documents)
+    und = (
+        edges.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("doc_id").cast("bigint").alias("root"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("root").alias("nbr_root"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        jump = labels.select(F.col("doc_id").alias("jump_key"),
+                             F.col("root").alias("jump_root"))
+        new_labels = (
+            labels
+            .join(nbr, "doc_id", "left")
+            .join(jump, labels.root == jump.jump_key, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("root"),
+                    F.coalesce("nbr_root", F.col("root")),
+                    F.coalesce("jump_root", F.col("root")),
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.root") != F.col("o.root"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select("doc_id", F.col("root").alias("cluster_root"))
+
+
 # --- SimHash -------------------------------------------------------------
 
 SIMHASH_BITS = 16

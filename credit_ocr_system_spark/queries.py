@@ -345,6 +345,46 @@ FROM live a JOIN live b
   ON a.band = b.band AND a.minhash = b.minhash
  AND a.doc_id < b.doc_id
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE {_MINHASH_CTE},
+ live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL),
+ edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM live a JOIN live b
+    ON a.band = b.band AND a.minhash = b.minhash
+   AND a.doc_id < b.doc_id),
+ und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         UNION SELECT doc_b, doc_a FROM edges),
+ reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+ roots AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_root
+  FROM reach GROUP BY a)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+ CAST(COALESCE(r.cluster_root, d.doc_id) AS BIGINT) AS cluster_root
+FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+""",
+    "sessionize_events": """
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+ COUNT(*) AS n_events,
+ MIN(ts) AS t_start, MAX(ts) AS t_end,
+ CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (
+ SELECT user_id, ts, value,
+  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+ FROM (
+  SELECT user_id, event_id, ts, value,
+   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           IS NULL
+        THEN 1 ELSE 0 END AS new_s
+  FROM events))
+GROUP BY user_id, session_idx
+""",
     "simhash": _simhash_oracle(),
     "language_id": f"""
 SELECT doc_id, en_hits, de_hits,
@@ -523,6 +563,9 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "minhash_candidates": lambda s, d: T.minhash_candidates(
             R.load(s, d, "documents")),
+        "dedup_clusters": lambda s, d: T.dedup_clusters(
+            R.load(s, d, "documents")),
+        "sessionize_events": R.sessionize_events,
         "simhash": lambda s, d: T.simhash(R.load(s, d, "documents")),
         "language_id": lambda s, d: T.language_id(
             R.load(s, d, "documents")),

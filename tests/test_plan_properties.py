@@ -1,0 +1,81 @@
+"""Physical-plan regression guards: the plans we tuned must stay tuned.
+
+`.explain`-level properties the engine relies on at scale — column
+pruning to (url, html) at the scan, filter pushdown, broadcast-only
+joins in the field tail, a single kernel pass, pre-shuffle top-1
+pruning, and map-side partial aggregation — locked in as tests so a
+refactor that silently regresses the plan fails CI, not the 100TB run.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from credit_ocr_system_spark.operators.extraction import extract_pages
+from credit_ocr_system_spark.operators.fields_native import (
+    field_config_df,
+    fields_table,
+)
+from credit_ocr_system_spark.operators import relational as R
+from credit_ocr_system_spark.sources.pages import pages_df
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_df(spark, 50, partitions=2).write.parquet(path)
+    return path
+
+
+def test_extraction_prunes_to_url_and_html(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(extract_pages(pages))
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    assert plan.count("MapInArrow") == 2  # one node: tree + detail
+
+
+def test_scan_filter_pushdown(spark, pages_path):
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(pages_path).where(F.col("lang") == "en")
+    plan = plan_of(extract_pages(pages))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_fields_plan_single_kernel_pass_and_broadcast(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(fields_table(extract_pages(pages),
+                                field_config_df(spark)))
+    assert plan.count("MapInArrow") == 2  # exactly one kernel node
+    assert "BroadcastNestedLoopJoin" in plan      # 21-row config side
+    assert "SortMergeJoin" not in plan            # never a shuffle join
+    assert "WindowGroupLimit" in plan             # pre-shuffle top-1
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    plan = plan_of(R.revenue_by_region_year(spark, sf_dir))
+    # three joins (cust, nation, region), each listed in tree + detail
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(R.pricing_summary(spark, sf_dir))
+    # map-side partial aggregation before a hash exchange (node counts
+    # vary with AQE/exchange reuse, so assert the structure, not counts)
+    assert "HashAggregate" in plan
+    assert "hashpartitioning" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(R.latest_event_per_user(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
