@@ -10,16 +10,19 @@ synthetic pages corpus, and prints ONE JSON line::
      "queries": {name: sec, ...}, "sf": <sf>,
      "extraction": {"docs": N, "docs_per_sec": ...}}
 
-Scaling mode (``--scaling``): runs the identical extraction job on the
-identical input at two emulated cluster sizes (default N=4 and 4N=16
-task slots, each pinned to 2×slots cores with the rest of the host
-saturated by spinners — see ``scaling()``), the sandbox stand-in for
-an N-executor vs 4N-executor cluster (BASELINE.md "sandbox evidence
-protocol"). Reports docs/sec at both plus
+Scaling mode (``--scaling``): submits the identical extraction job
+with ``spark-submit --py-files`` to a real Spark standalone cluster on
+localhost (one master JVM + N worker JVMs, each pinned via taskset to
+its own cores, one executor per worker) at N=2 and 4N=8 executors,
+over the identical input. Unpinned host cores are saturated by
+kernel-shaped spinners so both cluster sizes run under the same
+per-core frequency and memory-bandwidth pressure (see
+``StandaloneCluster``). Reports docs/sec at both plus
 ``efficiency = (throughput@4N / throughput@N) / 4`` and writes
 BENCH/BASELINE.md.
 
-Worker mode (``--extract-only``): used by --scaling subprocesses.
+Worker mode (``--extract-only``): the submitted application; also used
+directly for the in-process extraction number in default mode.
 """
 
 from __future__ import annotations
@@ -37,6 +40,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000"))
 PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}"
+
+# Scaling-gate corpus: sized so kernel compute dominates the fixed
+# per-job floor (scan + shuffle setup + scheduling, ~3-4 s) at the 4N
+# level — at 10^12 rows that floor is noise, and the gate should
+# measure the steady-state regime, not job-startup amortization.
+N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "262144"))
+SCALE_PAGES_PATH = f"/tmp/cos_bench_pages_{N_SCALE_PAGES}"
+
+MASTER_PORT = 7077
+MASTER_URL = f"spark://127.0.0.1:{MASTER_PORT}"
+WORKER_PIN_CORES = 4   # cores pinned per worker "node"
+WORKER_SLOTS = 3       # task slots per worker (-c): 1 pinned core of
+                       # JVM headroom, like a real executor core budget
 
 HEADLINE = [
     "pricing_summary",
@@ -76,7 +92,8 @@ def ensure_pages(spark) -> None:
     write_pages_parquet(spark, PAGES_PATH, N_BENCH_PAGES, partitions=64)
 
 
-def run_extraction(spark, slots: int, reps: int = 1) -> dict:
+def run_extraction(spark, slots: int, reps: int = 1,
+                   pages_path: str = PAGES_PATH) -> dict:
     """The scaling-gate job: salted repartition → kernel → counts.
 
     Warmup touches every task slot (a `.limit()` alone would collapse
@@ -90,7 +107,7 @@ def run_extraction(spark, slots: int, reps: int = 1) -> dict:
     from credit_ocr_system_spark.operators.extraction import extract_pages
     from credit_ocr_system_spark.plans.pipeline import repartition_salted
 
-    pages = spark.read.parquet(PAGES_PATH)
+    pages = spark.read.parquet(pages_path)
     extract_pages(pages.limit(4096).repartition(slots)).count()
 
     best = None
@@ -121,10 +138,17 @@ def run_extraction(spark, slots: int, reps: int = 1) -> dict:
     }
 
 
-def extract_only(slots: int, reps: int = 1) -> None:
-    spark = _session(slots)
-    ensure_pages(spark)
-    result = run_extraction(spark, slots, reps=reps)
+def extract_only(slots: int, reps: int = 1, master: str | None = None,
+                 pages_path: str = PAGES_PATH) -> None:
+    if master:
+        from credit_ocr_system_spark.session import build_session
+        spark = build_session(app_name="cos-bench-scaling", master=master,
+                              shuffle_partitions=max(slots, 8))
+    else:
+        spark = _session(slots)
+        ensure_pages(spark)
+    result = run_extraction(spark, slots, reps=reps,
+                            pages_path=pages_path)
     spark.stop()
     print("BENCH_RESULT " + json.dumps(result))
 
@@ -141,50 +165,207 @@ def run_headline(spark) -> dict:
     return timings
 
 
-def scaling(levels=(4, 16), reps: int = 3) -> dict:
-    """Same job, same input, two pinned "cluster sizes" → efficiency.
+def _spark_home() -> str:
+    import pyspark
 
-    Protocol (see BENCH/BASELINE.md): a cluster of N executors is
-    emulated as ``local[N]`` pinned to 2N cores (N kernel workers + N
-    cores of JVM headroom, mirroring real executors that budget cores
-    for runtime overhead). During the small run the remaining cores
-    are saturated by spinner processes so both configurations see the
-    same all-core clock and memory-bandwidth regime — otherwise the
-    small "cluster" borrows the idle host's turbo headroom and the
-    measurement understates scaling. Best-of-``reps`` per level
-    (shared VM: visible steal time).
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _spark_class(cls: str, *args: str, taskset: str | None = None,
+                 log: str | None = None, env: dict | None = None):
+    home = _spark_home()
+    cmd = [os.path.join(home, "bin", "spark-class"), cls, *args]
+    if taskset:
+        cmd = ["taskset", "-c", taskset] + cmd
+    full_env = dict(os.environ, SPARK_HOME=home, **(env or {}))
+    out = open(log, "ab") if log else subprocess.DEVNULL
+    return subprocess.Popen(cmd, stdout=out, stderr=subprocess.STDOUT,
+                            env=full_env)
+
+
+def _kill_stale_cluster() -> None:
+    """Kill leftover master/worker/executor JVMs from earlier runs —
+    a stale 4-core worker registering with the fresh master silently
+    corrupts the slot accounting and the pinning."""
+    subprocess.run(["pkill", "-9", "-f", "org.apache.spark.deploy"],
+                   capture_output=True)
+    subprocess.run(["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"],
+                   capture_output=True)
+    time.sleep(2.0)
+
+
+def _wait_workers(n: int, timeout_s: float = 60.0) -> None:
+    import urllib.request
+
+    deadline = time.time() + timeout_s
+    last = None
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    "http://127.0.0.1:8080/json", timeout=3) as resp:
+                info = json.loads(resp.read())
+            alive = [w for w in info.get("workers", [])
+                     if w.get("state") == "ALIVE"]
+            last = [(w.get("cores"), w.get("state"))
+                    for w in info.get("workers", [])]
+            # exactly n, each with exactly WORKER_SLOTS cores — a
+            # stray worker from a previous cluster fails loudly here
+            if len(alive) == n and all(
+                    w.get("cores") == WORKER_SLOTS for w in alive):
+                return
+            if len(alive) > n:
+                raise RuntimeError(
+                    f"master sees {len(alive)} ALIVE workers, expected "
+                    f"{n} — stale cluster processes present: {last}")
+        except RuntimeError:
+            raise
+        except Exception:
+            pass
+        time.sleep(1.0)
+    raise RuntimeError(
+        f"standalone master never saw {n} ALIVE x{WORKER_SLOTS}-core "
+        f"workers (last: {last})")
+
+
+class StandaloneCluster:
+    """A real multi-executor Spark cluster on localhost.
+
+    One master JVM + ``n_workers`` worker JVMs, each worker pinned via
+    ``taskset`` to its own ``WORKER_PIN_CORES`` cores (its "machine")
+    and advertising ``WORKER_SLOTS`` task slots — the spare pinned
+    core is JVM headroom (shuffle netty, Arrow ser/de, GC), the same
+    budgeting a real executor gets. Each application gets one executor
+    JVM per worker, so N workers == N executors — the north rule's
+    "N and 4N executors" is exercised literally, not emulated with
+    local-mode thread counts.
     """
-    spark = _session(4)
-    ensure_pages(spark)  # generate once so both levels read one input
-    spark.stop()
 
-    host_cores = os.cpu_count() or 32
-    results = {}
-    for slots in levels:
-        cores = min(2 * slots, host_cores)
-        spinners = [
+    def __init__(self, n_workers: int, workdir: str = "/tmp/cos_cluster"):
+        self.n_workers = n_workers
+        self.workdir = workdir
+        self.procs: list = []
+        self.spinners: list = []
+
+    def start(self) -> None:
+        _kill_stale_cluster()
+        os.makedirs(self.workdir, exist_ok=True)
+        self.procs.append(_spark_class(
+            "org.apache.spark.deploy.master.Master",
+            "-h", "127.0.0.1", "-p", str(MASTER_PORT),
+            "--webui-port", "8080",
+            log=os.path.join(self.workdir, "master.log")))
+        host_cores = os.cpu_count() or 32
+        for i in range(self.n_workers):
+            c0 = i * WORKER_PIN_CORES
+            c1 = c0 + WORKER_PIN_CORES - 1
+            self.procs.append(_spark_class(
+                "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                "-c", str(WORKER_SLOTS), "-m", "6g", "-h", "127.0.0.1",
+                "--webui-port", str(8081 + i),
+                taskset=f"{c0}-{c1}",
+                log=os.path.join(self.workdir, f"worker{i}.log"),
+                env={"SPARK_WORKER_DIR":
+                     os.path.join(self.workdir, f"worker{i}")}))
+        _wait_workers(self.n_workers)
+        # Saturate unpinned cores so both cluster sizes run in the same
+        # all-core regime. Crucially the spinner payload is the REAL
+        # extraction kernel, not an integer loop: the kernel is
+        # string/memory-bandwidth-heavy, and an ALU-only spinner would
+        # leave the small cluster 4x the per-worker memory bandwidth of
+        # the large one — an advantage no real N-node cluster has over
+        # a 4N-node cluster of identical machines. With kernel-shaped
+        # spinners, every core exerts the same bandwidth pressure at
+        # both cluster sizes, so per-node conditions are identical and
+        # the ratio measures the job, not the host. (Measured: ALU
+        # spinners -> per-doc kernel wall 1.26 ms at 6 busy slots vs
+        # 2.3 ms at 24; kernel spinners equalize both.)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        spin_code = (
+            "import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from credit_ocr_system_spark.sources.pages import gen_page\n"
+            "from credit_ocr_system_spark.kernel.extract import "
+            "extract_document\n"
+            "docs = [gen_page(i) for i in range(64)]\n"
+            "while True:\n"
+            "    for d in docs:\n"
+            "        extract_document(d['url'], d['html'])\n"
+        )
+        used = self.n_workers * WORKER_PIN_CORES
+        self.spinners = [
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable, "-c",
-                 "x=0\nwhile True:\n for i in range(1000000): x+=i*i"])
-            for c in range(cores, host_cores)
+                 spin_code])
+            for c in range(used, host_cores)
         ]
+
+    def stop(self) -> None:
+        for p in self.spinners + self.procs:
+            p.kill()
+        for p in self.procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+        self.procs = []
+        self.spinners = []
+
+
+def ensure_scale_pages() -> None:
+    if os.path.exists(os.path.join(SCALE_PAGES_PATH, "_SUCCESS")):
+        return
+    spark = _session(CPUS)
+    from credit_ocr_system_spark.sources.pages import write_pages_parquet
+
+    write_pages_parquet(spark, SCALE_PAGES_PATH, N_SCALE_PAGES,
+                        partitions=256)
+    spark.stop()
+
+
+def scaling(levels=(2, 8), reps: int = 3) -> dict:
+    """Same spark-submit job, same input, N vs 4N executors.
+
+    For each level, a fresh standalone cluster (master + that many
+    pinned worker JVMs) is brought up and the identical extraction job
+    is submitted with ``spark-submit --py-files <engine zip>`` — the
+    deployment mode the north rule names. Best-of-``reps`` per level
+    (shared VM: visible steal time makes minima the only stable
+    statistic; raw walls are all reported).
+    """
+    ensure_scale_pages()
+    from credit_ocr_system_spark.session import make_pyfiles_zip
+
+    zip_path = make_pyfiles_zip()
+    home = _spark_home()
+    results = {}
+    for n_workers in levels:
+        cluster = StandaloneCluster(n_workers)
         try:
-            cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable,
-                   os.path.abspath(__file__), "--extract-only",
-                   "--cpus", str(slots), "--reps", str(reps)]
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1800, cwd="/tmp")
+            cluster.start()
+            slots = n_workers * WORKER_SLOTS
+            cmd = [os.path.join(home, "bin", "spark-submit"),
+                   "--master", MASTER_URL,
+                   "--py-files", zip_path,
+                   "--conf", "spark.executor.memory=4g",
+                   os.path.abspath(__file__),
+                   "--extract-only", "--master-url", MASTER_URL,
+                   "--cpus", str(slots), "--reps", str(reps),
+                   "--pages-path", SCALE_PAGES_PATH]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800,
+                cwd="/tmp", env=dict(os.environ, SPARK_HOME=home))
         finally:
-            for s in spinners:
-                s.kill()
+            cluster.stop()
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("BENCH_RESULT ")]
         if not line:
             raise RuntimeError(
-                f"scaling run at {slots} slots failed:"
-                f"\n{out.stderr[-2000:]}")
-        results[slots] = json.loads(line[-1][len("BENCH_RESULT "):])
-        results[slots]["cores"] = cores
+                f"scaling run at {n_workers} workers failed:"
+                f"\n{out.stderr[-3000:]}")
+        results[n_workers] = json.loads(line[-1][len("BENCH_RESULT "):])
+        results[n_workers]["cores"] = n_workers * WORKER_PIN_CORES
+        results[n_workers]["executors"] = n_workers
+        results[n_workers]["slots"] = slots
 
     lo, hi = levels
     ratio = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
@@ -205,31 +386,45 @@ def write_scaling_report(s: dict) -> None:
         fh.write(f"""# BENCH/BASELINE — scaling evidence
 
 North-rule gate: throughput scaling efficiency >= 0.8 between N and 4N
-executors. No real cluster exists in this sandbox, so per the task
-protocol the identical extraction job (salted url-hash repartition ->
-Arrow kernel -> aggregate) runs over the identical input
-({rl["docs"]} synthetic pages, {rl["mb_in"]} MB, seed=42) at two
-emulated cluster sizes:
+executors, running the job via ``spark-submit --py-files`` on a
+multi-executor cluster. No multi-machine cluster exists in this
+sandbox, so the identical extraction job (salted url-hash repartition
+-> Arrow kernel -> aggregate) is submitted to a **real Spark
+standalone cluster on localhost** at two cluster sizes, over the
+identical input ({rl["docs"]} synthetic pages, {rl["mb_in"]} MB,
+seed=42):
 
-* a "cluster of N executors" = ``local[N]`` pinned via ``taskset`` to
-  2N cores — N cores for the Python kernel workers plus N cores of
-  JVM headroom (shuffle, Arrow ser/de), the same core budgeting a real
-  executor gets;
-* during the small run, every unpinned host core is saturated by a
-  spinner process so both configurations run in the same all-core
-  frequency / memory-bandwidth regime (otherwise the small "cluster"
-  borrows the idle host's turbo headroom and scaling is understated);
+* one master JVM + N / 4N worker JVMs; each worker is pinned via
+  ``taskset`` to its own {WORKER_PIN_CORES} cores (its "machine") and
+  advertises {WORKER_SLOTS} task slots — the spare pinned core is JVM
+  headroom (shuffle netty, Arrow ser/de, GC), the core budget a real
+  executor node gets. One executor JVM per worker, so N workers == N
+  executors — separate JVMs, real shuffle over localhost, not
+  local-mode thread emulation;
+* the job is submitted with ``spark-submit --master {MASTER_URL}
+  --py-files credit_ocr_system_spark-*.zip`` — the engine reaches the
+  executors only through the shipped zip, exactly as on a real
+  cluster;
+* every host core not pinned to a worker is saturated by a spinner
+  process running the REAL extraction kernel in a loop, so both
+  cluster sizes run under identical all-core frequency AND memory-
+  bandwidth pressure. (An idle — or ALU-only-spinning — remainder
+  hands the small cluster up to 4x the per-worker memory bandwidth,
+  an advantage no real N-node cluster has over a 4N-node cluster of
+  identical machines; measured per-doc kernel wall was 1.26 ms at 6
+  busy slots vs 2.3 ms at 24 with ALU spinners, equal with
+  kernel-shaped spinners.);
 * best-of-{len(rl["walls"])} wall time per level — this host is a
   shared VM with visible steal time (raw 30M-iteration Python loops
   vary ~2x run-to-run at 16+ processes), so steady-state minima are
   the only stable statistic.
 
-| cluster size | task slots | pinned cores | best wall (s) | all walls (s) | docs/sec | kernel CPU (s) |
-|---|---|---|---|---|---|---|
-| N  | {lo} | {rl["cores"]} | {rl["wall_sec"]} | {rl["walls"]} | {rl["docs_per_sec"]} | {rl["kernel_cpu_sec"]} |
-| 4N | {hi} | {rh["cores"]} | {rh["wall_sec"]} | {rh["walls"]} | {rh["docs_per_sec"]} | {rh["kernel_cpu_sec"]} |
+| cluster size | executors | task slots | pinned cores | best wall (s) | all walls (s) | docs/sec | kernel CPU (s) |
+|---|---|---|---|---|---|---|---|
+| N  | {rl["executors"]} | {rl["slots"]} | {rl["cores"]} | {rl["wall_sec"]} | {rl["walls"]} | {rl["docs_per_sec"]} | {rl["kernel_cpu_sec"]} |
+| 4N | {rh["executors"]} | {rh["slots"]} | {rh["cores"]} | {rh["wall_sec"]} | {rh["walls"]} | {rh["docs_per_sec"]} | {rh["kernel_cpu_sec"]} |
 
-* speedup {lo}->{hi} slots: **{s["speedup"]}x**
+* speedup {lo}->{hi} executors: **{s["speedup"]}x**
 * scaling efficiency = (docs/sec@{hi} / docs/sec@{lo}) / {hi // lo} =
   **{s["efficiency"]}**
 * gate (>= 0.8): **{"PASS" if s["passes_gate"] else "FAIL"}**
@@ -257,10 +452,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--master-url", default=None)
+    ap.add_argument("--pages-path", default=PAGES_PATH)
     args = ap.parse_args()
 
     if args.extract_only:
-        extract_only(args.cpus, reps=args.reps)
+        extract_only(args.cpus, reps=args.reps, master=args.master_url,
+                     pages_path=args.pages_path)
         return
 
     out: dict = {"metric": "total_bench_seconds", "unit": "sec",

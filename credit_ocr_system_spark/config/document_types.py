@@ -22,6 +22,7 @@ At scale this table is 21 rows: always the broadcast side of a join.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import cached_property
 
 
 @dataclass(frozen=True)
@@ -37,9 +38,14 @@ class FieldSpec:
     pattern: str | None = None     # re.match-anchored validation regex
     extra_candidates: tuple[str, ...] = ()
 
-    @property
+    @cached_property
     def candidates(self) -> tuple[str, ...]:
-        """Lowercased substrings that identify this field's label."""
+        """Lowercased substrings that identify this field's label.
+
+        ``cached_property`` (stores into ``__dict__``, compatible with
+        frozen dataclasses): the kernel reads this once per field per
+        document — recomputing it was ~4% of kernel CPU.
+        """
         base = [self.name.lower(), self.name.replace("_", " ").lower(),
                 self.label.lower()]
         base.extend(c.lower() for c in self.extra_candidates)

@@ -125,31 +125,45 @@ def match_fields(
     """
     extracted: Dict[str, Dict[str, Any]] = {}
     missing: List[str] = []
+    # Each spec rescans the same pairs/elements (first-match semantics);
+    # lowercase each text once, not once per spec.
+    pair_labels_lc = [p["label"].lower() for p in pairs]
+    element_texts_lc: Optional[List[str]] = None
     for spec in specs:
         candidates = spec.candidates
         hit = None
-        for p in pairs:
-            label_lc = p["label"].lower()
-            if any(c in label_lc for c in candidates):
-                hit = {
-                    "value": p["value"],
-                    "confidence": p.get("confidence", 0.5),
-                    "bounding_box": p.get("bounding_box"),
-                    "page": p.get("page"),
-                    "source": "pair",
-                }
+        # plain nested loops, not any(genexpr): this is the kernel's
+        # hottest scan and generator frames cost ~2x per probe
+        for idx, label_lc in enumerate(pair_labels_lc):
+            for c in candidates:
+                if c in label_lc:
+                    p = pairs[idx]
+                    hit = {
+                        "value": p["value"],
+                        "confidence": p.get("confidence", 0.5),
+                        "bounding_box": p.get("bounding_box"),
+                        "page": p.get("page"),
+                        "source": "pair",
+                    }
+                    break
+            if hit is not None:
                 break
         if hit is None:
-            for el in elements:
-                text_lc = el["text"].lower()
-                if any(c in text_lc for c in candidates):
-                    hit = {
-                        "value": el["text"],
-                        "confidence": el.get("confidence", 0.5),
-                        "bounding_box": el.get("bbox"),
-                        "page": el.get("page_num"),
-                        "source": "line",
-                    }
+            if element_texts_lc is None:
+                element_texts_lc = [el["text"].lower() for el in elements]
+            for eidx, text_lc in enumerate(element_texts_lc):
+                for c in candidates:
+                    if c in text_lc:
+                        el = elements[eidx]
+                        hit = {
+                            "value": el["text"],
+                            "confidence": el.get("confidence", 0.5),
+                            "bounding_box": el.get("bbox"),
+                            "page": el.get("page_num"),
+                            "source": "line",
+                        }
+                        break
+                if hit is not None:
                     break
         if hit is None:
             missing.append(spec.name)

@@ -22,7 +22,10 @@ Determinism is total: same bytes in, same blocks/segments/geometry out.
 
 from __future__ import annotations
 
+import os
 import re
+from html import parser as _hp
+from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Dict, List
 
@@ -117,11 +120,17 @@ class _BlockCollector(HTMLParser):
             if tag not in ("br", "img", "hr", "input", "meta", "link"):
                 self._strip_depth += 1
             return
-        attr_blob = " ".join(
-            v for k, v in attrs if k in ("class", "id", "role") and v)
-        if tag in STRIP_TAGS or _NEGATIVE_RE.search(attr_blob):
+        if tag in STRIP_TAGS:
             self._strip_depth = 1
             return
+        if attrs:
+            # per-value search ≡ searching the space-joined blob: no
+            # negative token contains a space, so none spans a joint
+            for k, v in attrs:
+                if v and k in ("class", "id", "role") \
+                        and _NEGATIVE_RE.search(v):
+                    self._strip_depth = 1
+                    return
         if tag in BLOCK_TAGS:
             self._flush_block()
             self._block_tag = tag
@@ -155,6 +164,157 @@ class _BlockCollector(HTMLParser):
         self._flush_block()
 
 
+class _FastBail(Exception):
+    """Raised when input leaves the well-formed subset the fast
+    tokenizer guarantees fidelity for; caller reparses with stdlib."""
+
+
+# Reuse stdlib's own tolerant regexes so tag/attribute tokenization is
+# bit-for-bit the same; if a future CPython renames them, the fast path
+# simply disables itself.
+_locatestart = getattr(_hp, "locatestarttagend_tolerant", None)
+_tagfind = getattr(_hp, "tagfind_tolerant", None)
+_attrfind = getattr(_hp, "attrfind_tolerant", None)
+_endtagfind = getattr(_hp, "endtagfind", None)
+_HAVE_FAST = all(
+    r is not None for r in (_locatestart, _tagfind, _attrfind, _endtagfind))
+_FORCE_STDLIB = os.environ.get("COS_SPARK_HTML_PARSER", "") == "stdlib"
+_CDATA_ELEMS = frozenset(HTMLParser.CDATA_CONTENT_ELEMENTS)
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in _CDATA_ELEMS}
+
+
+def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
+    """Single-pass tokenizer emitting the same handler-event sequence
+    (same calls, same arguments, same data chunking) as stdlib
+    ``HTMLParser(convert_charrefs=True).feed(rawdata); close()`` for
+    well-formed input — minus the per-character position bookkeeping
+    and incremental-buffer logic, which is what makes stdlib slow.
+    Verified equivalent by ``tests/test_html_fast_parser.py``.
+    """
+    i, n = 0, len(rawdata)
+    cdata_elem = None
+    while i < n:
+        if cdata_elem is not None:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            j = m.start() if m is not None else n
+            if i < j:
+                h.handle_data(rawdata[i:j])  # raw: no charref conversion
+            i = j
+            if m is None:
+                break
+            em = _endtagfind.match(rawdata, i)
+            if em is None:
+                gt = rawdata.find(">", i)
+                if gt < 0:
+                    raise _FastBail
+                h.handle_data(rawdata[i:gt + 1])
+                i = gt + 1
+                continue
+            name = em.group(1).lower()
+            if name != cdata_elem:
+                h.handle_data(rawdata[i:em.end()])
+                i = em.end()
+                continue
+            cdata_elem = None
+            h.handle_endtag(name)
+            i = em.end()
+            continue
+        lt = rawdata.find("<", i)
+        if lt < 0:
+            h.handle_data(unescape(rawdata[i:]))
+            break
+        if i < lt:
+            h.handle_data(unescape(rawdata[i:lt]))
+        i = lt
+        c = rawdata[i + 1:i + 2]
+        if c.isalpha():
+            m = _locatestart.match(rawdata, i)
+            if m is None:
+                raise _FastBail
+            j = m.end()
+            if rawdata.startswith(">", j):
+                endpos = j + 1
+            elif rawdata.startswith("/>", j):
+                endpos = j + 2
+            else:
+                raise _FastBail  # malformed start tag
+            tm = _tagfind.match(rawdata, i + 1)
+            if tm is None:
+                raise _FastBail
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if am is None:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                        attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end == ">":
+                h.handle_starttag(tag, attrs)
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+            elif end == "/>":
+                h.handle_starttag(tag, attrs)  # handle_startendtag default
+                h.handle_endtag(tag)
+            else:
+                raise _FastBail
+            i = endpos
+        elif c == "/":
+            em = _endtagfind.match(rawdata, i)
+            if em is None:
+                raise _FastBail  # tolerant/bogus end-tag branch
+            h.handle_endtag(em.group(1).lower())
+            i = em.end()
+        elif rawdata.startswith("<!--", i):
+            close = rawdata.find("-->", i + 4)
+            if close < 0:
+                raise _FastBail
+            i = close + 3  # handle_comment: no-op for the collector
+        elif c == "?":
+            gt = rawdata.find(">", i + 2)
+            if gt < 0:
+                raise _FastBail
+            i = gt + 1  # handle_pi: no-op
+        elif c == "!":
+            if rawdata.startswith("<![", i):
+                raise _FastBail  # marked sections
+            gt = rawdata.find(">", i + 2)
+            if gt < 0:
+                raise _FastBail
+            i = gt + 1  # doctype / bogus comment: no-op
+        else:
+            # stray '<' (incl. trailing at EOF): emitted as its own
+            # data chunk, exactly like stdlib goahead
+            h.handle_data("<")
+            i += 1
+    h._flush_block()
+
+
+def _collect_blocks(text: str) -> List[Dict[str, Any]]:
+    if _HAVE_FAST and not _FORCE_STDLIB:
+        parser = _BlockCollector()
+        try:
+            _fast_feed(parser, text)
+            return parser.blocks
+        except _FastBail:
+            pass  # fall through: reparse from scratch with stdlib
+    parser = _BlockCollector()
+    parser.feed(text)
+    parser.close()
+    return parser.blocks
+
+
 def _is_content(block: Dict[str, Any]) -> bool:
     if block["chars"] == 0:
         return False
@@ -184,10 +344,8 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
     8px/char with a single-space gap, so the downstream row/merge/pair
     kernel sees HTML and PDF documents through one interface.
     """
-    parser = _BlockCollector()
-    parser.feed(payload.decode("utf-8", errors="replace"))
-    parser.close()
-    kept = [b for b in parser.blocks if _is_content(b)]
+    blocks = _collect_blocks(payload.decode("utf-8", errors="replace"))
+    kept = [b for b in blocks if _is_content(b)]
 
     elements: List[Dict[str, Any]] = []
     spans: List[Dict[str, int]] = []

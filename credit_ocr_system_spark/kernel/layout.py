@@ -32,11 +32,13 @@ MERGE_MAX_GAP = 20.0          # max horizontal gap between fragments
 MERGE_MIN_LEN = 3             # both fragments at least this long
 MERGE_MAX_DY = 5.0            # max |y1| difference between fragments
 VALUE_CHARS = "€$£¥0123456789"
+_VALUE_CHAR_SET = frozenset(VALUE_CHARS)
 LABEL_MAX_LEN = 30            # short left text ⇒ likely a label
 
 
 def _has_value_chars(text: str) -> bool:
-    return any(ch in text for ch in VALUE_CHARS)
+    # identical to any(ch in text for ch in VALUE_CHARS), C-speed
+    return not _VALUE_CHAR_SET.isdisjoint(text)
 
 
 def _y_center(el: Element) -> float:
@@ -69,23 +71,30 @@ def cluster_rows(elements: List[Element],
     Output row order = seed order; membership depends on seed identity,
     so this is deliberately sequential per document.
     """
+    n = len(elements)
+    cys = [0.0] * n
+    hs = [0.0] * n
+    for i, el in enumerate(elements):
+        box = el["bbox"]
+        y1, y2 = box["y1"], box["y2"]
+        cys[i] = (y1 + y2) / 2
+        hs[i] = y2 - y1
     rows: List[List[Element]] = []
-    alive = [True] * len(elements)
-    for seed_idx, seed in enumerate(elements):
+    alive = [True] * n
+    for seed_idx in range(n):
         if not alive[seed_idx]:
             continue
         alive[seed_idx] = False
-        row = [seed]
-        seed_cy = _y_center(seed)
-        seed_h = _height(seed)
-        for j in range(seed_idx + 1, len(elements)):
+        row = [elements[seed_idx]]
+        seed_cy = cys[seed_idx]
+        seed_h = hs[seed_idx]
+        for j in range(seed_idx + 1, n):
             if not alive[j]:
                 continue
-            cand = elements[j]
-            dy = abs(seed_cy - _y_center(cand))
-            mean_h = (seed_h + _height(cand)) / 2
+            dy = abs(seed_cy - cys[j])
+            mean_h = (seed_h + hs[j]) / 2
             if dy < tolerance and dy < mean_h * ROW_REL_TOLERANCE:
-                row.append(cand)
+                row.append(elements[j])
                 alive[j] = False
         row.sort(key=lambda e: e["bbox"]["x1"])
         rows.append(row)

@@ -86,6 +86,12 @@ def build_session(app_name: str = "credit-ocr-system-spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("spark://"):
+        # standalone cluster (bench --scaling / real deployment): one
+        # executor per worker; worker -c sets its task slots
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
     spark = builder.getOrCreate()
     # Ship the engine to Python workers — equivalent to
     # `spark-submit --py-files <zip>`; without it, only drivers whose
