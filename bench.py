@@ -74,6 +74,7 @@ HEADLINE = [
     "jaccard_pairs",
     "cosine_topk",
     "bucketed_topk",
+    "ivf_topk",
 ]
 
 

@@ -86,6 +86,82 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the first
+    ``N_CENTROIDS`` vectors by vec_id. (A trained k-means codebook
+    would be an offline artifact at scale; a fixed deterministic one
+    keeps the partitioning logic — the part Spark executes — exact and
+    oracle-checkable.)"""
+    return embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("bigint").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("c"))
+
+
+def _nearest_centroids(vectors: DataFrame, centroids: DataFrame,
+                       id_col: str, vec_col: str, n: int) -> DataFrame:
+    """Top-``n`` centroids per vector: broadcast the tiny codebook,
+    score every (vector, centroid) pair JVM-side, keep rank <= n.
+    This is IVF's partition step — at 10^12 rows it is a map-only
+    stage (broadcast join + per-row argmax), no shuffle."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "ccos", _cosine(F.col(vec_col), F.col("c")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id"))
+    return (scored.withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= n)
+            .drop("c", "ccos", "crn"))
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse assignment: every vector → its nearest centroid.
+
+    Output: (vec_id, centroid_id). At scale this column becomes the
+    partition/bucket key the corpus is repartitioned and stored by
+    (one inverted list per centroid).
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    return _nearest_centroids(
+        corpus, _centroids(embeddings), "vec_id", "v", 1
+    ).select("vec_id", "centroid_id")
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
+             k: int = 5, nprobe: int = N_PROBE) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest
+    inverted lists only.
+
+    Corpus vectors carry their coarse assignment (ivf_assign); each
+    query scores only vectors in its top-``nprobe`` centroid buckets.
+    The candidate join is bucket-local (equi-join on centroid_id with
+    the tiny probe side broadcast) — the n×q cross product never
+    materializes. Output: (query_id, neighbor_id, rank).
+    """
+    cents = _centroids(embeddings)
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    corpus = _nearest_centroids(corpus, cents, "neighbor_id", "v", 1)
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        _as_double(F.col("embedding")).alias("q"))
+    probes = _nearest_centroids(queries, cents, "query_id", "q", nprobe)
+    scored = corpus.join(F.broadcast(probes), "centroid_id").withColumn(
+        "cos", _cosine(F.col("q"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"))
+    )
+
+
 N_BUCKET_BITS = 4
 
 

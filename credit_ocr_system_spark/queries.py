@@ -181,6 +181,21 @@ _BUCKET_EXPR = " + ".join(
     f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
     for i in range(S.N_BUCKET_BITS))
 
+_IVF_CTE = f"""
+cents AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id,
+                 CAST(embedding AS DOUBLE[]) AS c
+          FROM embeddings WHERE vec_id < {S.N_CENTROIDS}),
+corpus_assign AS (
+  SELECT neighbor_id, v, centroid_id FROM (
+    SELECT neighbor_id, v, centroid_id,
+     row_number() OVER (PARTITION BY neighbor_id ORDER BY
+       list_dot_product(v, c) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
+       DESC, centroid_id ASC) AS crn
+    FROM corpus CROSS JOIN cents)
+  WHERE crn = 1)
+"""
+
 
 ORACLES: Dict[str, str] = {
     # --- relational families ------------------------------------------
@@ -537,6 +552,38 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 5
 """,
+    "ivf_assign": f"""
+WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+{_IVF_CTE}
+SELECT neighbor_id AS vec_id, centroid_id FROM corpus_assign
+""",
+    "ivf_topk": f"""
+WITH {_ANN_CTE},
+{_IVF_CTE},
+probes AS (
+  SELECT query_id, q, centroid_id FROM (
+    SELECT query_id, q, centroid_id,
+     row_number() OVER (PARTITION BY query_id ORDER BY
+       list_dot_product(q, c) /
+         (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(c, c)))
+       DESC, centroid_id ASC) AS crn
+    FROM queries CROSS JOIN cents)
+  WHERE crn <= {S.N_PROBE}),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+   list_dot_product(p.q, a.v) /
+     (sqrt(list_dot_product(p.q, p.q))
+      * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM corpus_assign a JOIN probes p USING (centroid_id))
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
 }
 
 
@@ -583,6 +630,10 @@ def build_queries() -> Dict[str, QueryFn]:
         "bucketed_topk": lambda s, d: S.bucketed_topk(
             R.load(s, d, "embeddings")),
         "cosine_near_dup": lambda s, d: S.cosine_near_dup(
+            R.load(s, d, "embeddings")),
+        "ivf_assign": lambda s, d: S.ivf_assign(
+            R.load(s, d, "embeddings")),
+        "ivf_topk": lambda s, d: S.ivf_topk(
             R.load(s, d, "embeddings")),
         # extraction engine (rows-only; goldens are the gate)
         "x_extract_pages": x_extract_pages,

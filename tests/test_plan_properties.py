@@ -79,3 +79,18 @@ def test_agg_is_partial_then_final(spark, sf_dir):
 def test_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(R.latest_event_per_user(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_probe_join_is_broadcast_bucket_local(spark, sf_dir):
+    """IVF: codebook joins and the probe join must broadcast the tiny
+    side; the n x q cross product must never materialize as a shuffle
+    join."""
+    from credit_ocr_system_spark.operators.similarity import ivf_topk
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = plan_of(ivf_topk(emb))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # candidate join on centroid_id is a broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # top-k pruned pre-shuffle
