@@ -20,4 +20,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.path.join(TESTDATA, "sf0.001")
+    # sf0.001 keeps the suite fast; COS_TEST_SF=sf0.01 re-runs the
+    # oracle-parity gate at the driver's verification scale.
+    return os.path.join(TESTDATA, os.environ.get("COS_TEST_SF", "sf0.001"))
