@@ -184,6 +184,24 @@ _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in _CDATA_ELEMS}
 
 
+# Parsed-tag memo keyed by the exact "<...first '>'" snippet. Web
+# corpora repeat a small set of tags millions of times; a hit skips
+# all regex work. A snippet is cached only if its canonical parse ends
+# exactly at the first '>' AND its quote counts are balanced (both '
+# and " appear an even number of times). Safety: a lookup is only
+# wrong if the same snippet can be the prefix of a longer tag, which
+# requires the first '>' to sit inside a quoted attribute value — but
+# then exactly one quote is unclosed, the count is odd, and the prefix
+# can never equal a cached (even-count) key. Values:
+# ("start", tag, attrs) | ("startend", tag, attrs) | ("end", tag, None).
+_TAG_CACHE: dict = {}
+_TAG_CACHE_MAX = 8192
+
+
+def _cacheable(snippet: str) -> bool:
+    return snippet.count('"') % 2 == 0 and snippet.count("'") % 2 == 0
+
+
 def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
     """Single-pass tokenizer emitting the same handler-event sequence
     (same calls, same arguments, same data chunking) as stdlib
@@ -228,6 +246,23 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
             h.handle_data(unescape(rawdata[i:lt]))
         i = lt
         c = rawdata[i + 1:i + 2]
+        if c.isalpha() or c == "/":
+            gt = rawdata.find(">", i)
+            if gt > 0:
+                hit = _TAG_CACHE.get(rawdata[i:gt + 1])
+                if hit is not None:
+                    kind, tag, attrs = hit
+                    if kind == "start":
+                        h.handle_starttag(tag, attrs)
+                        if tag in _CDATA_ELEMS:
+                            cdata_elem = tag
+                    elif kind == "startend":
+                        h.handle_starttag(tag, attrs)
+                        h.handle_endtag(tag)
+                    else:
+                        h.handle_endtag(tag)
+                    i = gt + 1
+                    continue
         if c.isalpha():
             m = _locatestart.match(rawdata, i)
             if m is None:
@@ -264,18 +299,32 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
                 h.handle_starttag(tag, attrs)
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
+                kind = "start"
             elif end == "/>":
                 h.handle_starttag(tag, attrs)  # handle_startendtag default
                 h.handle_endtag(tag)
+                kind = "startend"
             else:
                 raise _FastBail
+            snippet = rawdata[i:endpos]
+            if endpos == gt + 1 and _cacheable(snippet):
+                if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
+                    _TAG_CACHE.clear()
+                _TAG_CACHE[snippet] = (kind, tag, attrs)
             i = endpos
         elif c == "/":
             em = _endtagfind.match(rawdata, i)
             if em is None:
                 raise _FastBail  # tolerant/bogus end-tag branch
-            h.handle_endtag(em.group(1).lower())
-            i = em.end()
+            tag = em.group(1).lower()
+            h.handle_endtag(tag)
+            endpos = em.end()
+            snippet = rawdata[i:endpos]
+            if endpos == gt + 1 and _cacheable(snippet):
+                if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
+                    _TAG_CACHE.clear()
+                _TAG_CACHE[snippet] = ("end", tag, None)
+            i = endpos
         elif rawdata.startswith("<!--", i):
             close = rawdata.find("-->", i + 4)
             if close < 0:

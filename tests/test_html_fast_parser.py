@@ -86,7 +86,25 @@ CASES = [
     b"<script></scriptx></script><p>fake close inside cdata</p>",
     b"<br></br><p>br endtag inside strip asymmetry</p>",
     b"<form><br><p>inside form</p></form><p>outside: 3</p>",
+    # tag-cache aliasing probes: a complete tag is cached, then a
+    # similar tag whose first '>' sits inside a quoted value must NOT
+    # resolve to the cached prefix (its quote count is odd)
+    b"<a b='x'>first link</a><a b='x>y'>second link</a><p>t: 1</p>",
+    b'<a b="it\'s>f">weird</a><a b="it">plain</a><p>tail: 2</p>',
+    b"<p class=bare>one: 1</p><p class=bare>two: 2</p>"
+    b"<p class=bare>three: 3</p>",  # repeated cache hits
+    b"<br/><br/><br/><p>self-closing repeats: 4</p>",
 ]
+
+
+def test_cache_warm_equals_cold():
+    """Feeding the same document repeatedly (warm tag cache) must give
+    identical output to the first (cold) parse."""
+    payload = (b"<div class='menu'>nav</div><p>real content: 42</p>"
+               b"<td>Amount:</td><td>1.234,56 \xe2\x82\xac</td>")
+    first = hx.extract_html(payload)
+    for _ in range(3):
+        assert hx.extract_html(payload) == first
 
 
 @pytest.mark.parametrize("payload", CASES)
