@@ -274,6 +274,53 @@ def simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+SIMHASH_BANDS = 4                      # 16 bits → 4 bands of 4 bits
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_candidates(documents: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs via banded SimHash LSH.
+
+    The 16-bit simhash splits into 4 bands of 4 bits; documents
+    sharing any band value become candidates (equi-join on
+    (band, key) — the classic LSH trick that replaces the O(n²)
+    all-pairs comparison with bucket-local joins at 10^12 scale),
+    then candidates are verified with an exact Hamming-distance
+    filter (``bit_count(a XOR b) <= 3``). Output:
+    (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    """
+    sims = simhash(documents)
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_w) - 1
+    bands = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_w)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(SIMHASH_BANDS)])).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- language ID ----------------------------------------------------------
 
 def language_id(documents: DataFrame) -> DataFrame:

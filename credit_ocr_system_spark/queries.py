@@ -401,6 +401,21 @@ FROM (
 GROUP BY user_id, session_idx
 """,
     "simhash": _simhash_oracle(),
+    "simhash_candidates": f"""
+WITH sims AS (SELECT * FROM ({_simhash_oracle()})),
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS key
+  FROM sims, generate_series(0, 3) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+         b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+ CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
     "language_id": f"""
 SELECT doc_id, en_hits, de_hits,
  CASE WHEN en_hits > de_hits THEN 'en'
@@ -614,6 +629,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "sessionize_events": R.sessionize_events,
         "simhash": lambda s, d: T.simhash(R.load(s, d, "documents")),
+        "simhash_candidates": lambda s, d: T.simhash_candidates(
+            R.load(s, d, "documents")),
         "language_id": lambda s, d: T.language_id(
             R.load(s, d, "documents")),
         "quality_score": lambda s, d: T.quality_score(
