@@ -498,7 +498,7 @@ seed=42):
   has over a 4N-node cluster of identical machines (measured per-doc
   kernel wall: 1.26 ms at 6 busy slots vs 2.3 ms at 24 with ALU-only
   spinners; equal at ~0.85 ms with the calibrated mix);
-* per-rep hypervisor steal%% (from /proc/stat) is recorded alongside
+* per-rep hypervisor steal% (from /proc/stat) is recorded alongside
   each wall time — this is a shared VM and noisy reps are visible in
   the data, not guessed at;
 * the two cluster sizes are interleaved across rounds (fresh cluster
