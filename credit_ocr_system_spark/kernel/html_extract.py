@@ -60,7 +60,11 @@ LEFT_MARGIN = 40.0
 
 
 def _norm(text: str) -> str:
-    return _WS_RE.sub(" ", text).strip()
+    # identical to _WS_RE.sub(" ", text).strip() — re's \s and
+    # str.isspace() match the same codepoint set (verified exhaustively
+    # in tests/test_html_fast_parser.py::test_norm_equivalence) and
+    # split/join is ~2x faster than regex substitution
+    return " ".join(text.split())
 
 
 class _BlockCollector(HTMLParser):

@@ -97,6 +97,14 @@ CASES = [
 ]
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(exclude_categories=("Cs",)),
+               max_size=60))
+def test_norm_equivalence(text):
+    """_norm's split/join fast path == the regex definition."""
+    assert hx._norm(text) == hx._WS_RE.sub(" ", text).strip()
+
+
 def test_cache_warm_equals_cold():
     """Feeding the same document repeatedly (warm tag cache) must give
     identical output to the first (cold) parse."""
