@@ -42,10 +42,12 @@ N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000"))
 PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}"
 
 # Scaling-gate corpus: sized so kernel compute dominates the fixed
-# per-job floor (scan + shuffle setup + scheduling, ~3-4 s) at the 4N
-# level — at 10^12 rows that floor is noise, and the gate should
-# measure the steady-state regime, not job-startup amortization.
-N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "262144"))
+# per-job floor (scan + shuffle setup + scheduling, ~3 s/level) at the
+# 4N level — at 10^12 rows that floor is noise, and the gate should
+# measure the steady-state regime, not job-startup amortization. Each
+# kernel speedup shrinks compute relative to that floor, so the corpus
+# has grown with the kernel (262k -> 786k at ~0.65 ms/doc).
+N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "786432"))
 SCALE_PAGES_PATH = f"/tmp/cos_bench_pages_{N_SCALE_PAGES}"
 
 MASTER_PORT = 7077
