@@ -45,7 +45,8 @@ EXTRACTED_SCHEMA = (
     f"confidence:double,bbox:{_BBOX}>>, "
     f"pairs array<struct<pair_idx:int,label:string,value:string,page:int,"
     f"confidence:double,pair_type:string,bounding_box:{_BBOX}>>, "
-    "n_elements int, n_pairs int, bytes_in bigint, kernel_us bigint"
+    "n_elements int, n_pairs int, bytes_in bigint, kernel_us bigint, "
+    "error string"
 )
 
 
@@ -78,7 +79,13 @@ PA_EXTRACTED_SCHEMA = pa.schema([
     ("n_pairs", pa.int32()),
     ("bytes_in", pa.int64()),
     ("kernel_us", pa.int64()),
+    ("error", pa.string()),
 ])
+
+_EMPTY_RESULT = {
+    "doc_kind": "error", "page_count": 0, "extracted_text": "",
+    "spans": [], "elements": [], "pairs": [],
+}
 
 
 def _arrow_schema() -> pa.Schema:
@@ -97,7 +104,15 @@ def _extract_batches(
         rows = []
         for url, payload in zip(urls, payloads):
             t0 = time.perf_counter_ns()
-            res = extract_document(url, payload)
+            try:
+                res = extract_document(url, payload)
+                err = None
+            except Exception as ex:  # poison-doc guard: at 10^12 rows
+                # one pathological document must degrade to an error
+                # row, never fail the task (and with it, after
+                # spark.task.maxFailures retries, the job)
+                res = _EMPTY_RESULT
+                err = f"{type(ex).__name__}: {ex}"[:500]
             elapsed_us = (time.perf_counter_ns() - t0) // 1000
             rows.append({
                 "url": url,
@@ -123,6 +138,7 @@ def _extract_batches(
                 "n_pairs": len(res["pairs"]),
                 "bytes_in": len(payload) if payload is not None else 0,
                 "kernel_us": elapsed_us,
+                "error": err,
             })
         yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
