@@ -32,6 +32,8 @@ def partition_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
             (F.sum("kernel_us") / F.lit(1000.0)).alias("kernel_ms"),
             F.sum(F.when(F.col("doc_kind") == "pdf", 1)
                   .otherwise(0)).alias("n_pdf"),
+            F.sum(F.when(F.col("error").isNotNull(), 1)
+                  .otherwise(0)).alias("n_errors"),
             F.avg("n_pairs").alias("avg_pairs_per_doc"),
         )
         .withColumn("run_id", F.lit(run_id))

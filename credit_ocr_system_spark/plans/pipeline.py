@@ -46,10 +46,12 @@ def doc_status(extracted: DataFrame, run_id: str) -> DataFrame:
     reference-style status-string mapping (P21)."""
     return extracted.select(
         "url",
-        F.when(F.col("n_elements") == 0, "failed_empty")
+        F.when(F.col("error").isNotNull(), "failed")
+         .when(F.col("n_elements") == 0, "failed_empty")
          .when(F.col("n_pairs") == 0, "done_no_pairs")
          .otherwise("done").alias("status"),
         F.col("doc_kind"),
+        F.col("error"),
         F.lit(run_id).alias("run_id"),
     )
 
