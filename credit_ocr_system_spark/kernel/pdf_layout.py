@@ -65,15 +65,98 @@ def parse_pdf_tokens(payload: bytes) -> List[Dict[str, Any]]:
     return elements
 
 
-def extract_pdf(payload: bytes) -> Dict[str, Any]:
+XY_MIN_X_GAP = 40.0   # min horizontal whitespace to call a column cut
+XY_MIN_Y_GAP = 20.0   # min vertical whitespace to call a block cut
+
+
+def _gap_split(elems: List[Dict[str, Any]], lo: str, hi: str,
+               min_gap: float):
+    """Split at the widest projection gap ≥ min_gap, else None.
+
+    Scans interval coverage along one axis: a gap exists where the
+    running max of ``hi`` ends before the next element's ``lo``.
+    """
+    items = sorted(elems, key=lambda e: (e["bbox"][lo], e["bbox"][hi]))
+    best_gap, best_idx = 0.0, None
+    cover = items[0]["bbox"][hi]
+    for i in range(1, len(items)):
+        gap = items[i]["bbox"][lo] - cover
+        if gap > best_gap:
+            best_gap, best_idx = gap, i
+        b = items[i]["bbox"][hi]
+        if b > cover:
+            cover = b
+    if best_idx is None or best_gap < min_gap:
+        return None
+    return items[:best_idx], items[best_idx:]
+
+
+def _xy_cut(elems: List[Dict[str, Any]]) -> List[List[Dict[str, Any]]]:
+    """Leaf regions of the recursive cut, in reading order."""
+    if len(elems) <= 1:
+        return [list(elems)] if elems else []
+    split = _gap_split(elems, "y1", "y2", XY_MIN_Y_GAP)
+    if split is not None:
+        top, bottom = split
+        return _xy_cut(top) + _xy_cut(bottom)
+    split = _gap_split(elems, "x1", "x2", XY_MIN_X_GAP)
+    if split is not None:
+        left, right = split
+        return _xy_cut(left) + _xy_cut(right)
+    return [sorted(elems,
+                   key=lambda e: (e["bbox"]["y1"], e["bbox"]["x1"]))]
+
+
+def xy_cut_regions(
+        elements: List[Dict[str, Any]]) -> List[List[Dict[str, Any]]]:
+    """Recursive XY-cut page segmentation (multi-column documents).
+
+    The default (page, y, x) sort interleaves the lines of side-by-side
+    columns (and the y-band row clustering then merges across columns);
+    XY-cut recursively splits each page at its widest horizontal
+    whitespace band (blocks), then at its widest vertical band
+    (columns — the left column is read fully before the right), falling
+    back to (y, x) inside indivisible regions. This is the classic
+    recursive XY-cut page-segmentation algorithm (Nagy & Seth),
+    published and widely reimplemented. Returns leaf regions in
+    reading order; row detection runs per region, so column text never
+    interleaves. Opt-in: the parity default stays (page, y, x) because
+    the reference's EasyOCR path has no column notion.
+    """
+    by_page: Dict[int, List[Dict[str, Any]]] = {}
+    for el in elements:
+        by_page.setdefault(el["page_num"], []).append(el)
+    regions: List[List[Dict[str, Any]]] = []
+    for page in sorted(by_page):
+        regions.extend(_xy_cut(by_page[page]))
+    return regions
+
+
+def xy_cut_order(elements: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Flattened :func:`xy_cut_regions` — elements in reading order."""
+    return [el for region in xy_cut_regions(elements) for el in region]
+
+
+def extract_pdf(payload: bytes,
+                reading_order: str = "yx") -> Dict[str, Any]:
     """PDF payload → text, spans, elements (same contract as HTML side).
 
     ``extracted_text`` is the detected rows in reading order, tokens
     space-joined within a row, rows newline-joined; ``spans`` carry the
     (start, end, page) offsets of each row.
+
+    ``reading_order``: ``"yx"`` (default, reference-parity top-to-
+    bottom/left-to-right) or ``"xy_cut"`` (recursive XY-cut for
+    multi-column layouts — see :func:`xy_cut_order`).
     """
     elements = parse_pdf_tokens(payload)
-    rows = cluster_rows(elements)
+    if reading_order == "xy_cut":
+        regions = xy_cut_regions(elements)
+        elements = [el for region in regions for el in region]
+        rows = [row for region in regions
+                for row in cluster_rows(region)]
+    else:
+        rows = cluster_rows(elements)
     spans: List[Dict[str, int]] = []
     parts: List[str] = []
     offset = 0
