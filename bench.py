@@ -77,6 +77,9 @@ HEADLINE = [
     "cosine_topk",
     "bucketed_topk",
     "ivf_topk",
+    "simhash_candidates",
+    "sessionize_events",
+    "dedup_clusters",
 ]
 
 

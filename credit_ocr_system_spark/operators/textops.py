@@ -9,7 +9,7 @@ every operator has a DuckDB oracle:
 * word-set Jaccard      — exact near-dup pairs via explode + self-join
 * MinHash LSH           — banded min-hash buckets; candidates by bucket
                           equality (the 100TB-scale near-dup path)
-* SimHash               — 16-bit sign-vote fingerprint
+* SimHash               — 32-bit sign-vote fingerprint + banded LSH
 * language ID           — stopword-hit heuristic
 * quality scoring       — length/punctuation/stopword/diversity ratios
 * token counting        — whitespace + BPE-ish regex tokenization
@@ -243,11 +243,16 @@ def dedup_clusters(documents: DataFrame,
 
 # --- SimHash -------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 32 bits = one parity vote per md5 hex digit. 16 bits was too small:
+# at 5k docs a 16-bit space already saturates (hamming<=3 matches
+# unrelated documents, and 4-bit LSH bands give only 16 buckets), and
+# at 10^12 it would be pure noise. 32 bits with 8-bit bands keeps the
+# banded join selective while staying oracle-expressible.
+SIMHASH_BITS = 32
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """16-bit SimHash: each distinct token votes ±1 per bit position,
+    """SimHash (SIMHASH_BITS wide): each distinct token votes ±1 per bit position,
     bit i taken from the parity of hex digit i of ``md5(token)``;
     positive vote sum ⇒ bit set.
     """
@@ -274,14 +279,15 @@ def simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-SIMHASH_BANDS = 4                      # 16 bits → 4 bands of 4 bits
+SIMHASH_BANDS = 4                      # SIMHASH_BITS/4 bits per band
 SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_candidates(documents: DataFrame) -> DataFrame:
     """Near-duplicate candidate pairs via banded SimHash LSH.
 
-    The 16-bit simhash splits into 4 bands of 4 bits; documents
+    The simhash splits into 4 bands (8 bits each at the current
+    width); documents
     sharing any band value become candidates (equi-join on
     (band, key) — the classic LSH trick that replaces the O(n²)
     all-pairs comparison with bucket-local joins at 10^12 scale),

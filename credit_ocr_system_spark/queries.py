@@ -404,7 +404,9 @@ GROUP BY user_id, session_idx
     "simhash_candidates": f"""
 WITH sims AS (SELECT * FROM ({_simhash_oracle()})),
 bands AS (
-  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS key
+  SELECT doc_id, simhash, b AS band,
+   (simhash >> (b * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1}
+     AS key
   FROM sims, generate_series(0, 3) t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
