@@ -68,6 +68,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_candidates",
+    "minhash_candidates_b4r2",
     "simhash",
     "quality_score",
     "token_counts",
@@ -181,7 +182,7 @@ def extract_only(slots: int, reps: int = 1, master: str | None = None,
     print("BENCH_RESULT " + json.dumps(result))
 
 
-def run_headline(spark) -> dict:
+def run_headline(spark) -> tuple[dict, dict]:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -192,11 +193,12 @@ def run_headline(spark) -> dict:
     queries[HEADLINE[0]](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         t0 = time.time()
-        queries[name](spark, SF_DIR).count()
+        rows[name] = queries[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
-    return timings
+    return timings, rows
 
 
 def _spark_home() -> str:
@@ -217,14 +219,53 @@ def _spark_class(cls: str, *args: str, taskset: str | None = None,
                             env=full_env)
 
 
-def _kill_stale_cluster() -> None:
-    """Kill leftover master/worker/executor JVMs from earlier runs —
-    a stale 4-core worker registering with the fresh master silently
-    corrupts the slot accounting and the pinning."""
-    subprocess.run(["pkill", "-9", "-f", "org.apache.spark.deploy"],
-                   capture_output=True)
-    subprocess.run(["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"],
-                   capture_output=True)
+_PID_FILE = "/tmp/cos_cluster/pids.json"
+
+
+def _record_cluster_pids(pids: list[int]) -> None:
+    os.makedirs(os.path.dirname(_PID_FILE), exist_ok=True)
+    with open(_PID_FILE, "w", encoding="utf-8") as fh:
+        json.dump(pids, fh)
+
+
+def _kill_stale_cluster(workdir: str = "/tmp/cos_cluster") -> None:
+    """Kill leftover master/worker/executor JVMs from earlier runs of
+    THIS benchmark — a stale 4-core worker registering with the fresh
+    master silently corrupts the slot accounting and the pinning.
+
+    Scoped to this bench's own processes (never a host-wide pkill on
+    'org.apache.spark.deploy', which would take down unrelated Spark
+    clusters on a shared machine): (a) PIDs recorded at spawn time,
+    (b) master/worker JVMs matched on this bench's master address, and
+    (c) executor JVMs matched by cwd under this bench's workdir.
+    """
+    # (a) PIDs this bench recorded in a previous (possibly crashed) run
+    try:
+        with open(_PID_FILE, encoding="utf-8") as fh:
+            for pid in json.load(fh):
+                subprocess.run(["kill", "-9", str(pid)],
+                               capture_output=True)
+    except (OSError, ValueError):
+        pass
+    # (b) master/worker JVMs bound to this bench's master address
+    subprocess.run(
+        ["pkill", "-9", "-f",
+         r"org\.apache\.spark\.deploy\.master\.Master -h 127\.0\.0\.1 "
+         f"-p {MASTER_PORT}"], capture_output=True)
+    subprocess.run(
+        ["pkill", "-9", "-f",
+         rf"org\.apache\.spark\.deploy\.worker\.Worker {MASTER_URL}"],
+        capture_output=True)
+    # (c) orphaned executors: cwd lives under this bench's worker dirs
+    ex = subprocess.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                        capture_output=True, text=True)
+    for pid in ex.stdout.split():
+        try:
+            cwd = os.readlink(f"/proc/{pid}/cwd")
+        except OSError:
+            continue
+        if cwd.startswith(workdir):
+            subprocess.run(["kill", "-9", pid], capture_output=True)
     time.sleep(2.0)
 
 
@@ -286,7 +327,7 @@ class StandaloneCluster:
         self.spinners: list = []
 
     def start(self) -> None:
-        _kill_stale_cluster()
+        _kill_stale_cluster(self.workdir)
         os.makedirs(self.workdir, exist_ok=True)
         self.procs.append(_spark_class(
             "org.apache.spark.deploy.master.Master",
@@ -305,6 +346,7 @@ class StandaloneCluster:
                 log=os.path.join(self.workdir, f"worker{i}.log"),
                 env={"SPARK_WORKER_DIR":
                      os.path.join(self.workdir, f"worker{i}")}))
+        _record_cluster_pids([p.pid for p in self.procs])
         _wait_workers(self.n_workers)
         # Saturate unpinned cores so both cluster sizes run in the same
         # all-core regime — in BOTH dimensions the shared host couples:
@@ -351,6 +393,8 @@ class StandaloneCluster:
                  if c < used + n_kernel else alu_spin])
             for c in range(used, host_cores)
         ]
+        _record_cluster_pids(
+            [p.pid for p in self.procs + self.spinners])
 
     def stop(self) -> None:
         for p in self.spinners + self.procs:
@@ -577,7 +621,7 @@ def main() -> None:
     spark = _session(args.cpus)
     ensure_pages(spark)
     t_all = time.time()
-    timings = run_headline(spark)
+    timings, rows = run_headline(spark)
     # best-of-3: single-rep walls swing ~20% on this shared VM
     extraction = run_extraction(spark, args.cpus, reps=3)
     total = round(time.time() - t_all, 2)
@@ -585,6 +629,9 @@ def main() -> None:
 
     out["value"] = total
     out["queries"] = timings
+    # output cardinality per query — selectivity evidence (e.g. the
+    # 64-bit SimHash candidate count vs the 3.9M pairs 32-bit emitted)
+    out["rows"] = rows
     out["extraction"] = extraction
     if os.path.exists(_scaling_cache_path()):
         with open(_scaling_cache_path(), encoding="utf-8") as fh:

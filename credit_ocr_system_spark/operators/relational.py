@@ -307,8 +307,12 @@ def revenue_by_region_year(spark, sf_dir) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         orders
-        .join(F.broadcast(customer),
-              orders.o_custkey == customer.c_custkey)
+        # customer scales with SF (~15M rows at sf100, far more at the
+        # 10^12 design point): never force-broadcast it. Plain
+        # equi-join — AQE still picks a broadcast at small SF, and the
+        # shuffle join survives when customer outgrows executor memory.
+        # nation (25) / region (5) are fixed-size dims: broadcast.
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation),
               customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region),

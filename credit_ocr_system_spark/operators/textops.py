@@ -7,9 +7,10 @@ every operator has a DuckDB oracle:
 
 * exact dedup           — hash groupBy (md5 of normalized text)
 * word-set Jaccard      — exact near-dup pairs via explode + self-join
-* MinHash LSH           — banded min-hash buckets; candidates by bucket
-                          equality (the 100TB-scale near-dup path)
-* SimHash               — 32-bit sign-vote fingerprint + banded LSH
+* MinHash LSH           — banded min-hash buckets with a tunable
+                          (bands, rows-per-band) trade-off; candidates
+                          by bucket equality (the 100TB-scale path)
+* SimHash               — 64-bit sign-vote fingerprint + banded LSH
 * language ID           — stopword-hit heuristic
 * quality scoring       — length/punctuation/stopword/diversity ratios
 * token counting        — whitespace + BPE-ish regex tokenization
@@ -36,6 +37,19 @@ def _tokens(col):
 
 EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
 DE_STOPWORDS = ("der", "die", "das", "und", "ist", "von", "mit", "für")
+
+# Top-stopword tables per language for the language-ID heuristic.
+# Cross-language collisions ("la" fr/es/it, "is" en/nl, ...) are part
+# of the data; the tie-break rule below resolves them deterministically.
+LANG_STOPWORDS = {
+    "de": DE_STOPWORDS,
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "los", "que", "y", "es", "por", "una"),
+    "fr": ("le", "les", "la", "et", "est", "une", "dans", "pour"),
+    "it": ("il", "che", "e", "di", "per", "con", "sono", "una"),
+    "nl": ("de", "het", "een", "en", "van", "is", "voor", "met"),
+}
+LANG_IDS = tuple(sorted(LANG_STOPWORDS))
 
 
 # --- exact dedup --------------------------------------------------------
@@ -127,29 +141,55 @@ def _shingles(tokens_col):
                       lambda ab, c: F.concat(ab, F.lit(" "), c))
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """Banded min-hash: per (doc, band), the lexicographic min of
-    ``md5(band || ':' || shingle)``. Each band is one hash family
-    member; band-equal minima = LSH bucket collision.
+def minhash_signatures(documents: DataFrame, n_bands: int = N_BANDS,
+                       rows_per_band: int = 1) -> DataFrame:
+    """Banded min-hash with a tunable (b, r) trade-off.
+
+    ``n_bands * rows_per_band`` independent hash-family members; the
+    signature of band ``b`` is the '|'-joined concatenation of the
+    ``rows_per_band`` lexicographic minima of
+    ``md5(member || ':' || shingle)`` for members ``b*r .. b*r+r-1``.
+    Two documents collide in a band iff all ``r`` member minima agree,
+    giving the classic S-curve candidate probability
+    ``1 - (1 - s^r)^b`` for Jaccard similarity ``s`` — raise ``r`` to
+    push the threshold up (fewer, higher-precision candidates), raise
+    ``b`` to push recall up. ``r=1`` reproduces the legacy layout
+    (member id == band id), keeping the r1 oracles byte-stable.
 
     Output: (doc_id, band, minhash) — long format so the bucket join
     is a plain equi-join on (band, minhash).
     """
-    def band_hash(band: int):
+    def member_hash(member: int):
         # NB: a single-parameter lambda is required — pyspark's
         # transform() treats two-parameter callables as (element,
-        # index), so a `b=band` default would silently receive the
-        # array index instead of the band id.
-        prefix = f"{band}:"
+        # index), so a `m=member` default would silently receive the
+        # array index instead of the member id.
+        prefix = f"{member}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def band_sig(band: int):
+        mins = [
+            F.array_min(F.transform(
+                F.col("sh"), member_hash(band * rows_per_band + j)))
+            for j in range(rows_per_band)
+        ]
+        if rows_per_band == 1:
+            return mins[0]
+        # F.concat (not concat_ws): NULL-propagating like SQL ||, so
+        # shingle-less docs yield NULL signatures in every engine.
+        parts: list = []
+        for j, m in enumerate(mins):
+            if j:
+                parts.append(F.lit("|"))
+            parts.append(m)
+        return F.concat(*parts)
 
     bands = [
         F.struct(
             F.lit(band).alias("band"),
-            F.array_min(F.transform(F.col("sh"), band_hash(band)))
-             .alias("minhash"),
+            band_sig(band).alias("minhash"),
         )
-        for band in range(N_BANDS)
+        for band in range(n_bands)
     ]
     return (
         documents
@@ -162,14 +202,16 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(documents: DataFrame) -> DataFrame:
+def minhash_candidates(documents: DataFrame, n_bands: int = N_BANDS,
+                       rows_per_band: int = 1) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any band bucket.
 
     This is the scale path: shuffle is on (band, minhash) — bucket
     sizes, not n² — and the exact Jaccard verifier then runs only on
-    these pairs.
+    these pairs. (b, r) tune the similarity threshold of the S-curve;
+    see ``minhash_signatures``.
     """
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents, n_bands, rows_per_band)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -243,25 +285,37 @@ def dedup_clusters(documents: DataFrame,
 
 # --- SimHash -------------------------------------------------------------
 
-# 32 bits = one parity vote per md5 hex digit. 16 bits was too small:
-# at 5k docs a 16-bit space already saturates (hamming<=3 matches
-# unrelated documents, and 4-bit LSH bands give only 16 buckets), and
-# at 10^12 it would be pure noise. 32 bits with 8-bit bands keeps the
-# banded join selective while staying oracle-expressible.
-SIMHASH_BITS = 32
+# 64 bits (Manku et al.'s standard width): one parity vote per hex
+# digit of md5(token) || md5('1:' || token). Narrower widths saturate —
+# 16 bits collapses at a few thousand docs, and 32 bits is still noise
+# at the 10^12 design point (2^32 distinct values ≪ corpus size, and
+# 8-bit bands give only 256 buckets, so each band-bucket would hold
+# ~4×10^9 docs and the candidate join explodes). 64 bits with 16-bit
+# bands keeps band-buckets selective at 10^12 while staying
+# oracle-expressible (two md5 halves, plain integer arithmetic).
+SIMHASH_BITS = 64
+
+# Signed-64 assembly: bit 63's weight is INT64_MIN (adding it flips
+# the sign) so the full 64-bit pattern fits one BIGINT without
+# overflow in any engine. Written as -(2^63 - 1) - 1 because the bare
+# literal -9223372036854775808 does not parse as a BIGINT in SQL.
+INT64_MIN = -9223372036854775807 - 1
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """SimHash (SIMHASH_BITS wide): each distinct token votes ±1 per bit position,
-    bit i taken from the parity of hex digit i of ``md5(token)``;
-    positive vote sum ⇒ bit set.
+    """SimHash (SIMHASH_BITS wide): each distinct token votes ±1 per
+    bit position, bit i taken from the parity of hex digit i of
+    ``md5(token) || md5('1:' || token)``; positive vote sum ⇒ bit set.
+    The sign trick above packs bit 63 into a signed BIGINT.
     """
     toks = (
         documents
         .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                 F.explode(F.array_distinct(_tokens(F.col("text"))))
                  .alias("tok"))
-        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("h", F.concat(
+            F.md5(F.col("tok")),
+            F.md5(F.concat(F.lit("1:"), F.col("tok")))))
     )
     votes = [
         F.sum(
@@ -272,28 +326,31 @@ def simhash(documents: DataFrame) -> DataFrame:
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     sim = None
-    for i in range(SIMHASH_BITS):
+    for i in range(SIMHASH_BITS - 1):
         term = F.when(F.col(f"v{i}") > 0,
                       F.lit(2 ** i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
+    sim = sim + F.when(F.col(f"v{SIMHASH_BITS - 1}") > 0,
+                       F.lit(INT64_MIN)).otherwise(F.lit(0))
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-SIMHASH_BANDS = 4                      # SIMHASH_BITS/4 bits per band
+SIMHASH_BANDS = 4                      # SIMHASH_BITS/4 = 16 bits per band
 SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_candidates(documents: DataFrame) -> DataFrame:
     """Near-duplicate candidate pairs via banded SimHash LSH.
 
-    The simhash splits into 4 bands (8 bits each at the current
-    width); documents
-    sharing any band value become candidates (equi-join on
-    (band, key) — the classic LSH trick that replaces the O(n²)
-    all-pairs comparison with bucket-local joins at 10^12 scale),
-    then candidates are verified with an exact Hamming-distance
-    filter (``bit_count(a XOR b) <= 3``). Output:
-    (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    The simhash splits into SIMHASH_BANDS bands (16 bits each at the
+    current width); documents sharing any band value become candidates
+    (equi-join on (band, key) — the classic LSH trick that replaces
+    the O(n²) all-pairs comparison with bucket-local joins at 10^12
+    scale), then candidates are verified with an exact
+    Hamming-distance filter (``bit_count(a XOR b) <= 3``). Band keys
+    mask to ``band_w`` bits after the shift, so arithmetic-vs-logical
+    shift semantics on the signed simhash cannot differ across
+    engines. Output: (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
     """
     sims = simhash(documents)
     band_w = SIMHASH_BITS // SIMHASH_BANDS
@@ -329,22 +386,43 @@ def simhash_candidates(documents: DataFrame) -> DataFrame:
 
 # --- language ID ----------------------------------------------------------
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Stopword-hit language guess (n-gram-heuristic family).
+def _hit_filter(words: tuple):
+    # single-parameter closure (see minhash member_hash note)
+    return lambda t: t.isin(*words)
 
-    Emits per-language hit counts and the argmax guess; 'unknown' on
-    ties/zero hits, deterministically.
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language guess over LANG_STOPWORDS (6 languages).
+
+    Emits per-language hit counts and the guess. Tie-break rule,
+    applied deterministically: the guess is the unique language with
+    the strictly highest hit count; if the maximum is zero or shared
+    by two or more languages, the guess is 'unknown' (a shared
+    maximum is genuine ambiguity — several languages share stopwords
+    — and guessing one would be an arbitrary bias).
     """
     toks = _tokens(F.col("text"))
-    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    de = F.size(F.filter(toks, lambda t: t.isin(*DE_STOPWORDS)))
-    return documents.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        F.when(en > de, "en").when(de > en, "de")
-         .otherwise("unknown").alias("lang_guess"),
-    )
+    hits = {
+        lang: F.size(F.filter(toks, _hit_filter(LANG_STOPWORDS[lang])))
+        for lang in LANG_IDS
+    }
+    cols = [hits[lang].alias(f"{lang}_hits") for lang in LANG_IDS]
+    counted = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), *cols)
+    hit_cols = [F.col(f"{lang}_hits") for lang in LANG_IDS]
+    m = F.greatest(*hit_cols)
+    n_max = None
+    for c in hit_cols:
+        term = F.when(c == m, 1).otherwise(0)
+        n_max = term if n_max is None else n_max + term
+    argmax = None
+    for lang in LANG_IDS:
+        w = F.when(F.col(f"{lang}_hits") == m, F.lit(lang))
+        argmax = w if argmax is None else argmax.when(
+            F.col(f"{lang}_hits") == m, F.lit(lang))
+    guess = F.when((m > 0) & (n_max == 1), argmax).otherwise("unknown")
+    return counted.select("doc_id", *[f"{lang}_hits" for lang in LANG_IDS],
+                          guess.alias("lang_guess"))
 
 
 # --- quality scoring -------------------------------------------------------

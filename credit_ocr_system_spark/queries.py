@@ -21,9 +21,13 @@ from .operators import relational as R
 from .operators import textops as T
 from .operators import similarity as S
 from .operators.textops import (
-    DE_STOPWORDS,
     EN_STOPWORDS,
+    INT64_MIN,
+    LANG_IDS,
+    LANG_STOPWORDS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -129,23 +133,26 @@ _TERMS_SQL = ", ".join(f"('{t}')" for t in R.SEARCH_TERMS)
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
          "t -> t <> '')")
 _EN_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-_DE_IN = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
 
 
 def _simhash_oracle() -> str:
+    # Mirrors textops.simhash: 64 parity votes over the two md5
+    # halves; bit 63's weight is INT64_MIN (signed-64 packing).
     votes = ",\n   ".join(
         f"SUM(CASE WHEN ascii(substr(h, {i + 1}, 1)) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS v{i}"
         for i in range(SIMHASH_BITS))
     bits = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS))
+        for i in range(SIMHASH_BITS - 1))
+    bits += (f" + (CASE WHEN v{SIMHASH_BITS - 1} > 0 "
+             f"THEN ({INT64_MIN + 1} - 1) ELSE 0 END)")
     return f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          unnest(list_distinct({_TOKS})) AS tok
   FROM documents),
- hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+ hashed AS (SELECT doc_id, md5(tok) || md5('1:' || tok) AS h FROM toks),
  votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
@@ -167,6 +174,56 @@ sigs AS (
    list_min(list_transform(shingles,
             s -> md5(CAST(b AS VARCHAR) || ':' || s))) AS minhash
   FROM shingled, generate_series(0, 3) t(b))
+"""
+
+# (b=4, r=2) variant: band b concatenates the minima of hash-family
+# members 2b and 2b+1 — '||' is NULL-propagating like F.concat.
+_MINHASH_R2_SIG = (
+    "list_min(list_transform(shingles,"
+    " s -> md5(CAST(b * 2 AS VARCHAR) || ':' || s)))"
+    " || '|' || "
+    "list_min(list_transform(shingles,"
+    " s -> md5(CAST(b * 2 + 1 AS VARCHAR) || ':' || s)))")
+
+_MINHASH_R2_CTE = f"""
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+shingled AS (
+  SELECT doc_id,
+   CASE WHEN len(toks) >= 3
+    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          FOR i IN generate_series(1, len(toks) - 2)]
+    ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks),
+sigs AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+   {_MINHASH_R2_SIG} AS minhash
+  FROM shingled, generate_series(0, 3) t(b))
+"""
+
+
+def _language_id_oracle() -> str:
+    hit_defs = ",\n       ".join(
+        f"CAST(len(list_filter(toks, t -> t IN "
+        f"({', '.join(repr(w) for w in LANG_STOPWORDS[lang])})))"
+        f" AS INT) AS {lang}_hits"
+        for lang in LANG_IDS)
+    hit_cols = ", ".join(f"{lang}_hits" for lang in LANG_IDS)
+    m = "greatest(" + ", ".join(f"{lang}_hits" for lang in LANG_IDS) + ")"
+    n_max = " + ".join(
+        f"(CASE WHEN {lang}_hits = {m} THEN 1 ELSE 0 END)"
+        for lang in LANG_IDS)
+    argmax = " ".join(
+        f"WHEN {lang}_hits = {m} THEN '{lang}'" for lang in LANG_IDS)
+    return f"""
+SELECT doc_id, {hit_cols},
+ CASE WHEN {m} > 0 AND ({n_max}) = 1
+      THEN (CASE {argmax} END)
+      ELSE 'unknown' END AS lang_guess
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {hit_defs}
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
 """
 
 _ANN_CTE = """
@@ -360,6 +417,14 @@ FROM live a JOIN live b
   ON a.band = b.band AND a.minhash = b.minhash
  AND a.doc_id < b.doc_id
 """,
+    "minhash_candidates_b4r2": f"""
+WITH {_MINHASH_R2_CTE},
+ live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM live a JOIN live b
+  ON a.band = b.band AND a.minhash = b.minhash
+ AND a.doc_id < b.doc_id
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_MINHASH_CTE},
  live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL),
@@ -401,13 +466,15 @@ FROM (
 GROUP BY user_id, session_idx
 """,
     "simhash": _simhash_oracle(),
+    # band count, width, mask and hamming bound all derived from the
+    # textops constants so retuning them cannot desynchronize the oracle
     "simhash_candidates": f"""
 WITH sims AS (SELECT * FROM ({_simhash_oracle()})),
 bands AS (
   SELECT doc_id, simhash, b AS band,
-   (simhash >> (b * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1}
-     AS key
-  FROM sims, generate_series(0, 3) t(b)),
+   (simhash >> (b * {SIMHASH_BITS // SIMHASH_BANDS}))
+     & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS key
+  FROM sims, generate_series(0, {SIMHASH_BANDS - 1}) t(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
          b.doc_id AS doc_b, b.simhash AS sim_b
@@ -416,20 +483,9 @@ cand AS (
 SELECT doc_a, doc_b,
  CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sim_a, sim_b)) <= 3
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
 """,
-    "language_id": f"""
-SELECT doc_id, en_hits, de_hits,
- CASE WHEN en_hits > de_hits THEN 'en'
-      WHEN de_hits > en_hits THEN 'de'
-      ELSE 'unknown' END AS lang_guess
-FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(list_filter(toks, t -> t IN ({_EN_IN}))) AS INT)
-         AS en_hits,
-       CAST(len(list_filter(toks, t -> t IN ({_DE_IN}))) AS INT)
-         AS de_hits
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
-""",
+    "language_id": _language_id_oracle(),
     "quality_score": f"""
 SELECT doc_id,
  CAST(n_chars AS BIGINT) AS n_chars,
@@ -627,6 +683,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "minhash_candidates": lambda s, d: T.minhash_candidates(
             R.load(s, d, "documents")),
+        "minhash_candidates_b4r2": lambda s, d: T.minhash_candidates(
+            R.load(s, d, "documents"), n_bands=4, rows_per_band=2),
         "dedup_clusters": lambda s, d: T.dedup_clusters(
             R.load(s, d, "documents")),
         "sessionize_events": R.sessionize_events,
