@@ -5,10 +5,12 @@ the sf0.001 documents table wrapped as HTML pages.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 family from SURVEY.md §2 plus the training-data operators (dedup,
-similarity search, text analysis). Oracle-less entries are the
-extraction-kernel queries whose semantics (order-dependent greedy
-layout clustering) are not SQL-expressible; those are gated by the
-byte-identical golden-file pytest suite instead.
+similarity search, text analysis, multimodal). Every query has an
+oracle: the extraction/media tail is checked through the golden
+materialization in ``credit_ocr_system_spark/oracle_golden.py`` (the
+pure-Python kernel runs driver-side and the SQL either re-derives the
+relational tail or reads the independently-computed golden), on top
+of the byte-identical golden-file pytest suite.
 """
 
 from __future__ import annotations

@@ -81,6 +81,7 @@ HEADLINE = [
     "simhash_candidates",
     "sessionize_events",
     "dedup_clusters",
+    "media_near_dup",
 ]
 
 

@@ -7,6 +7,16 @@ bands at ``:47``, truncation at ``:60``). Image libraries aren't part
 of this engine's scale path (SURVEY.md §2.1 S8 — explicitly excluded
 from the 10^12-row job), so the debug sink emits self-contained SVG —
 pure column expressions, zero renderer dependencies, viewable anywhere.
+
+Cross-engine determinism (the query is oracle-checked):
+
+* coordinates are emitted at integer-pixel granularity
+  (``ceil(double) → bigint → string``) — double→string casts format
+  differently across engines (Java ``Double.toString`` vs C++
+  shortest-round-trip), integer→string never does;
+* element order inside a page's SVG body is pinned to ``elem_idx``
+  (``array_sort`` on (elem_idx, shape) structs) — a bare
+  ``collect_list`` has partition-dependent order.
 """
 
 from __future__ import annotations
@@ -24,6 +34,11 @@ def _band_color(conf):
              .otherwise(BAND_COLORS["low"]))
 
 
+def _px(col):
+    """Integer-pixel coordinate string (see module docstring)."""
+    return F.ceil(col).cast("string")
+
+
 def annotation_svg(extracted: DataFrame) -> DataFrame:
     """One SVG overlay per (url, page): a rect + truncated label per
     element, colored by confidence band."""
@@ -31,6 +46,7 @@ def annotation_svg(extracted: DataFrame) -> DataFrame:
         "url", F.explode("elements").alias("e")
     ).select(
         "url",
+        F.col("e.elem_idx").alias("elem_idx"),
         F.col("e.page_num").alias("page_num"),
         F.col("e.text").alias("text"),
         F.col("e.confidence").alias("confidence"),
@@ -41,32 +57,36 @@ def annotation_svg(extracted: DataFrame) -> DataFrame:
         F.length("text") > 30,
         F.concat(F.substring("text", 1, 30), F.lit("...")),
     ).otherwise(F.col("text"))
-    rect = F.concat(
-        F.lit('<rect x="'), F.col("bbox.x1").cast("string"),
-        F.lit('" y="'), F.col("bbox.y1").cast("string"),
-        F.lit('" width="'), F.col("bbox.width").cast("string"),
-        F.lit('" height="'), F.col("bbox.height").cast("string"),
+    shape = F.concat(
+        F.lit('<rect x="'), _px(F.col("bbox.x1")),
+        F.lit('" y="'), _px(F.col("bbox.y1")),
+        F.lit('" width="'), _px(F.col("bbox.width")),
+        F.lit('" height="'), _px(F.col("bbox.height")),
         F.lit('" fill="none" stroke="'),
         _band_color(F.col("confidence")),
-        F.lit('"/><text x="'), F.col("bbox.x1").cast("string"),
-        F.lit('" y="'), (F.col("bbox.y1") - 2).cast("string"),
+        F.lit('"/><text x="'), _px(F.col("bbox.x1")),
+        F.lit('" y="'), (F.ceil(F.col("bbox.y1")) - 2).cast("string"),
         F.lit('" font-size="8">'), label, F.lit("</text>"),
     )
     per_page = (
-        el.withColumn("shape", rect)
+        el.withColumn("shape", shape)
         .groupBy("url", "page_num")
         .agg(
             F.count("*").alias("n_elements"),
-            F.concat_ws("\n", F.collect_list("shape")).alias("body"),
-            F.max(F.col("bbox.x2")).alias("max_x"),
-            F.max(F.col("bbox.y2")).alias("max_y"),
+            # deterministic body: sort the (elem_idx, shape) structs
+            F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("elem_idx"), F.col("shape")))),
+                lambda s: s["shape"])).alias("body"),
+            F.max(F.ceil(F.col("bbox.x2"))).alias("max_x"),
+            F.max(F.ceil(F.col("bbox.y2"))).alias("max_y"),
         )
     )
     svg = F.concat(
         F.lit('<svg xmlns="http://www.w3.org/2000/svg" width="'),
-        F.ceil(F.col("max_x") + 10).cast("string"),
+        (F.col("max_x") + 10).cast("string"),
         F.lit('" height="'),
-        F.ceil(F.col("max_y") + 10).cast("string"),
+        (F.col("max_y") + 10).cast("string"),
         F.lit('">\n'), F.col("body"), F.lit("\n</svg>"),
     )
     return per_page.select(

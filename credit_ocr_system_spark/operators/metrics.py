@@ -40,6 +40,44 @@ def partition_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def portable_bucket(col, n_buckets: int = 8):
+    """Deterministic engine-portable partition bucket: the last hex
+    digit of ``md5(url)`` mod ``n_buckets``.
+
+    ``spark_partition_id()`` is honest lineage inside a run but no
+    other engine can re-derive it (and AQE coalescing can renumber
+    it). A bucket that is a pure function of the key — and that the
+    job *repartitions by* — is stable lineage at any scale: bucket ==
+    co-located physical partition, reproducible by any engine.
+    """
+    d = F.ascii(F.substring(F.md5(col), 32, 1))
+    hexval = F.when(d >= 97, d - 87).otherwise(d - 48)  # a-f / 0-9
+    return (hexval % n_buckets).cast("int")
+
+
+def bucket_lineage(extracted: DataFrame, run_id: str,
+                   n_buckets: int = 8) -> DataFrame:
+    """Per-partition lineage keyed by the portable url bucket — the
+    oracle-checkable flavor of ``partition_lineage`` (same aggregates;
+    the caller repartitions the input by the same bucket expression,
+    so each bucket IS one physical partition's content)."""
+    return (
+        extracted
+        .withColumn("partition_id", portable_bucket(F.col("url"),
+                                                    n_buckets))
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_elements").alias("n_elements"),
+            F.sum("n_pairs").alias("n_pairs"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.when(F.col("error").isNotNull(), 1)
+                  .otherwise(0)).alias("n_errors"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 def confidence_stats(extracted: DataFrame) -> DataFrame:
     """Per-(url, page) confidence banding — reference G10.
 

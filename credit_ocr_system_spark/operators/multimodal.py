@@ -23,12 +23,14 @@ array of frames, which would hold all frames of a batch in memory).
 from __future__ import annotations
 
 import hashlib
+import json
 from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
@@ -42,10 +44,22 @@ _MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
 
 
 def gen_media_rows(n: int, seed: int = 42) -> list[dict]:
-    """Deterministic synthetic media rows (pure function of seed+id)."""
+    """Deterministic synthetic media rows (pure function of seed+id).
+
+    ~18% of rows past the first 20 are byte-exact duplicates of an
+    earlier row (fresh media_id, same kind/payload/meta) — the
+    duplication structure a web-scale media corpus has, so the media
+    near-dup operators have real positives to find.
+    """
     rows = []
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        if i >= 20 and h[7] < 46:          # ≈18% duplicate rate
+            src = rows[i - 1 - (h[6] % 20)]
+            rows.append({"media_id": i, "kind": src["kind"],
+                         "payload": src["payload"],
+                         "meta": dict(src["meta"])})
+            continue
         kind = _KINDS[h[0] % 3]
         size = 256 + (h[1] << 4)
         # payload = magic + repeated digest: opaque, deterministic bytes
@@ -110,8 +124,8 @@ def fake_decode(payload: bytes, kind: str, meta: dict) -> np.ndarray:
 
 MEDIA_FEATURES_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, "
-    "feat array<float>, mean_val double, std_val double, "
-    "width int, height int, n_frames int"
+    "feat array<float>, feat_json string, mean_val double, "
+    "std_val double, width int, height int, n_frames int"
 )
 
 _PA_FEATURES = pa.schema([
@@ -119,6 +133,7 @@ _PA_FEATURES = pa.schema([
     ("kind", pa.string()),
     ("n_bytes", pa.int64()),
     ("feat", pa.list_(pa.float32())),
+    ("feat_json", pa.string()),
     ("mean_val", pa.float64()),
     ("std_val", pa.float64()),
     ("width", pa.int32()),
@@ -129,28 +144,41 @@ _PA_FEATURES = pa.schema([
 N_FEAT = 16
 
 
+def media_feature_row(r: dict) -> dict:
+    """Feature row for one media record — pure function, shared by the
+    Spark UDF and the driver-side golden materialization
+    (``oracle_golden.py``) so both compute byte-identical values.
+
+    ``feat_json`` is the driver-contract serialization of the feature
+    vector: raw arrays are banned in oracle-checked outputs (engines
+    stringify/sort them differently — ``operators/relational.py``
+    rule), so the vector is serialized in Python where the formatting
+    is single-sourced.
+    """
+    arr = fake_decode(r["payload"], r["kind"], r["meta"])
+    flat = arr.astype(np.float64).ravel()
+    # 16-bin byte histogram as the embedding-ish feature
+    hist, _ = np.histogram(flat, bins=N_FEAT)
+    denom = max(float(flat.size), 1.0)
+    feat = (hist / denom).astype(np.float32).tolist()
+    return {
+        "media_id": r["media_id"],
+        "kind": r["kind"],
+        "n_bytes": len(r["payload"]),
+        "feat": feat,
+        "feat_json": json.dumps(feat),
+        "mean_val": float(flat.mean()),
+        "std_val": float(flat.std()),
+        "width": r["meta"]["width"],
+        "height": r["meta"]["height"],
+        "n_frames": r["meta"]["n_frames"],
+    }
+
+
 def _features_batches(
         batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
-        cols = batch.to_pylist()
-        rows = []
-        for r in cols:
-            arr = fake_decode(r["payload"], r["kind"], r["meta"])
-            flat = arr.astype(np.float64).ravel()
-            # 16-bin byte histogram as the embedding-ish feature
-            hist, _ = np.histogram(flat, bins=N_FEAT)
-            denom = max(float(flat.size), 1.0)
-            rows.append({
-                "media_id": r["media_id"],
-                "kind": r["kind"],
-                "n_bytes": len(r["payload"]),
-                "feat": (hist / denom).astype(np.float32).tolist(),
-                "mean_val": float(flat.mean()),
-                "std_val": float(flat.std()),
-                "width": r["meta"]["width"],
-                "height": r["meta"]["height"],
-                "n_frames": r["meta"]["n_frames"],
-            })
+        rows = [media_feature_row(r) for r in batch.to_pylist()]
         yield pa.RecordBatch.from_pylist(rows, schema=_PA_FEATURES)
 
 
@@ -172,22 +200,30 @@ _PA_FRAMES = pa.schema([
 ])
 
 
+def video_frame_rows(r: dict, every_n: int) -> list[dict]:
+    """Sampled frames for one media record — pure function, shared by
+    the Spark UDF and the golden materialization."""
+    if r["kind"] != "video":
+        return []
+    vid = fake_decode(r["payload"], "video", r["meta"])
+    return [
+        {
+            "media_id": r["media_id"],
+            "frame_idx": idx,
+            "frame": vid[idx].tobytes(),
+            "width": r["meta"]["width"],
+            "height": r["meta"]["height"],
+        }
+        for idx in range(0, vid.shape[0], every_n)
+    ]
+
+
 def _frame_batches(every_n: int):
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             rows = []
             for r in batch.to_pylist():
-                if r["kind"] != "video":
-                    continue
-                vid = fake_decode(r["payload"], "video", r["meta"])
-                for idx in range(0, vid.shape[0], every_n):
-                    rows.append({
-                        "media_id": r["media_id"],
-                        "frame_idx": idx,
-                        "frame": vid[idx].tobytes(),
-                        "width": r["meta"]["width"],
-                        "height": r["meta"]["height"],
-                    })
+                rows.extend(video_frame_rows(r, every_n))
             yield pa.RecordBatch.from_pylist(rows, schema=_PA_FRAMES)
 
     return run
@@ -196,6 +232,19 @@ def _frame_batches(every_n: int):
 def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """1→N frame sampling inside the UDF iterator (no giant arrays)."""
     return media.mapInArrow(_frame_batches(every_n), schema=FRAMES_SCHEMA)
+
+
+def resized_image_row(r: dict, out_w: int, out_h: int) -> dict | None:
+    """Nearest-neighbour resize for one media record — pure function,
+    shared by the Spark UDF and the golden materialization."""
+    if r["kind"] != "image":
+        return None
+    img = fake_decode(r["payload"], "image", r["meta"])
+    ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
+    xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
+    small = img[ys][:, xs]
+    return {"media_id": r["media_id"], "width": out_w,
+            "height": out_h, "pixels": small.tobytes()}
 
 
 def resize_images(media: DataFrame, out_w: int = 8,
@@ -209,16 +258,43 @@ def resize_images(media: DataFrame, out_w: int = 8,
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            rows = []
-            for r in batch.to_pylist():
-                if r["kind"] != "image":
-                    continue
-                img = fake_decode(r["payload"], "image", r["meta"])
-                ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
-                xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
-                small = img[ys][:, xs]
-                rows.append({"media_id": r["media_id"], "width": out_w,
-                             "height": out_h, "pixels": small.tobytes()})
+            rows = [row for r in batch.to_pylist()
+                    if (row := resized_image_row(r, out_w, out_h))]
             yield pa.RecordBatch.from_pylist(rows, schema=pa_schema)
 
     return media.mapInArrow(run, schema=schema)
+
+
+MEDIA_NEAR_DUP_THRESHOLD = 0.9999
+
+
+def media_near_dup(media: DataFrame,
+                   threshold: float = MEDIA_NEAR_DUP_THRESHOLD
+                   ) -> DataFrame:
+    """Media near-duplicate pairs: embedding-cosine over the extracted
+    feature vectors — multimodal wired into the dedup stack.
+
+    Exact-duplicate payloads score cosine 1.0; unrelated media of the
+    same kind sit well below (16-bin histograms of pseudo-random bytes
+    are near-uniform but differ at the percent level; measured max
+    non-dup cosine ≈ 0.9533 on the seeded corpus), so the default
+    threshold separates with a wide margin. Bounded all-pairs join here (the
+    verifier form, as ``similarity.cosine_near_dup``); at corpus scale
+    the sign-bucket LSH from ``similarity.bucketed_topk`` prunes
+    candidates first and this join runs bucket-local.
+    """
+    from .similarity import _cosine
+
+    feats = extract_media_features(media).select(
+        "media_id", F.col("feat").cast("array<double>").alias("v"))
+    a, b = feats.alias("a"), feats.alias("b")
+    return (
+        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("raw"))
+        .where(F.col("raw") >= threshold)
+        .select("media_a", "media_b",
+                F.round(F.col("raw"), 6).alias("cos_sim"))
+    )

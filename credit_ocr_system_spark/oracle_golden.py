@@ -1,0 +1,172 @@
+"""Driver-side golden materialization for the extraction/media oracles.
+
+The extraction-kernel queries (``x_*``) used to be rows-only checks:
+the layout kernel is order-dependent greedy clustering, which no SQL
+engine re-derives. This module closes that gap the way the round-1
+review prescribed: the *kernel output* is materialized to parquet by
+running the pure-Python kernel driver-side (no Spark) over the same
+deterministic page/media sources the Spark queries read, and the
+DuckDB oracles then either
+
+* **re-derive the relational tail in SQL** over that parquet —
+  ``x_extract_fields`` (match → clean → validate, mirroring reference
+  ``src/llm/field_extractor.py:206-274`` + ``validation.py:29-94``),
+  ``x_extract_lineage`` (pure aggregates), ``x_annotations`` (string
+  assembly), ``media_near_dup`` (cosine over feature vectors) — so
+  Spark's native-DataFrame implementations are checked against an
+  independent SQL derivation; or
+* **serve as independently-computed goldens** for the non-SQL-
+  expressible kernel/codec outputs themselves — ``x_extract_pages``,
+  ``x_media_features``, ``x_media_frames``, ``x_media_resize`` — where
+  the oracle checks that the distributed Arrow plumbing (batch
+  iteration, schema mapping, 1→N emits, partitioning) reproduces the
+  single-process kernel byte-for-byte. The kernel code is shared, so
+  this gate covers the Spark side, not the kernel's own semantics —
+  those are pinned separately by the golden-file + reference-parity
+  pytest suites (``tests/test_kernel_goldens.py``,
+  ``tests/test_reference_parity.py``).
+
+Materialization is cheap (<1 s), deterministic, and rerun on every
+``oracle_sql()`` call (atomic tmp+rename writes), so the files can
+never go stale relative to the kernel code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO_ROOT, ".oracle_golden")
+
+# Input sizes for the x_* queries — single source of truth, imported
+# by queries.py so the Spark side and the goldens can never diverge.
+X_N_PAGES = 200
+X_N_MEDIA = 240
+X_FRAME_EVERY_N = 4
+X_RESIZE_W = 8
+X_RESIZE_H = 8
+
+_BBOX_FIELDS = ("x1", "y1", "x2", "y2", "width", "height")
+
+
+def _write(name: str, rows: list[dict], schema: pa.Schema) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, name)
+    tmp = path + ".tmp"
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent readers see old or new
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, name)
+
+
+def _kernel_goldens() -> None:
+    from .kernel.extract import extract_document
+    from .sources.pages import gen_page
+
+    doc_rows, elem_rows, pair_rows = [], [], []
+    for i in range(X_N_PAGES):
+        p = gen_page(i)
+        res = extract_document(p["url"], p["html"])
+        doc_rows.append({
+            "url": p["url"],
+            "doc_kind": res["doc_kind"],
+            "page_count": res["page_count"],
+            "extracted_text": res["extracted_text"],
+            "n_elements": len(res["elements"]),
+            "n_pairs": len(res["pairs"]),
+            "bytes_in": len(p["html"]),
+        })
+        for idx, e in enumerate(res["elements"]):
+            row = {"url": p["url"], "elem_idx": idx,
+                   "page_num": e["page_num"], "text": e["text"],
+                   "confidence": e["confidence"]}
+            row.update({k: e["bbox"][k] for k in _BBOX_FIELDS})
+            elem_rows.append(row)
+        for idx, pr in enumerate(res["pairs"]):
+            pair_rows.append({
+                "url": p["url"], "pair_idx": idx, "label": pr["label"],
+                "value": pr["value"], "page": pr["page"],
+                "confidence": pr["confidence"],
+            })
+
+    _write("x_docs.parquet", doc_rows, pa.schema([
+        ("url", pa.string()), ("doc_kind", pa.string()),
+        ("page_count", pa.int32()), ("extracted_text", pa.string()),
+        ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
+        ("bytes_in", pa.int64()),
+    ]))
+    _write("x_elements.parquet", elem_rows, pa.schema(
+        [("url", pa.string()), ("elem_idx", pa.int32()),
+         ("page_num", pa.int32()), ("text", pa.string()),
+         ("confidence", pa.float64())]
+        + [(k, pa.float64()) for k in _BBOX_FIELDS]))
+    _write("x_pairs.parquet", pair_rows, pa.schema([
+        ("url", pa.string()), ("pair_idx", pa.int32()),
+        ("label", pa.string()), ("value", pa.string()),
+        ("page", pa.int32()), ("confidence", pa.float64()),
+    ]))
+
+
+def _config_golden() -> None:
+    from .config.document_types import CREDIT_REQUEST_FIELDS
+
+    rows = [
+        {
+            "field_idx": i,
+            "field_name": s.name,
+            "candidates": list(s.candidates),
+            "clean_type": s.clean_type,
+            "vtype": s.vtype,
+            "vmin": float(s.vmin) if s.vmin is not None else None,
+            "vmax": float(s.vmax) if s.vmax is not None else None,
+            "pattern": s.pattern,
+        }
+        for i, s in enumerate(CREDIT_REQUEST_FIELDS)
+    ]
+    _write("x_field_config.parquet", rows, pa.schema([
+        ("field_idx", pa.int32()), ("field_name", pa.string()),
+        ("candidates", pa.list_(pa.string())),
+        ("clean_type", pa.string()), ("vtype", pa.string()),
+        ("vmin", pa.float64()), ("vmax", pa.float64()),
+        ("pattern", pa.string()),
+    ]))
+
+
+def _media_goldens() -> None:
+    from .operators.multimodal import (
+        _PA_FEATURES,
+        _PA_FRAMES,
+        gen_media_rows,
+        media_feature_row,
+        resized_image_row,
+        video_frame_rows,
+    )
+
+    media = gen_media_rows(X_N_MEDIA)
+    _write("x_media_features.parquet",
+           [media_feature_row(r) for r in media], _PA_FEATURES)
+    frame_rows: list[dict] = []
+    for r in media:
+        frame_rows.extend(video_frame_rows(r, X_FRAME_EVERY_N))
+    _write("x_media_frames.parquet", frame_rows, _PA_FRAMES)
+    _write("x_media_resize.parquet",
+           [row for r in media
+            if (row := resized_image_row(r, X_RESIZE_W, X_RESIZE_H))],
+           pa.schema([
+               ("media_id", pa.int64()), ("width", pa.int32()),
+               ("height", pa.int32()), ("pixels", pa.binary()),
+           ]))
+
+
+def materialize() -> str:
+    """(Re)write every golden parquet; returns the directory."""
+    _kernel_goldens()
+    _config_golden()
+    _media_goldens()
+    return GOLDEN_DIR

@@ -4,10 +4,17 @@ for every operator family (SURVEY.md §2 + training-data ops).
 Each entry pairs a DataFrame-native Spark query with an ANSI-SQL oracle
 that DuckDB runs over the same parquet tables. Column names and types
 are aligned on both sides; cross-engine float rules are documented in
-``operators/relational.py``. Extraction-kernel queries (non-SQL-
-expressible: the layout kernel is order-dependent greedy clustering)
-have no oracle and get the driver's rows-only check; their correctness
-gate is the golden-file + reference-parity pytest suite instead.
+``operators/relational.py``.
+
+The extraction/media queries (``x_*``) are oracle-checked through the
+golden materialization in ``oracle_golden.py``: the pure-Python kernel
+runs driver-side over the same deterministic sources and writes its
+output to parquet, and the oracles either re-derive the relational
+tail in SQL over that parquet (``x_extract_fields``,
+``x_extract_lineage``, ``x_annotations``, ``media_near_dup``) or
+compare the distributed run against the independently-computed golden
+(``x_extract_pages``, ``x_media_*`` — see ``oracle_golden.py`` for
+what each flavor does and does not prove).
 """
 
 from __future__ import annotations
@@ -16,6 +23,8 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import oracle_golden as G
 
 from .operators import relational as R
 from .operators import textops as T
@@ -33,19 +42,21 @@ from .operators.textops import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ---------------------------------------------------------------------------
-# Extraction-engine queries (rows-only check; pytest goldens are the gate)
+# Extraction-engine queries (oracle-checked via oracle_golden.py)
 # ---------------------------------------------------------------------------
-
-_X_N_PAGES = 200
 
 
 def _x_pages(spark: SparkSession) -> DataFrame:
     from .sources.pages import pages_df
 
-    return pages_df(spark, _X_N_PAGES, partitions=8)
+    return pages_df(spark, G.X_N_PAGES, partitions=8)
 
 
 def x_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the oracle reads the driver-side pure-Python
+    kernel run (same code, same pages), so this row proves the
+    distributed Arrow plumbing, while the kernel's own semantics are
+    pinned by the golden-file + reference-parity pytest suites."""
     from .operators.extraction import extract_pages
 
     return extract_pages(_x_pages(spark)).select(
@@ -54,6 +65,10 @@ def x_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: DuckDB re-derives match → clean → validate
+    (reference ``src/llm/field_extractor.py:206-274``,
+    ``src/llm/validation.py:29-94``) from the materialized kernel
+    pairs/elements + field config."""
     from .operators.extraction import extract_pages
     from .operators.fields_native import field_config_df, fields_table
 
@@ -64,41 +79,74 @@ def x_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled per-partition lineage: the input is repartitioned
+    by the portable url bucket (``metrics.portable_bucket``), so each
+    bucket IS one physical partition's content and any engine can
+    re-derive the aggregates."""
     from .operators.extraction import extract_pages
-    from .operators.metrics import partition_lineage
-    from .plans.pipeline import repartition_salted
+    from .operators.metrics import bucket_lineage, portable_bucket
 
-    ext = extract_pages(repartition_salted(_x_pages(spark), 8))
-    return partition_lineage(ext, "entry-run").select(
+    pages = _x_pages(spark).repartition(
+        8, portable_bucket(F.col("url"), 8))
+    ext = extract_pages(pages)
+    return bucket_lineage(ext, "entry-run").select(
         "partition_id", "n_docs", "n_elements", "n_pairs", "bytes_in")
 
 
-_X_N_MEDIA = 240
-
-
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked (see x_extract_pages): feature vector travels as
+    ``feat_json`` — raw arrays are banned in oracle-checked outputs."""
     from .operators.multimodal import extract_media_features, media_df
 
-    return extract_media_features(media_df(spark, _X_N_MEDIA))
+    return extract_media_features(
+        media_df(spark, G.X_N_MEDIA)).drop("feat")
 
 
 def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked. Frame payloads travel as md5(hex(bytes)) +
+    byte length: raw binary, like raw arrays, is unhashable in the
+    driver's pandas canonicalizer — digests compare exactly without
+    tripping it."""
     from .operators.multimodal import media_df, sample_video_frames
 
-    return sample_video_frames(media_df(spark, _X_N_MEDIA), every_n=4)
+    frames = sample_video_frames(media_df(spark, G.X_N_MEDIA),
+                                 every_n=G.X_FRAME_EVERY_N)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.md5(F.hex("frame")).alias("frame_md5"),
+        F.octet_length("frame").alias("frame_bytes"),
+        "width", "height")
 
 
 def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked; binary → digest, see x_media_frames."""
     from .operators.multimodal import media_df, resize_images
 
-    return resize_images(media_df(spark, _X_N_MEDIA))
+    out = resize_images(media_df(spark, G.X_N_MEDIA),
+                        out_w=G.X_RESIZE_W, out_h=G.X_RESIZE_H)
+    return out.select(
+        "media_id", "width", "height",
+        F.md5(F.hex("pixels")).alias("pixels_md5"),
+        F.octet_length("pixels").alias("n_bytes"))
 
 
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: DuckDB re-assembles the SVG overlays from the
+    materialized kernel elements (integer-pixel coords + pinned
+    element order make the strings engine-portable)."""
     from .operators.annotate import annotation_svg
     from .operators.extraction import extract_pages
 
     return annotation_svg(extract_pages(_x_pages(spark)))
+
+
+def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: multimodal features feed the cosine near-dup
+    operator; DuckDB recomputes the cosines from the feature golden."""
+    from .operators.multimodal import media_df
+    from .operators.multimodal import media_near_dup as op
+
+    return op(media_df(spark, G.X_N_MEDIA))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +708,144 @@ WHERE rn <= 5
 }
 
 
+def _x_oracles() -> Dict[str, str]:
+    """Oracles for the extraction/media tail, over the materialized
+    kernel-output parquet (``oracle_golden.py``). Paths are absolute —
+    the driver's DuckDB connection runs from an arbitrary cwd."""
+    docs = G.golden_path("x_docs.parquet")
+    elements = G.golden_path("x_elements.parquet")
+    pairs = G.golden_path("x_pairs.parquet")
+    config = G.golden_path("x_field_config.parquet")
+    features = G.golden_path("x_media_features.parquet")
+    frames = G.golden_path("x_media_frames.parquet")
+    resize = G.golden_path("x_media_resize.parquet")
+    from .operators.multimodal import MEDIA_NEAR_DUP_THRESHOLD
+
+    band = ("CASE WHEN confidence >= 0.9 THEN '#2e7d32' "
+            "WHEN confidence >= 0.7 THEN '#ef6c00' "
+            "ELSE '#c62828' END")
+
+    def px(col: str) -> str:
+        return f"CAST(CAST(ceil({col}) AS BIGINT) AS VARCHAR)"
+
+    return {
+        "x_extract_pages": f"""
+SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
+FROM read_parquet('{docs}')
+""",
+        # match → clean → validate re-derived in SQL, mirroring
+        # fields_native.py (priority 0 = pair matches outrank line
+        # fallbacks; first match = lowest emission index; validation =
+        # the reference's five error rules, is_valid = none fired)
+        "x_extract_fields": f"""
+WITH pair_c AS (
+  SELECT url, 0 AS priority, pair_idx AS match_idx,
+         label AS match_text, value, confidence, page, 'pair' AS source
+  FROM read_parquet('{pairs}')),
+ line_c AS (
+  SELECT url, 1 AS priority, elem_idx AS match_idx,
+         text AS match_text, text AS value, confidence,
+         page_num AS page, 'line' AS source
+  FROM read_parquet('{elements}')),
+ cands AS (SELECT * FROM pair_c UNION ALL SELECT * FROM line_c),
+ cfg AS (SELECT * FROM read_parquet('{config}')),
+ matched AS (
+  SELECT c.url, f.field_name, f.vtype, f.vmin, f.vmax, f.pattern,
+         c.value, c.confidence, c.page, c.source,
+         row_number() OVER (PARTITION BY c.url, f.field_name
+                            ORDER BY c.priority, c.match_idx) AS rn
+  FROM cands c JOIN cfg f
+    ON len(list_filter(f.candidates,
+           x -> contains(lower(c.match_text), x))) > 0),
+ normed AS (
+  SELECT *, TRY_CAST(replace(replace(value, '.', ''), ',', '.')
+                     AS DOUBLE) AS as_num
+  FROM matched WHERE rn = 1)
+SELECT url, field_name, value, confidence, CAST(page AS INT) AS page,
+ source,
+ ((NOT (vtype = 'number' AND as_num IS NULL))
+  AND (NOT (vtype = 'boolean'
+            AND lower(value) NOT IN ('true', 'false')))
+  AND (NOT (vtype = 'number' AND vmin IS NOT NULL
+            AND as_num IS NOT NULL AND as_num < vmin))
+  AND (NOT (vtype = 'number' AND vmax IS NOT NULL
+            AND as_num IS NOT NULL AND as_num > vmax))
+  AND (NOT (pattern IS NOT NULL
+            AND NOT regexp_matches(value, pattern)))) AS is_valid
+FROM normed
+""",
+        "x_extract_lineage": f"""
+WITH docs AS (
+  SELECT n_elements, n_pairs, bytes_in,
+         ascii(substr(md5(url), 32, 1)) AS a
+  FROM read_parquet('{docs}'))
+SELECT
+ CAST((CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) % 8 AS INT)
+   AS partition_id,
+ COUNT(*) AS n_docs,
+ CAST(SUM(n_elements) AS BIGINT) AS n_elements,
+ CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+ CAST(SUM(bytes_in) AS BIGINT) AS bytes_in
+FROM docs GROUP BY 1
+""",
+        "x_media_features": f"""
+SELECT media_id, kind, n_bytes, feat_json, mean_val, std_val,
+       width, height, n_frames
+FROM read_parquet('{features}')
+""",
+        "x_media_frames": f"""
+SELECT media_id, frame_idx, md5(hex(frame)) AS frame_md5,
+       CAST(octet_length(frame) AS INT) AS frame_bytes, width, height
+FROM read_parquet('{frames}')
+""",
+        "x_media_resize": f"""
+SELECT media_id, width, height, md5(hex(pixels)) AS pixels_md5,
+       CAST(octet_length(pixels) AS INT) AS n_bytes
+FROM read_parquet('{resize}')
+""",
+        "x_annotations": f"""
+WITH shaped AS (
+  SELECT url, page_num, elem_idx,
+   '<rect x="' || {px('x1')}
+   || '" y="' || {px('y1')}
+   || '" width="' || {px('width')}
+   || '" height="' || {px('height')}
+   || '" fill="none" stroke="' || ({band})
+   || '"/><text x="' || {px('x1')}
+   || '" y="' || CAST(CAST(ceil(y1) AS BIGINT) - 2 AS VARCHAR)
+   || '" font-size="8">'
+   || (CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
+            ELSE text END)
+   || '</text>' AS shape,
+   CAST(ceil(x2) AS BIGINT) AS cx2, CAST(ceil(y2) AS BIGINT) AS cy2
+  FROM read_parquet('{elements}')),
+ pp AS (
+  SELECT url, page_num, COUNT(*) AS n_elements,
+   string_agg(shape, chr(10) ORDER BY elem_idx) AS body,
+   MAX(cx2) AS mx, MAX(cy2) AS my
+  FROM shaped GROUP BY url, page_num)
+SELECT url, page_num, n_elements,
+ '<svg xmlns="http://www.w3.org/2000/svg" width="'
+ || CAST(mx + 10 AS VARCHAR) || '" height="'
+ || CAST(my + 10 AS VARCHAR) || '">' || chr(10) || body
+ || chr(10) || '</svg>' AS svg
+FROM pp
+""",
+        "media_near_dup": f"""
+WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
+           FROM read_parquet('{features}')),
+ scored AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+   list_dot_product(a.v, b.v) /
+     (sqrt(list_dot_product(a.v, a.v))
+      * sqrt(list_dot_product(b.v, b.v))) AS raw
+  FROM f a JOIN f b ON a.media_id < b.media_id)
+SELECT media_a, media_b, ROUND(raw, 6) AS cos_sim
+FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
+""",
+    }
+
+
 def build_queries() -> Dict[str, QueryFn]:
     q: Dict[str, QueryFn] = {
         # relational families
@@ -712,19 +898,25 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: S.ivf_topk(
             R.load(s, d, "embeddings")),
-        # extraction engine (rows-only; goldens are the gate)
+        # extraction engine (oracled via golden materialization)
         "x_extract_pages": x_extract_pages,
         "x_extract_fields": x_extract_fields,
         "x_extract_lineage": x_extract_lineage,
-        # multimodal plumbing (rows-only; codec is a documented stub)
+        # multimodal plumbing (codec is a documented stub; the
+        # fake-decode path is fully oracled)
         "x_media_features": x_media_features,
         "x_media_frames": x_media_frames,
         "x_media_resize": x_media_resize,
-        # annotation overlay sink (rows-only; SVG strings)
+        "media_near_dup": media_near_dup,
+        # annotation overlay sink
         "x_annotations": x_annotations,
     }
     return q
 
 
 def build_oracles() -> Dict[str, str]:
-    return dict(ORACLES)
+    # (Re)materialize the kernel-output goldens before handing out the
+    # SQL that reads them — they can never be stale relative to the
+    # kernel code, and they exist before DuckDB runs.
+    G.materialize()
+    return {**ORACLES, **_x_oracles()}
