@@ -314,7 +314,10 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
             if endpos == gt + 1 and _cacheable(snippet):
                 if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
                     _TAG_CACHE.clear()
-                _TAG_CACHE[snippet] = (kind, tag, attrs)
+                # tuple, not the live list: a handler that mutated the
+                # attrs it receives would otherwise corrupt every
+                # subsequent cache hit for this snippet
+                _TAG_CACHE[snippet] = (kind, tag, tuple(attrs))
             i = endpos
         elif c == "/":
             em = _endtagfind.match(rawdata, i)

@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterator
 
@@ -87,6 +88,16 @@ _EMPTY_RESULT = {
     "spans": [], "elements": [], "pairs": [],
 }
 
+# Poison-doc guard escape hatch: a single bad document must degrade to
+# an error row, but a batch of >= this many rows where EVERY row
+# errors is a systemic kernel regression (ImportError, schema bug,
+# ...) — the job must fail fast, not "succeed" with 100% error rows.
+# Set COS_SPARK_DISABLE_BATCH_ERROR_GUARD=1 for corpora where
+# wholly-broken shards are expected.
+_BATCH_GUARD_MIN_ROWS = 32
+_BATCH_GUARD_OFF = os.environ.get(
+    "COS_SPARK_DISABLE_BATCH_ERROR_GUARD", "") == "1"
+
 
 def _arrow_schema() -> pa.Schema:
     return PA_EXTRACTED_SCHEMA
@@ -102,6 +113,7 @@ def _extract_batches(
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         rows = []
+        n_errors = 0
         for url, payload in zip(urls, payloads):
             t0 = time.perf_counter_ns()
             try:
@@ -113,6 +125,7 @@ def _extract_batches(
                 # spark.task.maxFailures retries, the job)
                 res = _EMPTY_RESULT
                 err = f"{type(ex).__name__}: {ex}"[:500]
+                n_errors += 1
             elapsed_us = (time.perf_counter_ns() - t0) // 1000
             rows.append({
                 "url": url,
@@ -140,6 +153,13 @@ def _extract_batches(
                 "kernel_us": elapsed_us,
                 "error": err,
             })
+        if (not _BATCH_GUARD_OFF and n_errors == len(rows)
+                and n_errors >= _BATCH_GUARD_MIN_ROWS):
+            raise RuntimeError(
+                f"extraction kernel failed on ALL {n_errors} documents "
+                f"of a batch — systemic regression, failing the task "
+                f"instead of emitting error rows. First error: "
+                f"{rows[0]['error']}")
         yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
 

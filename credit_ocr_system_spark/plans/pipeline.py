@@ -77,8 +77,21 @@ class SnapshotSink:
     Stands in for an Iceberg table in this sandbox (no catalog jars):
     data lands in ``snap-<run_id>/`` staging dirs and becomes visible
     only when the manifest line is appended — the same
-    commit-is-a-pointer-swap discipline as an Iceberg snapshot. On a
-    cluster, swap `write_snapshot` for ``df.writeTo(table).append()``.
+    commit-is-a-pointer-swap discipline as an Iceberg snapshot. The
+    Iceberg operations the pipeline relies on are all present:
+
+    * **append** — ``write_snapshot`` (≈ ``writeTo(t).append()``);
+    * **merge/upsert** — ``merge_upsert`` (≈ ``MERGE INTO t USING s ON
+      keys WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``,
+      the reference's Postgres upsert in
+      ``src/dms/adapters.py:130-167``): written as a ``replace``
+      snapshot that carries survivors + new rows, so reads never need
+      merge logic;
+    * **time travel** — ``read_committed(as_of=run_id)`` /
+      ``read_snapshot`` (≈ ``VERSION AS OF``): earlier snapshots stay
+      immutable on disk, a replace only redirects the *current* view.
+
+    On a cluster, swap these for the corresponding Iceberg calls.
     """
 
     def __init__(self, root: str):
@@ -91,28 +104,70 @@ class SnapshotSink:
         with open(self.manifest, encoding="utf-8") as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def committed_paths(self) -> list[str]:
-        return [os.path.join(self.root, s["dir"])
-                for s in self.committed_snapshots()]
+    def _visible(self, as_of: str | None = None) -> list[dict]:
+        """Snapshots visible in the view at ``as_of`` (inclusive;
+        None = current): the suffix since the last ``replace``."""
+        snaps = self.committed_snapshots()
+        if as_of is not None:
+            upto = [i for i, s in enumerate(snaps)
+                    if s["run_id"] == as_of]
+            if not upto:
+                raise KeyError(f"no committed snapshot for run {as_of}")
+            snaps = snaps[:upto[-1] + 1]
+        start = 0
+        for i, s in enumerate(snaps):
+            if s.get("op", "append") == "replace":
+                start = i
+        return snaps[start:]
 
-    def read_committed(self, spark: SparkSession) -> DataFrame | None:
-        paths = self.committed_paths()
+    def committed_paths(self, as_of: str | None = None) -> list[str]:
+        return [os.path.join(self.root, s["dir"])
+                for s in self._visible(as_of)]
+
+    def read_committed(self, spark: SparkSession,
+                       as_of: str | None = None) -> DataFrame | None:
+        """Current view, or the view as of snapshot ``as_of``
+        (Iceberg ``VERSION AS OF`` time travel)."""
+        paths = self.committed_paths(as_of)
         if not paths:
             return None
         return spark.read.parquet(*paths)
 
+    def read_snapshot(self, spark: SparkSession,
+                      run_id: str) -> DataFrame:
+        """One snapshot's own rows (not the merged view)."""
+        for s in self.committed_snapshots():
+            if s["run_id"] == run_id:
+                return spark.read.parquet(
+                    os.path.join(self.root, s["dir"]))
+        raise KeyError(f"no committed snapshot for run {run_id}")
+
     def write_snapshot(self, df: DataFrame, run_id: str,
-                       meta: dict | None = None) -> str:
+                       meta: dict | None = None,
+                       op: str = "append") -> str:
         snap_dir = f"snap-{run_id}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, snap_dir))
         os.makedirs(self.root, exist_ok=True)
-        entry = {"dir": snap_dir, "run_id": run_id,
+        entry = {"dir": snap_dir, "run_id": run_id, "op": op,
                  "committed_at": time.time(), **(meta or {})}
         # The append+flush of one manifest line is the atomic commit.
         with open(self.manifest, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(entry) + "\n")
         return snap_dir
+
+    def merge_upsert(self, spark: SparkSession, df: DataFrame,
+                     run_id: str, keys: list[str],
+                     meta: dict | None = None) -> str:
+        """MERGE-equivalent: new rows win on ``keys``, unmatched old
+        rows survive. One replace snapshot; prior snapshots remain
+        readable via time travel."""
+        current = self.read_committed(spark)
+        if current is not None:
+            survivors = current.join(df.select(*keys).distinct(),
+                                     keys, "left_anti")
+            df = survivors.unionByName(df)
+        return self.write_snapshot(df, run_id, meta, op="replace")
 
 
 def preflight(pages: DataFrame) -> DataFrame:
@@ -176,7 +231,11 @@ def run_extraction_job(
         n_fields = fields.count()
         sink_fields.write_snapshot(fields, run_id, {"n_rows": n_fields})
         sink_lineage.write_snapshot(lineage, run_id)
-        sink_status.write_snapshot(doc_status(extracted, run_id), run_id)
+        # doc_status is keyed state, not an event log: a re-extracted
+        # url must UPDATE its row (reference MERGE semantics,
+        # src/dms/adapters.py:130-167), so the status sink upserts.
+        sink_status.merge_upsert(spark, doc_status(extracted, run_id),
+                                 run_id, keys=["url"])
         return {"run_id": run_id, "n_docs": n_docs, "n_fields": n_fields,
                 "skipped": False}
     finally:

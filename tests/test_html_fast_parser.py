@@ -46,8 +46,16 @@ def assert_equivalent(payload: bytes):
     except hx._FastBail:
         return  # fallback path: extract_html would reparse via stdlib
     assert got_blocks == want_blocks
-    # and the public entry point end-to-end (exercises _collect_blocks)
-    assert hx.extract_html(payload) == hx.extract_html(payload)
+    # and the public entry point end-to-end: _collect_blocks via the
+    # fast path vs forced through the stdlib path must agree
+    fast_out = hx.extract_html(payload)
+    have_fast = hx._HAVE_FAST
+    hx._HAVE_FAST = False
+    try:
+        stdlib_out = hx.extract_html(payload)
+    finally:
+        hx._HAVE_FAST = have_fast
+    assert fast_out == stdlib_out
 
 
 CASES = [

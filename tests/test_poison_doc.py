@@ -55,3 +55,35 @@ def test_clean_batch_has_null_errors():
     ])
     rows = list(extraction._extract_batches(iter([batch])))[0].to_pylist()
     assert all(r["error"] is None for r in rows)
+
+
+def test_all_error_batch_fails_fast(monkeypatch):
+    """A batch where EVERY document errors (>= guard size) is a
+    systemic kernel regression: the task must fail, not emit a
+    'successful' output of 100% error rows."""
+    def always_bomb(url, payload):
+        raise ImportError("synthetic systemic regression")
+
+    monkeypatch.setattr(kernel_extract, "extract_document", always_bomb)
+    n = extraction._BATCH_GUARD_MIN_ROWS
+    batch = _batch([
+        {"url": f"https://all.example/{i}", "html": b"<p>x</p>"}
+        for i in range(n)
+    ])
+    with pytest.raises(RuntimeError, match="ALL"):
+        list(extraction._extract_batches(iter([batch])))
+
+
+def test_small_all_error_batch_still_degrades(monkeypatch):
+    """Below the guard size the poison-doc behavior wins — a tail
+    batch of a few genuinely-broken docs must not kill the job."""
+    def always_bomb(url, payload):
+        raise ValueError("bad docs, small batch")
+
+    monkeypatch.setattr(kernel_extract, "extract_document", always_bomb)
+    batch = _batch([
+        {"url": "https://few.example/1", "html": b"x"},
+        {"url": "https://few.example/2", "html": b"y"},
+    ])
+    rows = list(extraction._extract_batches(iter([batch])))[0].to_pylist()
+    assert all(r["error"] is not None for r in rows)
