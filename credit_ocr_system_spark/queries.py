@@ -140,6 +140,33 @@ def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotation_svg(extract_pages(_x_pages(spark)))
 
 
+def x_llm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: DuckDB re-assembles the reference-style prompts
+    from the materialized kernel pairs (U2 orchestration, stage 1)."""
+    from .operators.extraction import extract_pages
+    from .operators.llm_infer import build_prompts
+
+    return build_prompts(extract_pages(_x_pages(spark)))
+
+
+def x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled end-to-end U2 shape: prompt build → batched
+    inference (deterministic ``fake_infer`` seam) → fence/comment
+    strip + JSON parse. The oracle recomputes the responses in SQL
+    because the stand-in model's output is a pure function
+    (md5 + length) of the prompt."""
+    from .operators.extraction import extract_pages
+    from .operators.llm_infer import (
+        build_prompts,
+        llm_batch_infer,
+        parse_llm_response,
+    )
+
+    prompts = build_prompts(extract_pages(_x_pages(spark)))
+    return parse_llm_response(llm_batch_infer(prompts)).select(
+        "url", "response", "prompt_md5", "prompt_chars")
+
+
 def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: multimodal features feed the cosine near-dup
     operator; DuckDB recomputes the cosines from the feature golden."""
@@ -720,6 +747,19 @@ def _x_oracles() -> Dict[str, str]:
     frames = G.golden_path("x_media_frames.parquet")
     resize = G.golden_path("x_media_resize.parquet")
     from .operators.multimodal import MEDIA_NEAR_DUP_THRESHOLD
+    from .operators.llm_infer import (
+        FAKE_MODEL_TAG,
+        PROMPT_FOOTER,
+        PROMPT_HEADER,
+    )
+
+    prompts_sql = f"""
+  SELECT url, '{PROMPT_HEADER}'
+         || string_agg(label || ': ' || value, chr(10)
+                       ORDER BY pair_idx)
+         || '{PROMPT_FOOTER}' AS prompt,
+         COUNT(*) AS n_pairs
+  FROM read_parquet('{pairs}') GROUP BY url"""
 
     band = ("CASE WHEN confidence >= 0.9 THEN '#2e7d32' "
             "WHEN confidence >= 0.7 THEN '#ef6c00' "
@@ -831,6 +871,20 @@ SELECT url, page_num, n_elements,
  || chr(10) || '</svg>' AS svg
 FROM pp
 """,
+        "x_llm_prompts": f"""
+WITH p AS ({prompts_sql})
+SELECT url, prompt, n_pairs FROM p
+""",
+        "x_llm_extract": f"""
+WITH p AS ({prompts_sql})
+SELECT url,
+ '```json' || chr(10) || '{{"prompt_md5": "' || md5(prompt)
+ || '", "prompt_chars": ' || CAST(length(prompt) AS VARCHAR)
+ || '}}' || ' // {FAKE_MODEL_TAG}' || chr(10) || '```' AS response,
+ md5(prompt) AS prompt_md5,
+ CAST(length(prompt) AS INT) AS prompt_chars
+FROM p
+""",
         "media_near_dup": f"""
 WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
            FROM read_parquet('{features}')),
@@ -908,6 +962,9 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_media_frames": x_media_frames,
         "x_media_resize": x_media_resize,
         "media_near_dup": media_near_dup,
+        # U2 batched-inference orchestration (deterministic seam)
+        "x_llm_prompts": x_llm_prompts,
+        "x_llm_extract": x_llm_extract,
         # annotation overlay sink
         "x_annotations": x_annotations,
     }

@@ -1,0 +1,69 @@
+"""U2 batched-inference orchestration: batching, seam contract, parse.
+
+End-to-end value parity (prompt build → fake inference → parse) is
+covered by the oracle suite (``x_llm_prompts`` / ``x_llm_extract``);
+these tests pin the orchestration mechanics the oracle can't see:
+batch boundaries, the response-count contract, and a custom infer_fn
+plugged into the seam.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from credit_ocr_system_spark.operators.extraction import extract_pages
+from credit_ocr_system_spark.operators.llm_infer import (
+    build_prompts,
+    fake_infer,
+    llm_batch_infer,
+    parse_llm_response,
+)
+from credit_ocr_system_spark.sources.pages import pages_df
+
+
+@pytest.fixture(scope="module")
+def prompts(spark):
+    return build_prompts(
+        extract_pages(pages_df(spark, 40, partitions=2))).cache()
+
+
+def test_batch_accounting(spark, prompts):
+    out = llm_batch_infer(prompts, batch_size=8).collect()
+    assert len(out) == prompts.count()
+    # every batch carries its own size; all but trailing batches are
+    # exactly batch_size (per partition)
+    sizes = {(r.batch_idx, r.batch_size) for r in out}
+    assert all(s <= 8 for _, s in sizes)
+    assert sum(1 for r in out if r.batch_latency_us >= 0) == len(out)
+
+
+def test_custom_infer_fn_via_seam(spark, prompts):
+    def shouty(ps):
+        return [f"RESPONSE:{len(p)}" for p in ps]
+
+    out = llm_batch_infer(prompts, infer_fn=shouty, batch_size=16)
+    rows = out.collect()
+    assert all(r.response.startswith("RESPONSE:") for r in rows)
+
+
+def test_response_count_contract(spark, prompts):
+    def broken(ps):
+        return ps[:-1]  # drops one response
+
+    with pytest.raises(Exception, match="responses"):
+        llm_batch_infer(prompts, infer_fn=broken, batch_size=8).collect()
+
+
+def test_parse_roundtrip(spark, prompts):
+    parsed = parse_llm_response(llm_batch_infer(prompts))
+    rows = parsed.collect()
+    assert rows
+    by_url = {r.url: r for r in rows}
+    # cross-check one row against local fake_infer + python md5
+    p = prompts.first()
+    want = fake_infer([p.prompt])[0]
+    got = by_url[p.url]
+    assert got.response == want
+    assert got.prompt_chars == len(p.prompt)
+    import hashlib
+    assert got.prompt_md5 == hashlib.md5(
+        p.prompt.encode("utf-8")).hexdigest()
