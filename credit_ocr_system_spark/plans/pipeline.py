@@ -127,11 +127,21 @@ class SnapshotSink:
     def read_committed(self, spark: SparkSession,
                        as_of: str | None = None) -> DataFrame | None:
         """Current view, or the view as of snapshot ``as_of``
-        (Iceberg ``VERSION AS OF`` time travel)."""
+        (Iceberg ``VERSION AS OF`` time travel).
+
+        Snapshots are read individually and unioned by name: each may
+        carry a different partition spec (hive-layout partition
+        columns come back in a different column order), and a single
+        multi-path read would trip partition discovery across mixed
+        layouts."""
         paths = self.committed_paths(as_of)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        dfs = [spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def read_snapshot(self, spark: SparkSession,
                       run_id: str) -> DataFrame:
@@ -144,12 +154,22 @@ class SnapshotSink:
 
     def write_snapshot(self, df: DataFrame, run_id: str,
                        meta: dict | None = None,
-                       op: str = "append") -> str:
+                       op: str = "append",
+                       partition_by: list[str] | None = None) -> str:
+        """``partition_by`` is this snapshot's partition spec —
+        recorded in the manifest per snapshot, so the spec can evolve
+        across commits (Iceberg partition-spec evolution): each
+        snapshot dir is self-contained and reads merge old- and
+        new-spec snapshots transparently (partition columns come back
+        as data columns either way)."""
         snap_dir = f"snap-{run_id}"
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.root, snap_dir))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, snap_dir))
         os.makedirs(self.root, exist_ok=True)
         entry = {"dir": snap_dir, "run_id": run_id, "op": op,
+                 "partition_spec": list(partition_by or []),
                  "committed_at": time.time(), **(meta or {})}
         # The append+flush of one manifest line is the atomic commit.
         with open(self.manifest, "a", encoding="utf-8") as fh:

@@ -83,3 +83,29 @@ def test_pipeline_status_sink_upserts(spark, tmp_path):
     df = status.read_committed(spark)
     assert df.count() == 12
     assert df.select("url").distinct().count() == 12
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """The partition spec can change between snapshots (Iceberg
+    partition-spec evolution): reads merge old- and new-spec
+    snapshots, and the manifest records the spec per snapshot."""
+    sink = SnapshotSink(str(tmp_path / "evo"))
+    df1 = spark.createDataFrame(
+        [("u1", "html", "done"), ("u2", "pdf", "done")],
+        "url string, doc_kind string, status string")
+    df2 = spark.createDataFrame(
+        [("u3", "html", "failed")],
+        "url string, doc_kind string, status string")
+    sink.write_snapshot(df1, "r1", partition_by=["doc_kind"])
+    sink.write_snapshot(df2, "r2", partition_by=["status"])
+
+    got = {(r.url, r.doc_kind, r.status)
+           for r in sink.read_committed(spark).collect()}
+    assert got == {("u1", "html", "done"), ("u2", "pdf", "done"),
+                   ("u3", "html", "failed")}
+    specs = {s["run_id"]: s["partition_spec"]
+             for s in sink.committed_snapshots()}
+    assert specs == {"r1": ["doc_kind"], "r2": ["status"]}
+    # hive layout actually materialized on disk
+    assert os.path.isdir(
+        os.path.join(sink.root, "snap-r1", "doc_kind=pdf"))
