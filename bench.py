@@ -71,6 +71,7 @@ HEADLINE = [
     "minhash_candidates_b4r2",
     "simhash",
     "quality_score",
+    "repetition_score",
     "token_counts",
     "fingerprints",
     "language_id",

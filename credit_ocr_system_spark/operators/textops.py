@@ -577,3 +577,75 @@ def shingle_jaccard_pairs(documents: DataFrame, threshold: float = 0.10,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --- repetition filtering (Gopher-style) ---------------------------------
+
+TOP_WORD_FRAC_MAX = 0.20    # Gopher: top-unigram share of tokens
+DUP_TRIGRAM_FRAC_MAX = 0.30  # Gopher: chars(tokens) in duplicated 3-grams
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the filter
+    family C4/Gopher used to drop boilerplate-heavy/looping pages:
+
+    * ``top_word_frac``   — share of tokens taken by the single most
+      frequent token (Gopher drops > 0.2 for the top unigram);
+    * ``top_bigram_frac`` — share of bigrams taken by the most
+      frequent bigram;
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram occurs more than once;
+    * ``is_repetitive``   — the thresholded verdict.
+
+    All three are explode → groupBy(doc, gram) → per-doc max/sum
+    chains: every aggregate is map-side combinable, shuffles are on
+    (doc_id, gram) then doc_id — the shape that survives 10^12 docs
+    (no per-doc collect, no UDF). Ratios round at emit (cross-engine
+    float rule, see module docstring).
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens(F.col("text")).alias("toks"))
+
+    def gram_stats(df: DataFrame, prefix: str) -> DataFrame:
+        per_gram = (
+            df.select("doc_id", F.explode("toks").alias("g"))
+            .groupBy("doc_id", "g").agg(F.count("*").alias("cnt")))
+        return per_gram.groupBy("doc_id").agg(
+            F.max("cnt").alias(f"top_{prefix}"),
+            F.sum("cnt").alias(f"n_{prefix}"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                  .otherwise(0)).alias(f"dup_{prefix}"))
+
+    n = F.size(F.col("toks"))
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, m), F.slice(F.col("toks"), 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    trigrams = _shingles(F.col("toks"))
+
+    uni = gram_stats(toks, "w")
+    bi = gram_stats(toks.withColumn("toks", bigrams), "b")
+    tri = gram_stats(toks.withColumn("toks", trigrams), "t")
+
+    top_word_frac = F.round(
+        F.col("top_w") / F.greatest(F.col("n_w"), F.lit(1)), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("top_b"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_b"), F.lit(0)), F.lit(1)), 6)
+    dup_trigram_frac = F.round(
+        F.coalesce(F.col("dup_t"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_t"), F.lit(0)), F.lit(1)), 6)
+    return (
+        uni.join(bi, "doc_id", "left").join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_w").cast("bigint").alias("n_tokens"),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_trigram_frac.alias("dup_trigram_frac"),
+            ((top_word_frac > TOP_WORD_FRAC_MAX)
+             | (dup_trigram_frac > DUP_TRIGRAM_FRAC_MAX))
+            .alias("is_repetitive"),
+        )
+    )

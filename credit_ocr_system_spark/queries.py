@@ -540,6 +540,49 @@ FROM (
   FROM events))
 GROUP BY user_id, session_idx
 """,
+    "repetition_score": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+ uni_c AS (
+  SELECT doc_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS g FROM toks) GROUP BY 1, 2),
+ uni AS (
+  SELECT doc_id, MAX(cnt) AS top_w, SUM(cnt) AS n_w FROM uni_c
+  GROUP BY 1),
+ bi_c AS (
+  SELECT doc_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 FOR i IN generate_series(1, len(toks) - 1)]) AS g
+        FROM toks WHERE len(toks) >= 2) GROUP BY 1, 2),
+ bi AS (
+  SELECT doc_id, MAX(cnt) AS top_b, SUM(cnt) AS n_b FROM bi_c
+  GROUP BY 1),
+ tri_c AS (
+  SELECT doc_id, g, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN generate_series(1, len(toks) - 2)]) AS g
+        FROM toks WHERE len(toks) >= 3) GROUP BY 1, 2),
+ tri AS (
+  SELECT doc_id, SUM(cnt) AS n_t,
+   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_t FROM tri_c
+  GROUP BY 1)
+SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
+ dup_trigram_frac,
+ (top_word_frac > {T.TOP_WORD_FRAC_MAX}
+  OR dup_trigram_frac > {T.DUP_TRIGRAM_FRAC_MAX}) AS is_repetitive
+FROM (
+ SELECT u.doc_id, CAST(u.n_w AS BIGINT) AS n_tokens,
+  ROUND(u.top_w / greatest(u.n_w, 1), 6) AS top_word_frac,
+  ROUND(COALESCE(b.top_b, 0) / greatest(COALESCE(b.n_b, 0), 1), 6)
+    AS top_bigram_frac,
+  ROUND(COALESCE(t.dup_t, 0) / greatest(COALESCE(t.n_t, 0), 1), 6)
+    AS dup_trigram_frac
+ FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+ LEFT JOIN tri t ON u.doc_id = t.doc_id)
+""",
     "simhash": _simhash_oracle(),
     # band count, width, mask and hamming bound all derived from the
     # textops constants so retuning them cannot desynchronize the oracle
@@ -934,6 +977,8 @@ def build_queries() -> Dict[str, QueryFn]:
         "language_id": lambda s, d: T.language_id(
             R.load(s, d, "documents")),
         "quality_score": lambda s, d: T.quality_score(
+            R.load(s, d, "documents")),
+        "repetition_score": lambda s, d: T.repetition_score(
             R.load(s, d, "documents")),
         "token_counts": lambda s, d: T.token_counts(
             R.load(s, d, "documents")),
