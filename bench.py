@@ -221,13 +221,31 @@ def _spark_class(cls: str, *args: str, taskset: str | None = None,
                             env=full_env)
 
 
-_PID_FILE = "/tmp/cos_cluster/pids.json"
+def _pid_file(workdir: str) -> str:
+    return os.path.join(workdir, "pids.json")
 
 
-def _record_cluster_pids(pids: list[int]) -> None:
-    os.makedirs(os.path.dirname(_PID_FILE), exist_ok=True)
-    with open(_PID_FILE, "w", encoding="utf-8") as fh:
+def _record_cluster_pids(workdir: str, pids: list[int]) -> None:
+    os.makedirs(workdir, exist_ok=True)
+    with open(_pid_file(workdir), "w", encoding="utf-8") as fh:
         json.dump(pids, fh)
+
+
+# Only processes whose cmdline matches one of these markers may be
+# killed via a recorded PID — PIDs recycle across days/reboots, and a
+# stale pids.json must never take down an unrelated process.
+_OURS_MARKERS = ("org.apache.spark.deploy", "CoarseGrainedExecutorBackend",
+                 "credit_ocr_system_spark")
+
+
+def _pid_is_ours(pid: str) -> bool:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            cmdline = fh.read().replace(b"\0", b" ").decode(
+                "utf-8", "replace")
+    except OSError:
+        return False
+    return any(m in cmdline for m in _OURS_MARKERS)
 
 
 def _kill_stale_cluster(workdir: str = "/tmp/cos_cluster") -> None:
@@ -241,12 +259,16 @@ def _kill_stale_cluster(workdir: str = "/tmp/cos_cluster") -> None:
     (b) master/worker JVMs matched on this bench's master address, and
     (c) executor JVMs matched by cwd under this bench's workdir.
     """
-    # (a) PIDs this bench recorded in a previous (possibly crashed) run
+    # (a) PIDs this bench recorded in a previous (possibly crashed)
+    # run — killed only if the PID still runs one of OUR processes
+    # (PID recycling guard), and the file is consumed either way
     try:
-        with open(_PID_FILE, encoding="utf-8") as fh:
+        with open(_pid_file(workdir), encoding="utf-8") as fh:
             for pid in json.load(fh):
-                subprocess.run(["kill", "-9", str(pid)],
-                               capture_output=True)
+                if _pid_is_ours(str(pid)):
+                    subprocess.run(["kill", "-9", str(pid)],
+                                   capture_output=True)
+        os.remove(_pid_file(workdir))
     except (OSError, ValueError):
         pass
     # (b) master/worker JVMs bound to this bench's master address
@@ -348,7 +370,7 @@ class StandaloneCluster:
                 log=os.path.join(self.workdir, f"worker{i}.log"),
                 env={"SPARK_WORKER_DIR":
                      os.path.join(self.workdir, f"worker{i}")}))
-        _record_cluster_pids([p.pid for p in self.procs])
+        _record_cluster_pids(self.workdir, [p.pid for p in self.procs])
         _wait_workers(self.n_workers)
         # Saturate unpinned cores so both cluster sizes run in the same
         # all-core regime — in BOTH dimensions the shared host couples:
@@ -396,7 +418,7 @@ class StandaloneCluster:
             for c in range(used, host_cores)
         ]
         _record_cluster_pids(
-            [p.pid for p in self.procs + self.spinners])
+            self.workdir, [p.pid for p in self.procs + self.spinners])
 
     def stop(self) -> None:
         for p in self.spinners + self.procs:
@@ -408,6 +430,10 @@ class StandaloneCluster:
                 pass
         self.procs = []
         self.spinners = []
+        try:  # clean exit: no stale pid file for the next run to trust
+            os.remove(_pid_file(self.workdir))
+        except OSError:
+            pass
 
 
 def ensure_scale_pages() -> None:

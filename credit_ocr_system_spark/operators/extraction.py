@@ -92,11 +92,17 @@ _EMPTY_RESULT = {
 # an error row, but a batch of >= this many rows where EVERY row
 # errors is a systemic kernel regression (ImportError, schema bug,
 # ...) — the job must fail fast, not "succeed" with 100% error rows.
-# Set COS_SPARK_DISABLE_BATCH_ERROR_GUARD=1 for corpora where
-# wholly-broken shards are expected.
+# Set COS_SPARK_DISABLE_BATCH_ERROR_GUARD=1 (on the DRIVER — the
+# value is captured when extract_pages() builds the UDF and ships to
+# executors in its closure, so it works on a real cluster where
+# executor environments differ) for corpora where wholly-broken
+# shards are expected.
 _BATCH_GUARD_MIN_ROWS = 32
-_BATCH_GUARD_OFF = os.environ.get(
-    "COS_SPARK_DISABLE_BATCH_ERROR_GUARD", "") == "1"
+
+
+def _guard_disabled_by_env() -> bool:
+    return os.environ.get(
+        "COS_SPARK_DISABLE_BATCH_ERROR_GUARD", "") == "1"
 
 
 def _arrow_schema() -> pa.Schema:
@@ -104,10 +110,13 @@ def _arrow_schema() -> pa.Schema:
 
 
 def _extract_batches(
-        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        batches: Iterator[pa.RecordBatch],
+        guard_off: bool | None = None) -> Iterator[pa.RecordBatch]:
     # Once-per-worker initialization (iterator-UDF prologue).
     from credit_ocr_system_spark.kernel.extract import extract_document
 
+    if guard_off is None:
+        guard_off = _guard_disabled_by_env()
     schema = _arrow_schema()
     for batch in batches:
         urls = batch.column("url").to_pylist()
@@ -153,7 +162,7 @@ def _extract_batches(
                 "kernel_us": elapsed_us,
                 "error": err,
             })
-        if (not _BATCH_GUARD_OFF and n_errors == len(rows)
+        if (not guard_off and n_errors == len(rows)
                 and n_errors >= _BATCH_GUARD_MIN_ROWS):
             raise RuntimeError(
                 f"extraction kernel failed on ALL {n_errors} documents "
@@ -170,5 +179,12 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     — selecting first lets Parquet/Iceberg drop the other columns at
     the scan.
     """
+    # capture the escape hatch on the DRIVER; the bool travels to
+    # executors inside the serialized closure
+    guard_off = _guard_disabled_by_env()
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _extract_batches(batches, guard_off=guard_off)
+
     return pages.select("url", "html").mapInArrow(
-        _extract_batches, schema=EXTRACTED_SCHEMA)
+        run, schema=EXTRACTED_SCHEMA)

@@ -40,19 +40,34 @@ def partition_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def _hex_digit_val(d):
+    return F.when(d >= 97, d - 87).otherwise(d - 48)  # a-f / 0-9
+
+
 def portable_bucket(col, n_buckets: int = 8):
-    """Deterministic engine-portable partition bucket: the last hex
-    digit of ``md5(url)`` mod ``n_buckets``.
+    """Deterministic engine-portable partition bucket: the last two
+    hex digits of ``md5(col)`` (0..255) mod ``n_buckets``.
 
     ``spark_partition_id()`` is honest lineage inside a run but no
     other engine can re-derive it (and AQE coalescing can renumber
     it). A bucket that is a pure function of the key — and that the
-    job *repartitions by* — is stable lineage at any scale: bucket ==
-    co-located physical partition, reproducible by any engine.
+    job *repartitions by* — is stable lineage at any scale: every
+    bucket's rows are co-located inside a single physical partition
+    (a partition may host several buckets — ``repartition`` hashes
+    the bucket value — but a bucket is never split), reproducible by
+    any engine.
+
+    ``n_buckets`` must be in 1..256; powers of two divide the 256-
+    value digit space exactly, other values carry a mild (≤1/256-per-
+    bucket) skew.
     """
-    d = F.ascii(F.substring(F.md5(col), 32, 1))
-    hexval = F.when(d >= 97, d - 87).otherwise(d - 48)  # a-f / 0-9
-    return (hexval % n_buckets).cast("int")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(
+            f"n_buckets must be in 1..256 (two md5 hex digits), "
+            f"got {n_buckets}")
+    hi = _hex_digit_val(F.ascii(F.substring(F.md5(col), 31, 1)))
+    lo = _hex_digit_val(F.ascii(F.substring(F.md5(col), 32, 1)))
+    return ((hi * 16 + lo) % n_buckets).cast("int")
 
 
 def bucket_lineage(extracted: DataFrame, run_id: str,
@@ -60,7 +75,8 @@ def bucket_lineage(extracted: DataFrame, run_id: str,
     """Per-partition lineage keyed by the portable url bucket — the
     oracle-checkable flavor of ``partition_lineage`` (same aggregates;
     the caller repartitions the input by the same bucket expression,
-    so each bucket IS one physical partition's content)."""
+    so each lineage row covers a bucket that is co-located within one
+    physical partition)."""
     return (
         extracted
         .withColumn("partition_id", portable_bucket(F.col("url"),

@@ -121,24 +121,25 @@ N_BANDS = 4
 SHINGLE_W = 3
 
 
-def _shingles(tokens_col):
-    """Word 3-gram shingles; empty array when fewer than 3 tokens.
+def _shingles(tokens_col, width: int = SHINGLE_W):
+    """Word ``width``-gram shingles; empty array when fewer than
+    ``width`` tokens.
 
-    Built from three shifted slices zipped together. Deliberately NOT
-    ``transform(sequence(...), i -> element_at(tokens, i))``: a lambda
-    that references the outer tokens *expression* makes interpreted
-    higher-order functions re-evaluate it per element — O(n²) splits
-    per row (measured 30×+ slowdown at 5k docs). Here every lambda
-    touches only its own arguments.
+    Built from ``width`` shifted slices zipped together. Deliberately
+    NOT ``transform(sequence(...), i -> element_at(tokens, i))``: a
+    lambda that references the outer tokens *expression* makes
+    interpreted higher-order functions re-evaluate it per element —
+    O(n²) splits per row (measured 30×+ slowdown at 5k docs). Here
+    every lambda touches only its own arguments.
     """
     n = F.size(tokens_col)
-    m = F.greatest(n - (SHINGLE_W - 1), F.lit(0))
-    t1 = F.slice(tokens_col, 1, m)
-    t2 = F.slice(tokens_col, 2, m)
-    t3 = F.slice(tokens_col, 3, m)
-    pair = F.zip_with(t1, t2, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.zip_with(pair, t3,
-                      lambda ab, c: F.concat(ab, F.lit(" "), c))
+    m = F.greatest(n - (width - 1), F.lit(0))
+    out = F.slice(tokens_col, 1, m)
+    for k in range(2, width + 1):
+        shifted = F.slice(tokens_col, k, m)
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 def minhash_signatures(documents: DataFrame, n_bands: int = N_BANDS,
@@ -417,9 +418,9 @@ def language_id(documents: DataFrame) -> DataFrame:
         n_max = term if n_max is None else n_max + term
     argmax = None
     for lang in LANG_IDS:
-        w = F.when(F.col(f"{lang}_hits") == m, F.lit(lang))
-        argmax = w if argmax is None else argmax.when(
-            F.col(f"{lang}_hits") == m, F.lit(lang))
+        cond = F.col(f"{lang}_hits") == m
+        argmax = (F.when(cond, F.lit(lang)) if argmax is None
+                  else argmax.when(cond, F.lit(lang)))
     guess = F.when((m > 0) & (n_max == 1), argmax).otherwise("unknown")
     return counted.select("doc_id", *[f"{lang}_hits" for lang in LANG_IDS],
                           guess.alias("lang_guess"))
@@ -617,11 +618,7 @@ def repetition_score(documents: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
                   .otherwise(0)).alias(f"dup_{prefix}"))
 
-    n = F.size(F.col("toks"))
-    m = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(F.col("toks"), 1, m), F.slice(F.col("toks"), 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b))
+    bigrams = _shingles(F.col("toks"), width=2)
     trigrams = _shingles(F.col("toks"))
 
     uni = gram_stats(toks, "w")

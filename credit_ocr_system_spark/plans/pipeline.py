@@ -181,7 +181,21 @@ class SnapshotSink:
                      meta: dict | None = None) -> str:
         """MERGE-equivalent: new rows win on ``keys``, unmatched old
         rows survive. One replace snapshot; prior snapshots remain
-        readable via time travel."""
+        readable via time travel.
+
+        Like ``MERGE INTO``, a source batch with duplicate keys is an
+        error (silently unioning it would leave the keyed table with
+        several rows per key forever) — dedupe upstream first. The
+        check is one extra action over the keys projection, cheap
+        relative to the snapshot write.
+        """
+        dup = (df.groupBy(*keys).count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_upsert source has duplicate keys "
+                f"(e.g. {dict(zip(keys, dup[0][:-1]))}); a MERGE "
+                f"source must be unique on {keys}")
         current = self.read_committed(spark)
         if current is not None:
             survivors = current.join(df.select(*keys).distinct(),
@@ -254,8 +268,18 @@ def run_extraction_job(
         # doc_status is keyed state, not an event log: a re-extracted
         # url must UPDATE its row (reference MERGE semantics,
         # src/dms/adapters.py:130-167), so the status sink upserts.
-        sink_status.merge_upsert(spark, doc_status(extracted, run_id),
-                                 run_id, keys=["url"])
+        # url uniqueness is an ingest invariant (the reference DMS
+        # assigns unique ids); if the crawl re-fetched a url inside
+        # one batch anyway, keep the deterministic min row so the
+        # keyed MERGE contract holds.
+        status = (
+            doc_status(extracted, run_id)
+            .groupBy("url")
+            .agg(F.min(F.struct("status", "doc_kind", "error",
+                                "run_id")).alias("m"))
+            .select("url", "m.status", "m.doc_kind", "m.error",
+                    "m.run_id"))
+        sink_status.merge_upsert(spark, status, run_id, keys=["url"])
         return {"run_id": run_id, "n_docs": n_docs, "n_fields": n_fields,
                 "skipped": False}
     finally:

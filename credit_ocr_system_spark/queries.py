@@ -81,8 +81,8 @@ def x_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_extract_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled per-partition lineage: the input is repartitioned
     by the portable url bucket (``metrics.portable_bucket``), so each
-    bucket IS one physical partition's content and any engine can
-    re-derive the aggregates."""
+    lineage row covers a bucket co-located within one physical
+    partition, and any engine can re-derive the aggregates."""
     from .operators.extraction import extract_pages
     from .operators.metrics import bucket_lineage, portable_bucket
 
@@ -233,7 +233,9 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
 
 
-_MINHASH_CTE = f"""
+# Shared tokenize+shingle prefix for every MinHash oracle — one copy,
+# so retuning the shingling can never desynchronize the variants.
+_MINHASH_PREFIX = f"""
 toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
   FROM documents),
@@ -243,39 +245,30 @@ shingled AS (
     THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
           FOR i IN generate_series(1, len(toks) - 2)]
     ELSE CAST([] AS VARCHAR[]) END AS shingles
-  FROM toks),
+  FROM toks)"""
+
+
+def _minhash_cte(sig_expr: str) -> str:
+    return f"""{_MINHASH_PREFIX},
 sigs AS (
   SELECT doc_id, CAST(b AS INT) AS band,
-   list_min(list_transform(shingles,
-            s -> md5(CAST(b AS VARCHAR) || ':' || s))) AS minhash
+   {sig_expr} AS minhash
   FROM shingled, generate_series(0, 3) t(b))
 """
 
+
+_MINHASH_CTE = _minhash_cte(
+    "list_min(list_transform(shingles,"
+    " s -> md5(CAST(b AS VARCHAR) || ':' || s)))")
+
 # (b=4, r=2) variant: band b concatenates the minima of hash-family
 # members 2b and 2b+1 — '||' is NULL-propagating like F.concat.
-_MINHASH_R2_SIG = (
+_MINHASH_R2_CTE = _minhash_cte(
     "list_min(list_transform(shingles,"
     " s -> md5(CAST(b * 2 AS VARCHAR) || ':' || s)))"
     " || '|' || "
     "list_min(list_transform(shingles,"
     " s -> md5(CAST(b * 2 + 1 AS VARCHAR) || ':' || s)))")
-
-_MINHASH_R2_CTE = f"""
-toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
-  FROM documents),
-shingled AS (
-  SELECT doc_id,
-   CASE WHEN len(toks) >= 3
-    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-          FOR i IN generate_series(1, len(toks) - 2)]
-    ELSE CAST([] AS VARCHAR[]) END AS shingles
-  FROM toks),
-sigs AS (
-  SELECT doc_id, CAST(b AS INT) AS band,
-   {_MINHASH_R2_SIG} AS minhash
-  FROM shingled, generate_series(0, 3) t(b))
-"""
 
 
 def _language_id_oracle() -> str:
@@ -860,11 +853,13 @@ FROM normed
         "x_extract_lineage": f"""
 WITH docs AS (
   SELECT n_elements, n_pairs, bytes_in,
-         ascii(substr(md5(url), 32, 1)) AS a
+         ascii(substr(md5(url), 31, 1)) AS ah,
+         ascii(substr(md5(url), 32, 1)) AS al
   FROM read_parquet('{docs}'))
 SELECT
- CAST((CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) % 8 AS INT)
-   AS partition_id,
+ CAST(((CASE WHEN ah >= 97 THEN ah - 87 ELSE ah - 48 END) * 16
+       + (CASE WHEN al >= 97 THEN al - 87 ELSE al - 48 END)) % 8
+   AS INT) AS partition_id,
  COUNT(*) AS n_docs,
  CAST(SUM(n_elements) AS BIGINT) AS n_elements,
  CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,

@@ -109,3 +109,11 @@ def test_partition_spec_evolution(spark, tmp_path):
     # hive layout actually materialized on disk
     assert os.path.isdir(
         os.path.join(sink.root, "snap-r1", "doc_kind=pdf"))
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+    sink = SnapshotSink(str(tmp_path / "dup"))
+    dup = _status_df(spark, [("u1", "a"), ("u1", "b")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sink.merge_upsert(spark, dup, "r1", keys=["url"])
