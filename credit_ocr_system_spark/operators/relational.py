@@ -323,3 +323,53 @@ def revenue_by_region_year(spark, sf_dir) -> DataFrame:
              _dsum(F.col("o_totalprice")).alias("revenue"))
         .orderBy("region", "order_year")
     )
+
+
+# Explicit skew handling: salted two-phase aggregation -------------------
+
+N_AGG_SALTS = 16
+
+
+def value_banding_salted(spark, sf_dir) -> DataFrame:
+    """``value_banding`` computed via an explicit two-phase salted
+    aggregation: rows get a salt from xxhash64(event_id), phase 1
+    aggregates per (key, salt) — at most ``N_AGG_SALTS`` rows per hot
+    key per partition cross the first shuffle — and phase 2 folds the
+    salt away.
+
+    Honesty note: for algebraic aggregates Spark's hash aggregate
+    already does map-side partial combine, so a plain groupBy does
+    not bottleneck on hot keys. The explicit decomposition is the
+    pattern for the cases partial aggregation cannot save — per-key
+    exact distinct counts, collect-type aggregates, or a downstream
+    consumer that needs the salted partials — and this query proves
+    the decomposition is value-identical (same oracle as
+    ``value_banding``). Salting the JOIN side is handled separately
+    (AQE skew-join + the kernel's salted repartition).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(N_AGG_SALTS))
+    partial = (
+        ev.withColumn("_salt", salt)
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(v >= 75, 1).otherwise(0)).alias("h"),
+            F.sum(F.when((v >= 50) & (v < 75), 1).otherwise(0))
+                .alias("m"),
+            F.sum(F.when(v < 50, 1).otherwise(0)).alias("l"),
+            F.sum(v.cast("decimal(18,4)")).alias("s"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum("h").alias("n_high"),
+            F.sum("m").alias("n_mid"),
+            F.sum("l").alias("n_low"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -347,6 +347,18 @@ SELECT event_type,
  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    # same oracle as value_banding on purpose: proves the explicit
+    # salted two-phase decomposition is value-identical
+    "value_banding_salted": """
+SELECT event_type,
+ COUNT(*) AS n_events,
+ CAST(SUM(CASE WHEN value >= 75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+ CAST(SUM(CASE WHEN value >= 50 AND value < 75 THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_mid,
+ CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+ CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     "latest_event_per_user": """
 SELECT user_id, event_id, event_type, value
 FROM (SELECT user_id, event_id, event_type, value,
@@ -943,6 +955,7 @@ def build_queries() -> Dict[str, QueryFn]:
         # relational families
         "pricing_summary": R.pricing_summary,
         "value_banding": R.value_banding,
+        "value_banding_salted": R.value_banding_salted,
         "latest_event_per_user": R.latest_event_per_user,
         "first_doc_containing": R.first_doc_containing,
         "recent_orders_page": R.recent_orders_page,

@@ -77,3 +77,22 @@ def windowed_page_stats(pages_stream: DataFrame,
         .agg(F.count("*").alias("n_pages"),
              F.sum(F.length("html")).alias("bytes_in"))
     )
+
+
+def stream_dedup_pages(pages_stream: DataFrame,
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact-dedup on url within a watermark horizon.
+
+    A crawl feed re-delivers urls (re-fetches, at-least-once upstream
+    queues); ``dropDuplicatesWithinWatermark`` keeps first-seen per
+    url while bounding the dedup state: keys older than the watermark
+    are evicted, so state size is (arrival rate × horizon), not the
+    full corpus — the property that keeps streaming dedup viable at
+    crawl scale. Exactly the streaming twin of the batch
+    ``exact_dedup``/resume anti-join.
+    """
+    return (
+        pages_stream
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )

@@ -55,3 +55,35 @@ def test_windowed_page_stats(spark, tmp_path):
     assert sum(r["n_pages"] for r in rows) == 50
     assert all(r["bytes_in"] > 0 for r in rows)
     assert {r["lang"] for r in rows} <= {"en", "de"}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered urls inside the watermark horizon are dropped;
+    state is keyed per url (first-seen wins)."""
+    from pyspark.sql import functions as F
+
+    from credit_ocr_system_spark.streaming.extraction_stream import (
+        stream_dedup_pages,
+    )
+
+    input_dir = str(tmp_path / "dup_in")
+    out_dir = str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "dup_ckpt")
+
+    base = pages_df(spark, 30, partitions=2)
+    base.write.parquet(input_dir, mode="overwrite")
+    # re-deliver the same 30 pages 2 minutes later (inside watermark)
+    base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 MINUTES")
+    ).write.mode("append").parquet(input_dir)
+
+    deduped = stream_dedup_pages(read_pages_stream(spark, input_dir))
+    q = (deduped.select("url", "warc_ts").writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30
+    assert got.select("url").distinct().count() == 30
