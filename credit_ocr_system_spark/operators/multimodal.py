@@ -283,6 +283,7 @@ def media_near_dup(media: DataFrame,
     the sign-bucket LSH from ``similarity.bucketed_topk`` prunes
     candidates first and this join runs bucket-local.
     """
+    from .portable import pround
     from .similarity import _cosine
 
     feats = extract_media_features(media).select(
@@ -296,5 +297,5 @@ def media_near_dup(media: DataFrame,
             _cosine(F.col("a.v"), F.col("b.v")).alias("raw"))
         .where(F.col("raw") >= threshold)
         .select("media_a", "media_b",
-                F.round(F.col("raw"), 6).alias("cos_sim"))
+                pround(F.col("raw"), 6).alias("cos_sim"))
     )

@@ -1,0 +1,35 @@
+"""Cross-engine portable rounding for oracle-checked float outputs.
+
+``ROUND(double, d)`` is NOT portable at decimal-tie boundaries: Spark
+rounds the *shortest decimal string* of the double
+(``BigDecimal.valueOf`` → HALF_UP on "0.5085" → 0.509) while
+DuckDB/Postgres round the *binary* value (0.5085 as a double is
+0.50849999…, → 0.508). A seeded corpus at sf0.1 produced exactly this
+divergence on a composite score, so every oracle-facing round in this
+engine uses the formula below instead — plain IEEE double arithmetic
+(multiply, add, floor, divide) that every engine evaluates
+bit-identically:
+
+    pround(x, d) = floor(x * 10^d + 0.5) / 10^d
+
+This is round-half-up *on the binary value* (ties break toward +inf —
+fine for the non-negative ratios/similarities emitted here; revisit
+before using on negative columns). The SQL twin ``sql_pround``
+generates the identical expression for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def pround(col, digits: int):
+    """Engine-portable round-half-up of a non-negative double column."""
+    scale = float(10 ** digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_pround(expr: str, digits: int) -> str:
+    """The SQL twin of :func:`pround` (same IEEE operation sequence)."""
+    scale = 10 ** digits
+    return f"floor(({expr}) * {scale}.0 + 0.5) / {scale}.0"

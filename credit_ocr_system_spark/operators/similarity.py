@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .portable import pround
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -82,7 +84,7 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
             _cosine(F.col("a.v"), F.col("b.v")).alias("raw_cos"))
         .where(F.col("raw_cos") >= threshold)
         .select("vec_a", "vec_b",
-                F.round(F.col("raw_cos"), 6).alias("cos_sim"))
+                pround(F.col("raw_cos"), 6).alias("cos_sim"))
     )
 
 

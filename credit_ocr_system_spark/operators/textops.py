@@ -20,13 +20,17 @@ Portability notes (kept identical in the SQL oracles): hashes are
 ``md5``/``sha2`` hex strings (never engine-specific ``xxhash64``),
 min-hash minima are lexicographic string minima, SimHash bit votes are
 parities of md5 hex digits (``ascii(char) % 2``), and all double
-aggregates are rounded at the emit boundary.
+aggregates are rounded at the emit boundary with the engine-portable
+``portable.pround`` (Spark's ROUND rounds the decimal string, other
+engines round the binary value — they disagree at decimal ties).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .portable import pround
 
 # Shared tokenization: lowercase, split on whitespace runs, drop empties.
 
@@ -108,8 +112,8 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.55,
                    .withColumnRenamed("n_tok", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+            pround(F.col("n_inter")
+                   / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -457,18 +461,18 @@ def quality_score(documents: DataFrame) -> DataFrame:
     digit_raw = n_digits / safe_chars
     punct_raw = n_punct / safe_chars
     div_raw = n_distinct / safe_tokens
-    score = F.round(
+    score = pround(
         F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.3
         + stop_raw * 0.2
         + div_raw * 0.3
         + (F.lit(1.0) - punct_raw) * 0.1
         + (F.lit(1.0) - digit_raw) * 0.1, 3)
-    mean_tok_len = F.round(
+    mean_tok_len = pround(
         (n_chars - (n_tokens - 1)) / safe_tokens, 6)
-    stop_ratio = F.round(stop_raw, 6)
-    digit_ratio = F.round(digit_raw, 6)
-    punct_ratio = F.round(punct_raw, 6)
-    diversity = F.round(div_raw, 6)
+    stop_ratio = pround(stop_raw, 6)
+    digit_ratio = pround(digit_raw, 6)
+    punct_ratio = pround(punct_raw, 6)
+    diversity = pround(div_raw, 6)
     return documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         n_chars.cast("bigint").alias("n_chars"),
@@ -573,8 +577,8 @@ def shingle_jaccard_pairs(documents: DataFrame, threshold: float = 0.10,
                    .withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+            pround(F.col("n_inter")
+                   / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -625,12 +629,12 @@ def repetition_score(documents: DataFrame) -> DataFrame:
     bi = gram_stats(toks.withColumn("toks", bigrams), "b")
     tri = gram_stats(toks.withColumn("toks", trigrams), "t")
 
-    top_word_frac = F.round(
+    top_word_frac = pround(
         F.col("top_w") / F.greatest(F.col("n_w"), F.lit(1)), 6)
-    top_bigram_frac = F.round(
+    top_bigram_frac = pround(
         F.coalesce(F.col("top_b"), F.lit(0))
         / F.greatest(F.coalesce(F.col("n_b"), F.lit(0)), F.lit(1)), 6)
-    dup_trigram_frac = F.round(
+    dup_trigram_frac = pround(
         F.coalesce(F.col("dup_t"), F.lit(0))
         / F.greatest(F.coalesce(F.col("n_t"), F.lit(0)), F.lit(1)), 6)
     return (

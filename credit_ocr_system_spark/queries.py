@@ -479,7 +479,7 @@ WITH toks AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard
 FROM (SELECT doc_a, doc_b,
-       ROUND(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+       floor((n_inter / (sa.n_tok + sb.n_tok - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
@@ -580,10 +580,10 @@ SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
   OR dup_trigram_frac > {T.DUP_TRIGRAM_FRAC_MAX}) AS is_repetitive
 FROM (
  SELECT u.doc_id, CAST(u.n_w AS BIGINT) AS n_tokens,
-  ROUND(u.top_w / greatest(u.n_w, 1), 6) AS top_word_frac,
-  ROUND(COALESCE(b.top_b, 0) / greatest(COALESCE(b.n_b, 0), 1), 6)
+  floor((u.top_w / greatest(u.n_w, 1)) * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac,
+  floor((COALESCE(b.top_b, 0) / greatest(COALESCE(b.n_b, 0), 1)) * 1000000.0 + 0.5) / 1000000.0
     AS top_bigram_frac,
-  ROUND(COALESCE(t.dup_t, 0) / greatest(COALESCE(t.n_t, 0), 1), 6)
+  floor((COALESCE(t.dup_t, 0) / greatest(COALESCE(t.n_t, 0), 1)) * 1000000.0 + 0.5) / 1000000.0
     AS dup_trigram_frac
  FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
  LEFT JOIN tri t ON u.doc_id = t.doc_id)
@@ -613,17 +613,17 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
 SELECT doc_id,
  CAST(n_chars AS BIGINT) AS n_chars,
  CAST(n_tokens AS BIGINT) AS n_tokens,
- ROUND((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1.0), 6)
+ floor(((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0
    AS mean_tok_len,
- ROUND(stop_hits / greatest(n_tokens, 1.0), 6) AS stop_ratio,
- ROUND(n_digits / greatest(n_chars, 1.0), 6) AS digit_ratio,
- ROUND(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
- ROUND(n_distinct / greatest(n_tokens, 1.0), 6) AS diversity,
- ROUND(least(n_tokens / 50.0, 1.0) * 0.3
+ floor((stop_hits / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+ floor((n_digits / greatest(n_chars, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+ floor((n_punct / greatest(n_chars, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+ floor((n_distinct / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS diversity,
+ floor((least(n_tokens / 50.0, 1.0) * 0.3
    + (stop_hits / greatest(n_tokens, 1.0)) * 0.2
    + (n_distinct / greatest(n_tokens, 1.0)) * 0.3
    + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.1
-   + (1.0 - n_digits / greatest(n_chars, 1.0)) * 0.1, 3)
+   + (1.0 - n_digits / greatest(n_chars, 1.0)) * 0.1) * 1000.0 + 0.5) / 1000.0
    AS quality
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS DOUBLE) AS n_chars,
@@ -678,7 +678,7 @@ WITH sh AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard
 FROM (SELECT doc_a, doc_b,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
@@ -721,7 +721,7 @@ WHERE rn <= 10
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id < 300)
-SELECT vec_a, vec_b, ROUND(raw_cos, 6) AS cos_sim
+SELECT vec_a, vec_b, floor((raw_cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.v, b.v) /
          (sqrt(list_dot_product(a.v, a.v))
@@ -944,7 +944,7 @@ WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
      (sqrt(list_dot_product(a.v, a.v))
       * sqrt(list_dot_product(b.v, b.v))) AS raw
   FROM f a JOIN f b ON a.media_id < b.media_id)
-SELECT media_a, media_b, ROUND(raw, 6) AS cos_sim
+SELECT media_a, media_b, floor((raw) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
 """,
     }
