@@ -373,3 +373,57 @@ def value_banding_salted(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# PII scrubbing (training-data redaction family) -------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9 /-]{7,}[0-9]"   # international form only
+PII_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction — the C4-style scrub a web corpus gets before
+    training: emails, international-format phone numbers and IPv4
+    addresses are replaced by typed placeholders, with per-type match
+    counts for the filtering sidecar.
+
+    Dirty strings are integer-derived (same construction in the
+    oracle, like ``clean_currency``) so both engines scrub identical
+    inputs. Patterns are RE2-safe (no backrefs/lookarounds) so Java
+    and RE2 engines agree; the phone pattern requires a leading '+'
+    — bare long digit runs (ids, keys) are NOT redacted by design.
+    Scrub order is email → phone → ip in both engines (placeholders
+    contain no digits, so later passes cannot re-match them).
+    """
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    email = F.concat(F.lit("user"), k.cast("string"),
+                     F.lit("@mail.example"))
+    phone = F.concat(F.lit("+49 30 "),
+                     F.lpad((k % 10000).cast("string"), 4, "0"))
+    ip = F.concat(F.lit("10.0."), F.col("c_nationkey").cast("string"),
+                  F.lit("."), (k % 200).cast("string"))
+    dirty = F.concat(
+        F.col("c_name"), F.lit(" reach "), email,
+        F.when(k % 3 == 0, F.concat(F.lit(" or call "), phone))
+         .otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit(" from "), ip))
+         .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>"),
+        PII_IP_RE, "<IP>")
+    return cust.select(
+        "c_custkey",
+        dirty.alias("dirty"),
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_EMAIL_RE),
+                                    F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_PHONE_RE),
+                                    F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PII_IP_RE),
+                                    F.lit(0))).alias("n_ips"),
+    )

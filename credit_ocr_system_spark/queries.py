@@ -459,6 +459,35 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, order_year ORDER BY region, order_year
 """,
+    "pii_scrub": f"""
+WITH base AS (
+ SELECT c_custkey,
+  c_name || ' reach user' || CAST(c_custkey AS VARCHAR)
+  || '@mail.example'
+  || (CASE WHEN c_custkey % 3 = 0
+      THEN ' or call +49 30 '
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      ELSE '' END)
+  || (CASE WHEN c_custkey % 2 = 0
+      THEN ' from 10.0.' || CAST(c_nationkey AS VARCHAR) || '.'
+           || CAST(c_custkey % 200 AS VARCHAR)
+      ELSE '' END) AS dirty
+ FROM customer)
+SELECT c_custkey, dirty,
+ regexp_replace(
+   regexp_replace(
+     regexp_replace(dirty,
+       '{R.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+     '{R.PII_PHONE_RE}', '<PHONE>', 'g'),
+   '{R.PII_IP_RE}', '<IP>', 'g') AS scrubbed,
+ CAST(len(regexp_extract_all(dirty, '{R.PII_EMAIL_RE}')) AS INT)
+   AS n_emails,
+ CAST(len(regexp_extract_all(dirty, '{R.PII_PHONE_RE}')) AS INT)
+   AS n_phones,
+ CAST(len(regexp_extract_all(dirty, '{R.PII_IP_RE}')) AS INT)
+   AS n_ips
+FROM base
+""",
     # --- dedup / text analysis ----------------------------------------
     "exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -964,6 +993,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "validate_dates": R.validate_dates,
         "validate_german_numbers": R.validate_german_numbers,
         "clean_labels": R.clean_labels,
+        "pii_scrub": R.pii_scrub,
         "parse_json_props": R.parse_json_props,
         "revenue_by_region_year": R.revenue_by_region_year,
         # dedup / text analysis
