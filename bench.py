@@ -62,8 +62,10 @@ HEADLINE = [
     "latest_event_per_user",
     "first_doc_containing",
     "value_banding",
+    "value_banding_salted",
     "missing_event_types",
     "clean_currency",
+    "pii_scrub",
     "validate_german_numbers",
     "exact_dedup",
     "minhash_signatures",
