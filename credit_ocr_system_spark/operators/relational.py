@@ -48,17 +48,29 @@ def pricing_summary(spark, sf_dir) -> DataFrame:
     )
 
 
+BAND_HI = 75
+BAND_MID = 50
+
+
+def _band_flags(v):
+    """Shared hi/mid/lo indicator expressions — value_banding and its
+    salted twin must band identically by construction."""
+    return (F.when(v >= BAND_HI, 1).otherwise(0),
+            F.when((v >= BAND_MID) & (v < BAND_HI), 1).otherwise(0),
+            F.when(v < BAND_MID, 1).otherwise(0))
+
+
 def value_banding(spark, sf_dir) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     v = F.col("value")
+    hi, mid, lo = _band_flags(v)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.when(v >= 75, 1).otherwise(0)).alias("n_high"),
-            F.sum(F.when((v >= 50) & (v < 75), 1).otherwise(0))
-                .alias("n_mid"),
-            F.sum(F.when(v < 50, 1).otherwise(0)).alias("n_low"),
+            F.sum(hi).alias("n_high"),
+            F.sum(mid).alias("n_mid"),
+            F.sum(lo).alias("n_low"),
             _dsum(v).alias("sum_value"),
         )
         .orderBy("event_type")
@@ -349,16 +361,16 @@ def value_banding_salted(spark, sf_dir) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     v = F.col("value")
+    hi, mid, lo = _band_flags(v)
     salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(N_AGG_SALTS))
     partial = (
         ev.withColumn("_salt", salt)
         .groupBy("event_type", "_salt")
         .agg(
             F.count("*").alias("c"),
-            F.sum(F.when(v >= 75, 1).otherwise(0)).alias("h"),
-            F.sum(F.when((v >= 50) & (v < 75), 1).otherwise(0))
-                .alias("m"),
-            F.sum(F.when(v < 50, 1).otherwise(0)).alias("l"),
+            F.sum(hi).alias("h"),
+            F.sum(mid).alias("m"),
+            F.sum(lo).alias("l"),
             F.sum(v.cast("decimal(18,4)")).alias("s"),
         )
     )
@@ -377,7 +389,7 @@ def value_banding_salted(spark, sf_dir) -> DataFrame:
 
 # PII scrubbing (training-data redaction family) -------------------------
 
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\+[0-9][0-9 /-]{7,}[0-9]"   # international form only
 PII_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
@@ -398,8 +410,13 @@ def pii_scrub(spark, sf_dir) -> DataFrame:
     """
     cust = load(spark, sf_dir, "customer")
     k = F.col("c_custkey").cast("bigint")
-    email = F.concat(F.lit("user"), k.cast("string"),
-                     F.lit("@mail.example"))
+    # every 5th address is mixed-case: exercises the (?i) flag — a
+    # lowercase-only pattern would silently let these through
+    email = F.concat(
+        F.when(k % 5 == 0, F.lit("User")).otherwise(F.lit("user")),
+        k.cast("string"),
+        F.when(k % 5 == 0, F.lit("@Mail.Example"))
+         .otherwise(F.lit("@mail.example")))
     phone = F.concat(F.lit("+49 30 "),
                      F.lpad((k % 10000).cast("string"), 4, "0"))
     ip = F.concat(F.lit("10.0."), F.col("c_nationkey").cast("string"),

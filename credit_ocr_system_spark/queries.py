@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle_golden as G
+from .operators.portable import sql_pround
 
 from .operators import relational as R
 from .operators import textops as T
@@ -347,18 +348,6 @@ SELECT event_type,
  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
-    # same oracle as value_banding on purpose: proves the explicit
-    # salted two-phase decomposition is value-identical
-    "value_banding_salted": """
-SELECT event_type,
- COUNT(*) AS n_events,
- CAST(SUM(CASE WHEN value >= 75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
- CAST(SUM(CASE WHEN value >= 50 AND value < 75 THEN 1 ELSE 0 END)
-   AS BIGINT) AS n_mid,
- CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
- CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type ORDER BY event_type
-""",
     "latest_event_per_user": """
 SELECT user_id, event_id, event_type, value
 FROM (SELECT user_id, event_id, event_type, value,
@@ -462,8 +451,11 @@ GROUP BY r_name, order_year ORDER BY region, order_year
     "pii_scrub": f"""
 WITH base AS (
  SELECT c_custkey,
-  c_name || ' reach user' || CAST(c_custkey AS VARCHAR)
-  || '@mail.example'
+  c_name || ' reach '
+  || (CASE WHEN c_custkey % 5 = 0 THEN 'User' ELSE 'user' END)
+  || CAST(c_custkey AS VARCHAR)
+  || (CASE WHEN c_custkey % 5 = 0 THEN '@Mail.Example'
+      ELSE '@mail.example' END)
   || (CASE WHEN c_custkey % 3 = 0
       THEN ' or call +49 30 '
            || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
@@ -508,7 +500,7 @@ WITH toks AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard
 FROM (SELECT doc_a, doc_b,
-       floor((n_inter / (sa.n_tok + sb.n_tok - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       {sql_pround("n_inter / (sa.n_tok + sb.n_tok - n_inter)", 6)} AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
@@ -609,10 +601,10 @@ SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
   OR dup_trigram_frac > {T.DUP_TRIGRAM_FRAC_MAX}) AS is_repetitive
 FROM (
  SELECT u.doc_id, CAST(u.n_w AS BIGINT) AS n_tokens,
-  floor((u.top_w / greatest(u.n_w, 1)) * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac,
-  floor((COALESCE(b.top_b, 0) / greatest(COALESCE(b.n_b, 0), 1)) * 1000000.0 + 0.5) / 1000000.0
+  {sql_pround("u.top_w / greatest(u.n_w, 1)", 6)} AS top_word_frac,
+  {sql_pround("COALESCE(b.top_b, 0) / greatest(COALESCE(b.n_b, 0), 1)", 6)}
     AS top_bigram_frac,
-  floor((COALESCE(t.dup_t, 0) / greatest(COALESCE(t.n_t, 0), 1)) * 1000000.0 + 0.5) / 1000000.0
+  {sql_pround("COALESCE(t.dup_t, 0) / greatest(COALESCE(t.n_t, 0), 1)", 6)}
     AS dup_trigram_frac
  FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
  LEFT JOIN tri t ON u.doc_id = t.doc_id)
@@ -642,17 +634,13 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
 SELECT doc_id,
  CAST(n_chars AS BIGINT) AS n_chars,
  CAST(n_tokens AS BIGINT) AS n_tokens,
- floor(((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0
+ {sql_pround("(n_chars - (n_tokens - 1)) / greatest(n_tokens, 1.0)", 6)}
    AS mean_tok_len,
- floor((stop_hits / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
- floor((n_digits / greatest(n_chars, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
- floor((n_punct / greatest(n_chars, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
- floor((n_distinct / greatest(n_tokens, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS diversity,
- floor((least(n_tokens / 50.0, 1.0) * 0.3
-   + (stop_hits / greatest(n_tokens, 1.0)) * 0.2
-   + (n_distinct / greatest(n_tokens, 1.0)) * 0.3
-   + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.1
-   + (1.0 - n_digits / greatest(n_chars, 1.0)) * 0.1) * 1000.0 + 0.5) / 1000.0
+ {sql_pround("stop_hits / greatest(n_tokens, 1.0)", 6)} AS stop_ratio,
+ {sql_pround("n_digits / greatest(n_chars, 1.0)", 6)} AS digit_ratio,
+ {sql_pround("n_punct / greatest(n_chars, 1.0)", 6)} AS punct_ratio,
+ {sql_pround("n_distinct / greatest(n_tokens, 1.0)", 6)} AS diversity,
+ {sql_pround("least(n_tokens / 50.0, 1.0) * 0.3 + (stop_hits / greatest(n_tokens, 1.0)) * 0.2 + (n_distinct / greatest(n_tokens, 1.0)) * 0.3 + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.1 + (1.0 - n_digits / greatest(n_chars, 1.0)) * 0.1", 3)}
    AS quality
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS DOUBLE) AS n_chars,
@@ -707,7 +695,7 @@ WITH sh AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard
 FROM (SELECT doc_a, doc_b,
-       floor((n_inter / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       {sql_pround("n_inter / (sa.n_sh + sb.n_sh - n_inter)", 6)} AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
@@ -746,11 +734,11 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 10
 """,
-    "cosine_near_dup": """
+    "cosine_near_dup": f"""
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id < 300)
-SELECT vec_a, vec_b, floor((raw_cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+SELECT vec_a, vec_b, {sql_pround("raw_cos", 6)} AS cos_sim
 FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.v, b.v) /
          (sqrt(list_dot_product(a.v, a.v))
@@ -973,7 +961,7 @@ WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
      (sqrt(list_dot_product(a.v, a.v))
       * sqrt(list_dot_product(b.v, b.v))) AS raw
   FROM f a JOIN f b ON a.media_id < b.media_id)
-SELECT media_a, media_b, floor((raw) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+SELECT media_a, media_b, {sql_pround("raw", 6)} AS cos_sim
 FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
 """,
     }
@@ -1052,6 +1040,12 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_annotations": x_annotations,
     }
     return q
+
+
+# the salted two-phase decomposition must equal the plain aggregation
+# BY CONSTRUCTION — one oracle string, referenced twice, so an edit to
+# the banding SQL can never drift the value-identity proof
+ORACLES["value_banding_salted"] = ORACLES["value_banding"]
 
 
 def build_oracles() -> Dict[str, str]:
