@@ -230,7 +230,9 @@ def minhash_candidates(documents: DataFrame, n_bands: int = N_BANDS,
 
 
 def dedup_clusters(documents: DataFrame,
-                   max_iterations: int = 15) -> DataFrame:
+                   max_iterations: int = 15,
+                   n_bands: int = N_BANDS,
+                   rows_per_band: int = 1) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash
     candidate graph; cluster id = min doc_id of the component.
 
@@ -242,7 +244,7 @@ def dedup_clusters(documents: DataFrame,
     at 10^12 scale. Lineage is cut per round (localCheckpoint) so the
     plan doesn't grow with iterations.
     """
-    edges = minhash_candidates(documents)
+    edges = minhash_candidates(documents, n_bands, rows_per_band)
     und = (
         edges.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"))
