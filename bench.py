@@ -83,6 +83,7 @@ HEADLINE = [
     "ivf_topk",
     "simhash_candidates",
     "sessionize_events",
+    "asof_join",
     "dedup_clusters",
     "media_near_dup",
 ]

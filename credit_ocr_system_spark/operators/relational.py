@@ -444,3 +444,53 @@ def pii_scrub(spark, sf_dir) -> DataFrame:
         F.size(F.regexp_extract_all(dirty, F.lit(PII_IP_RE),
                                     F.lit(0))).alias("n_ips"),
     )
+
+
+# As-of join (nearest prior event) ---------------------------------------
+
+def asof_join_events(spark, sf_dir, left_type: str = "click",
+                     right_type: str = "purchase") -> DataFrame:
+    """As-of join: each ``left_type`` event gets the most recent
+    ``right_type`` event at-or-before its timestamp for the same user
+    (NULLs when none) — the feature-pipeline primitive Spark lacks as
+    a built-in.
+
+    Spark-first shape: NOT a range join (a theta-join on
+    ``b.ts <= a.ts`` explodes into a per-user cross product and, on
+    most plans, a broadcast nested loop). Instead both streams union
+    with a side tag and ONE window per user carries the last non-null
+    right-side struct forward — a single shuffle on user_id, linear
+    work, the same plan at 10^12 rows. Tie rule (deterministic, and
+    replicated in the oracle): at equal ``ts`` the right side sorts
+    first — an equal-timestamp event counts as "prior" — and among
+    equal-ts right events the highest event_id wins. DuckDB's native
+    ``ASOF JOIN`` computes the same relation modulo that tie rule;
+    the oracle uses the identical window formulation so ties compare
+    exactly.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.where(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        (F.col("event_type") == left_type).cast("int").alias("side"),
+    )
+    right_struct = F.when(
+        F.col("side") == 0,
+        F.struct(F.col("event_id").alias("event_id"),
+                 F.col("ts").alias("ts"),
+                 F.col("value").alias("value")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = tagged.withColumn(
+        "m", F.last(right_struct, ignorenulls=True).over(w))
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("m.event_id").alias("asof_event_id"),
+            F.col("m.ts").alias("asof_ts"),
+            F.col("m.value").alias("asof_value"),
+        )
+    )

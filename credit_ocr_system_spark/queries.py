@@ -448,6 +448,23 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, order_year ORDER BY region, order_year
 """,
+    "asof_join": """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, value,
+   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+  FROM events WHERE event_type IN ('click', 'purchase')),
+ carried AS (
+  SELECT event_id, user_id, ts, side,
+   last_value(CASE WHEN side = 0 THEN
+       {'event_id': event_id, 'ts': ts, 'value': value} END
+     IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+          ROWS UNBOUNDED PRECEDING) AS m
+  FROM tagged)
+SELECT event_id, user_id, ts,
+ m.event_id AS asof_event_id, m.ts AS asof_ts, m.value AS asof_value
+FROM carried WHERE side = 1
+""",
     "pii_scrub": f"""
 WITH base AS (
  SELECT c_custkey,
@@ -982,6 +999,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "validate_german_numbers": R.validate_german_numbers,
         "clean_labels": R.clean_labels,
         "pii_scrub": R.pii_scrub,
+        "asof_join": R.asof_join_events,
         "parse_json_props": R.parse_json_props,
         "revenue_by_region_year": R.revenue_by_region_year,
         # dedup / text analysis
