@@ -84,6 +84,7 @@ HEADLINE = [
     "simhash_candidates",
     "sessionize_events",
     "asof_join",
+    "time_rollup",
     "dedup_clusters",
     "media_near_dup",
 ]

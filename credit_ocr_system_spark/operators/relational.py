@@ -494,3 +494,24 @@ def asof_join_events(spark, sf_dir, left_type: str = "click",
             F.col("m.value").alias("asof_value"),
         )
     )
+
+
+# Hypertable-style time rollup -------------------------------------------
+
+def time_rollup(spark, sf_dir) -> DataFrame:
+    """Continuous-aggregate-style rollup over the event hypertable:
+    per (day, event_type) metrics plus per-day and grand totals in one
+    pass (``ROLLUP`` — subtotal rows carry NULL group keys, the
+    TimescaleDB/OLAP convention). Spark compiles rollup grouping sets
+    into a single shuffle with map-side partial aggregation — at
+    10^12 rows this is one pass over the fact table, not one query
+    per grain.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("day", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             _dsum(F.col("value")).alias("sum_value"))
+        .select("day", "event_type", "n_events", "sum_value")
+    )

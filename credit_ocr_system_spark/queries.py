@@ -448,6 +448,13 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, order_year ORDER BY region, order_year
 """,
+    "time_rollup": """
+SELECT day, event_type, COUNT(*) AS n_events,
+ CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT date_trunc('day', ts) AS day, event_type, value
+      FROM events)
+GROUP BY ROLLUP (day, event_type)
+""",
     "asof_join": """
 WITH tagged AS (
   SELECT event_id, user_id, ts, value,
@@ -1000,6 +1007,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "clean_labels": R.clean_labels,
         "pii_scrub": R.pii_scrub,
         "asof_join": R.asof_join_events,
+        "time_rollup": R.time_rollup,
         "parse_json_props": R.parse_json_props,
         "revenue_by_region_year": R.revenue_by_region_year,
         # dedup / text analysis
