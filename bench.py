@@ -85,6 +85,7 @@ HEADLINE = [
     "sessionize_events",
     "asof_join",
     "time_rollup",
+    "session_error_counts",
     "dedup_clusters",
     "media_near_dup",
 ]

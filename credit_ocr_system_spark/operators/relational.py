@@ -515,3 +515,55 @@ def time_rollup(spark, sf_dir) -> DataFrame:
              _dsum(F.col("value")).alias("sum_value"))
         .select("day", "event_type", "n_events", "sum_value")
     )
+
+
+# Range (interval) join ---------------------------------------------------
+
+RANGE_BUCKET_S = 3600  # 1h time buckets for the interval equi-join
+
+
+def session_error_counts(spark, sf_dir) -> DataFrame:
+    """Range join: per session window, how many 'error' events (any
+    user) fell inside [t_start, t_end] — inclusive on both ends.
+
+    Spark-first shape: a raw ``e.ts BETWEEN s.t_start AND s.t_end``
+    theta-join has no equi-key and plans as a nested-loop cross
+    product. Instead both sides map to fixed-width time buckets — the
+    interval explodes into the buckets it covers (cost ∝ duration /
+    bucket width), the point maps to exactly one — so the join is a
+    plain equi-join on bucket with the exact containment predicate as
+    a post-filter. Each (session, event) pair meets exactly once
+    (the event's bucket is unique), so a plain count is correct.
+    This is the standard interval-join decomposition at 10^12 rows;
+    AQE handles residual bucket skew.
+    """
+    sessions = sessionize_events(spark, sf_dir).select(
+        "user_id", "session_idx", "t_start", "t_end")
+    errors = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("event_id", F.col("ts").alias("err_ts"))
+    )
+    es = F.col("t_start").cast("timestamp").cast("long")
+    ee = F.col("t_end").cast("timestamp").cast("long")
+    s = sessions.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(es / RANGE_BUCKET_S),
+                             F.floor(ee / RANGE_BUCKET_S))))
+    e = errors.withColumn(
+        "bucket",
+        F.floor(F.col("err_ts").cast("timestamp").cast("long")
+                / RANGE_BUCKET_S))
+    hits = (
+        s.join(e, "bucket")
+        .where((F.col("err_ts") >= F.col("t_start"))
+               & (F.col("err_ts") <= F.col("t_end")))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("hit_count"))
+    )
+    return (
+        sessions.join(hits, ["user_id", "session_idx"], "left")
+        .select("user_id", "session_idx",
+                F.coalesce("hit_count", F.lit(0)).cast("bigint")
+                 .alias("n_errors"))
+    )

@@ -1008,6 +1008,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "pii_scrub": R.pii_scrub,
         "asof_join": R.asof_join_events,
         "time_rollup": R.time_rollup,
+        "session_error_counts": R.session_error_counts,
         "parse_json_props": R.parse_json_props,
         "revenue_by_region_year": R.revenue_by_region_year,
         # dedup / text analysis
@@ -1072,6 +1073,19 @@ def build_queries() -> Dict[str, QueryFn]:
 # BY CONSTRUCTION — one oracle string, referenced twice, so an edit to
 # the banding SQL can never drift the value-identity proof
 ORACLES["value_banding_salted"] = ORACLES["value_banding"]
+
+# range join over the session windows: the sess CTE IS the
+# sessionize_events oracle (structural reuse — the window definition
+# can never drift between the two queries)
+ORACLES["session_error_counts"] = f"""
+WITH sess AS ({ORACLES["sessionize_events"]}),
+ err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+SELECT s.user_id, CAST(s.session_idx AS INT) AS session_idx,
+ CAST(COUNT(e.event_id) AS BIGINT) AS n_errors
+FROM sess s LEFT JOIN err e
+  ON e.ts >= s.t_start AND e.ts <= s.t_end
+GROUP BY 1, 2
+"""
 
 
 def build_oracles() -> Dict[str, str]:
