@@ -107,7 +107,11 @@ def confidence_stats(extracted: DataFrame) -> DataFrame:
     )
     return el.groupBy("url", "page_num").agg(
         F.count("*").alias("n_elements"),
-        F.avg("confidence").alias("avg_confidence"),
+        # decimal-exact sum then one double division: confidences are
+        # 2-decimal values, so the mean is deterministic across
+        # engines/partitionings (a double SUM is order-sensitive)
+        (F.sum(F.col("confidence").cast("decimal(18,4)"))
+         .cast("double") / F.count("*")).alias("avg_confidence"),
         F.sum(F.when(F.col("confidence") >= 0.9, 1).otherwise(0))
          .alias("n_high"),
         F.sum(F.when((F.col("confidence") >= 0.7)

@@ -168,6 +168,35 @@ def x_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "response", "prompt_md5", "prompt_chars")
 
 
+def x_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled per-(url, page) confidence banding (reference G10)
+    over the kernel elements; the average rounds portably at the
+    query boundary."""
+    from .operators.extraction import extract_pages
+    from .operators.metrics import confidence_stats
+    from .operators.portable import pround
+
+    stats = confidence_stats(extract_pages(_x_pages(spark)))
+    return stats.select(
+        "url", "page_num", "n_elements",
+        pround(F.col("avg_confidence"), 6).alias("avg_confidence"),
+        "n_high", "n_mid", "n_low")
+
+
+def x_processing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled per-document summary (reference G11): doc ⋈ fields
+    stitch with per-doc field/validation counts."""
+    from .operators.extraction import extract_pages
+    from .operators.fields_native import field_config_df, fields_table
+    from .operators.metrics import processing_summary
+
+    ext = extract_pages(_x_pages(spark))
+    fields = fields_table(ext, field_config_df(spark))
+    return processing_summary(ext, fields).select(
+        "url", "doc_kind", "page_count", "n_elements", "n_pairs",
+        "n_extracted_fields", "n_validation_errors")
+
+
 def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: multimodal features feed the cosine near-dup
     operator; DuckDB recomputes the cosines from the feature golden."""
@@ -857,7 +886,7 @@ def _x_oracles() -> Dict[str, str]:
     def px(col: str) -> str:
         return f"CAST(CAST(ceil({col}) AS BIGINT) AS VARCHAR)"
 
-    return {
+    out = {
         "x_extract_pages": f"""
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{docs}')
@@ -976,6 +1005,19 @@ SELECT url,
  CAST(length(prompt) AS INT) AS prompt_chars
 FROM p
 """,
+        "x_confidence_stats": f"""
+SELECT url, page_num, COUNT(*) AS n_elements,
+ {sql_pround("CAST(SUM(CAST(confidence AS DECIMAL(18,4))) AS DOUBLE)"
+             " / COUNT(*)", 6)} AS avg_confidence,
+ CAST(SUM(CASE WHEN confidence >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_high,
+ CAST(SUM(CASE WHEN confidence >= 0.7 AND confidence < 0.9
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+ CAST(SUM(CASE WHEN confidence < 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_low
+FROM read_parquet('{elements}')
+GROUP BY url, page_num
+""",
         "media_near_dup": f"""
 WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
            FROM read_parquet('{features}')),
@@ -989,6 +1031,20 @@ SELECT media_a, media_b, {sql_pround("raw", 6)} AS cos_sim
 FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
 """,
     }
+    # G11 doc ⋈ fields stitch: the fields CTE IS the x_extract_fields
+    # oracle (structural reuse — the match/clean/validate definition
+    # can never drift between the two queries)
+    out["x_processing_summary"] = f"""
+WITH f AS ({out["x_extract_fields"]})
+SELECT d.url, d.doc_kind, d.page_count, d.n_elements, d.n_pairs,
+ CAST(COALESCE(ff.nf, 0) AS BIGINT) AS n_extracted_fields,
+ CAST(COALESCE(ff.ne, 0) AS BIGINT) AS n_validation_errors
+FROM read_parquet('{docs}') d
+LEFT JOIN (SELECT url, COUNT(*) AS nf,
+            SUM(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS ne
+           FROM f GROUP BY url) ff ON d.url = ff.url
+"""
+    return out
 
 
 def build_queries() -> Dict[str, QueryFn]:
@@ -1063,6 +1119,9 @@ def build_queries() -> Dict[str, QueryFn]:
         # U2 batched-inference orchestration (deterministic seam)
         "x_llm_prompts": x_llm_prompts,
         "x_llm_extract": x_llm_extract,
+        # metrics sidecar family (G10/G11)
+        "x_confidence_stats": x_confidence_stats,
+        "x_processing_summary": x_processing_summary,
         # annotation overlay sink
         "x_annotations": x_annotations,
     }

@@ -105,3 +105,34 @@ def test_ivf_probe_join_is_broadcast_bucket_local(spark, sf_dir):
     # candidate join on centroid_id is a broadcast hash join
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan  # top-k pruned pre-shuffle
+
+
+def test_asof_join_has_no_join_at_all(spark, sf_dir):
+    """The as-of join must compile to union + window — never a
+    nested-loop range join (the naive b.ts <= a.ts shape)."""
+    plan = plan_of(R.asof_join_events(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join operator of any kind
+    assert "Window" in plan
+    # both streams come from ONE scan (side tag), not even a union
+    assert plan.count("Scan parquet") <= 2  # tree + detail of one scan
+
+
+def test_range_join_is_bucketized_equi_join(spark, sf_dir):
+    """The interval join must be an equi-join on the time bucket,
+    never a nested-loop theta-join."""
+    plan = plan_of(R.session_error_counts(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket equi-join is a hash join (broadcast or shuffled)
+    assert "HashJoin" in plan
+
+
+def test_time_rollup_is_single_pass_partial_agg(spark, sf_dir):
+    """ROLLUP grouping sets: one Expand + partial/final aggregation,
+    not one scan per grain."""
+    plan = plan_of(R.time_rollup(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # tree + detail of ONE scan
+    assert "Expand" in plan
+    assert "partial_" in plan  # map-side combine before the shuffle
