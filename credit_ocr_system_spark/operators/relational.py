@@ -554,16 +554,16 @@ def session_error_counts(spark, sf_dir) -> DataFrame:
         "bucket",
         F.floor(F.col("err_ts").cast("timestamp").cast("long")
                 / RANGE_BUCKET_S))
-    hits = (
-        s.join(e, "bucket")
-        .where((F.col("err_ts") >= F.col("t_start"))
-               & (F.col("err_ts") <= F.col("t_end")))
-        .groupBy("user_id", "session_idx")
-        .agg(F.count("*").alias("hit_count"))
-    )
+    # LEFT join on bucket, containment counted inside the aggregate:
+    # every session has >= 1 bucket row, so zero-error sessions
+    # survive WITHOUT a second left join against the sessions frame —
+    # which would re-execute the whole sessionization subtree
+    # (verified: the join-back shape ran the lag/cumsum windows twice).
     return (
-        sessions.join(hits, ["user_id", "session_idx"], "left")
-        .select("user_id", "session_idx",
-                F.coalesce("hit_count", F.lit(0)).cast("bigint")
-                 .alias("n_errors"))
+        s.join(e, "bucket", "left")
+        .groupBy("user_id", "session_idx")
+        .agg(F.sum(
+            F.when((F.col("err_ts") >= F.col("t_start"))
+                   & (F.col("err_ts") <= F.col("t_end")), 1)
+            .otherwise(0)).cast("bigint").alias("n_errors"))
     )

@@ -113,7 +113,8 @@ def test_asof_join_has_no_join_at_all(spark, sf_dir):
     plan = plan_of(R.asof_join_events(spark, sf_dir))
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # no join operator of any kind
+    assert "SortMergeJoin" not in plan
+    assert "HashJoin" not in plan  # no join operator of ANY kind
     assert "Window" in plan
     # both streams come from ONE scan (side tag), not even a union
     assert plan.count("Scan parquet") <= 2  # tree + detail of one scan
@@ -127,6 +128,9 @@ def test_range_join_is_bucketized_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the bucket equi-join is a hash join (broadcast or shuffled)
     assert "HashJoin" in plan
+    # the sessionization subtree runs ONCE: two distinct event scans
+    # (sessions side + errors side), not three
+    assert plan.count("Scan parquet") <= 4  # tree + detail of two scans
 
 
 def test_time_rollup_is_single_pass_partial_agg(spark, sf_dir):
