@@ -97,13 +97,14 @@ def fake_infer(prompts: List[str]) -> List[str]:
     ]
 
 
-RESPONSES_SCHEMA = ("url string, response string, batch_idx int, "
-                    "batch_size int, batch_latency_us bigint")
+RESPONSES_SCHEMA = ("url string, response string, part_id int, "
+                    "batch_idx int, batch_size int, "
+                    "batch_latency_us bigint")
 
 _PA_RESPONSES = pa.schema([
     ("url", pa.string()), ("response", pa.string()),
-    ("batch_idx", pa.int32()), ("batch_size", pa.int32()),
-    ("batch_latency_us", pa.int64()),
+    ("part_id", pa.int32()), ("batch_idx", pa.int32()),
+    ("batch_size", pa.int32()), ("batch_latency_us", pa.int64()),
 ])
 
 
@@ -113,11 +114,15 @@ def llm_batch_infer(prompts: DataFrame,
     """Batched inference over (url, prompt): accumulate ≤ batch_size
     prompts, one ``infer_fn`` call per batch, flatten responses back
     row-aligned. ``batch_idx``/``batch_latency_us`` surface the
-    orchestration (how many calls, how slow) to the lineage sidecar.
+    orchestration (how many calls, how slow) to the lineage sidecar;
+    ``batch_idx`` restarts at 0 in each task, so the globally unique
+    batch key a consumer should group on is ``(part_id, batch_idx)``
+    (``part_id`` = ``spark_partition_id()``, stamped below).
     """
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending_urls: List[str] = []
         pending_prompts: List[str] = []
+        part_id = -1
         batch_idx = 0
 
         def flush():
@@ -132,8 +137,8 @@ def llm_batch_infer(prompts: DataFrame,
                     f"{len(pending_prompts)} prompts")
             latency = (time.perf_counter_ns() - t0) // 1000
             out = pa.RecordBatch.from_pylist([
-                {"url": u, "response": r, "batch_idx": batch_idx,
-                 "batch_size": len(responses),
+                {"url": u, "response": r, "part_id": part_id,
+                 "batch_idx": batch_idx, "batch_size": len(responses),
                  "batch_latency_us": latency}
                 for u, r in zip(pending_urls, responses)
             ], schema=_PA_RESPONSES)
@@ -143,6 +148,9 @@ def llm_batch_infer(prompts: DataFrame,
             return out
 
         for arrow_batch in batches:
+            pids = arrow_batch.column("part_id").to_pylist()
+            if pids:
+                part_id = pids[0]
             for u, p in zip(arrow_batch.column("url").to_pylist(),
                             arrow_batch.column("prompt").to_pylist()):
                 pending_urls.append(u)
@@ -153,8 +161,9 @@ def llm_batch_infer(prompts: DataFrame,
         if tail is not None:
             yield tail
 
-    return prompts.select("url", "prompt").mapInArrow(
-        run, schema=RESPONSES_SCHEMA)
+    return prompts.select(
+        "url", "prompt", F.spark_partition_id().alias("part_id")
+    ).mapInArrow(run, schema=RESPONSES_SCHEMA)
 
 
 def parse_llm_response(responses: DataFrame) -> DataFrame:

@@ -589,7 +589,12 @@ def shingle_jaccard_pairs(documents: DataFrame, threshold: float = 0.10,
 # --- repetition filtering (Gopher-style) ---------------------------------
 
 TOP_WORD_FRAC_MAX = 0.20    # Gopher: top-unigram share of tokens
-DUP_TRIGRAM_FRAC_MAX = 0.30  # Gopher: chars(tokens) in duplicated 3-grams
+# Fraction of trigram OCCURRENCES belonging to duplicated trigrams —
+# an occurrence-count variant of Gopher's character-fraction metric
+# (Gopher weights by characters; this weights every occurrence
+# equally, so the 0.30 cut is this engine's own calibration, not
+# Gopher's published character-based threshold).
+DUP_TRIGRAM_FRAC_MAX = 0.30
 
 
 def repetition_score(documents: DataFrame) -> DataFrame:

@@ -162,6 +162,14 @@ class SnapshotSink:
         snapshot dir is self-contained and reads merge old- and
         new-spec snapshots transparently (partition columns come back
         as data columns either way)."""
+        # A run_id names an immutable snapshot; reusing one would
+        # rewrite snap-<run_id> while a lazy plan (e.g. merge_upsert's
+        # survivors) may still be reading it, and the duplicate
+        # manifest entry would make _visible/read_snapshot ambiguous.
+        if any(s["run_id"] == run_id for s in self.committed_snapshots()):
+            raise ValueError(
+                f"run_id {run_id!r} already has a committed snapshot; "
+                "snapshots are immutable — use a fresh run_id")
         snap_dir = f"snap-{run_id}"
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -31,9 +31,16 @@ def test_batch_accounting(spark, prompts):
     assert len(out) == prompts.count()
     # every batch carries its own size; all but trailing batches are
     # exactly batch_size (per partition)
-    sizes = {(r.batch_idx, r.batch_size) for r in out}
-    assert all(s <= 8 for _, s in sizes)
+    sizes = {(r.part_id, r.batch_idx, r.batch_size) for r in out}
+    assert all(s <= 8 for _, _, s in sizes)
     assert sum(1 for r in out if r.batch_latency_us >= 0) == len(out)
+    # (part_id, batch_idx) is the globally unique batch key: each
+    # key's rows agree on batch_size, and per-key row count == size
+    from collections import Counter
+    per_key = Counter((r.part_id, r.batch_idx) for r in out)
+    size_of = {(r.part_id, r.batch_idx): r.batch_size for r in out}
+    assert all(per_key[k] == size_of[k] for k in per_key)
+    assert all(r.part_id >= 0 for r in out)
 
 
 def test_custom_infer_fn_via_seam(spark, prompts):

@@ -117,3 +117,18 @@ def test_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
     dup = _status_df(spark, [("u1", "a"), ("u1", "b")])
     with pytest.raises(ValueError, match="duplicate keys"):
         sink.merge_upsert(spark, dup, "r1", keys=["url"])
+
+
+def test_write_snapshot_rejects_reused_run_id(spark, tmp_path):
+    """Snapshots are immutable: committing the same run_id twice would
+    rewrite a directory lazy readers may still scan and leave the
+    manifest ambiguous — refused."""
+    import pytest
+    sink = SnapshotSink(str(tmp_path / "reuse"))
+    sink.write_snapshot(_status_df(spark, [("u1", "a")]), "r1")
+    with pytest.raises(ValueError, match="already has a committed"):
+        sink.write_snapshot(_status_df(spark, [("u2", "b")]), "r1")
+    # merge_upsert goes through the same guard
+    with pytest.raises(ValueError, match="already has a committed"):
+        sink.merge_upsert(spark, _status_df(spark, [("u3", "c")]),
+                          "r1", keys=["url"])
