@@ -14,10 +14,16 @@ Each ``E`` line is one recognized token: the same
 ``(4-corner bbox → x1/y1/x2/y2/width/height, text, confidence)``
 record the reference builds at ``easyocr_client.py:60-83``.
 
+Genuine ``%PDF-1.x`` payloads (no GRAFT token index) route to the
+digital-text content-stream parser (``kernel/pdf_text.py``): BT…ET
+show-text runs with their ``Tm``/``Td`` coordinates become the same
+element records, so real PDFs flow through the identical
+row/merge/pair kernel. Unparseable PDF bytes yield zero elements
+rather than failing the batch.
+
 Reading-order reconstruction: stable sort by (page, y1, x1) — top-to-
 bottom, left-to-right, with the input order as tiebreak — before the
-row/merge/pair kernel runs. Unknown %PDF payloads (a real PDF without
-our token index) yield zero elements rather than failing the batch.
+row/merge/pair kernel runs.
 """
 
 from __future__ import annotations
@@ -25,15 +31,32 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 from .layout import cluster_rows
+from .pdf_text import parse_real_pdf
 
 PDF_MAGIC = b"%PDF"
 GRAFT_MAGIC = b"%PDF-GRAFT"
 
 
 def parse_pdf_tokens(payload: bytes) -> List[Dict[str, Any]]:
-    """Parse a %PDF-GRAFT token stream into layout elements."""
-    if not payload.startswith(GRAFT_MAGIC):
+    """%PDF payload → layout elements in reading order.
+
+    ``%PDF-GRAFT`` token streams parse directly; any other ``%PDF``
+    magic goes through the real content-stream parser.
+    """
+    if payload.startswith(GRAFT_MAGIC):
+        elements = _parse_graft_tokens(payload)
+    elif payload.startswith(PDF_MAGIC):
+        elements = parse_real_pdf(payload)
+    else:
         return []
+    # Reading order: page, then top-to-bottom, then left-to-right.
+    elements.sort(key=lambda e: (e["page_num"], e["bbox"]["y1"],
+                                 e["bbox"]["x1"]))
+    return elements
+
+
+def _parse_graft_tokens(payload: bytes) -> List[Dict[str, Any]]:
+    """Parse a %PDF-GRAFT token stream into layout elements."""
     elements: List[Dict[str, Any]] = []
     text = payload.decode("utf-8", errors="replace")
     for line in text.split("\n")[1:]:
@@ -59,9 +82,6 @@ def parse_pdf_tokens(payload: bytes) -> List[Dict[str, Any]]:
                 "width": x2 - x1, "height": y2 - y1,
             },
         })
-    # Reading order: page, then top-to-bottom, then left-to-right.
-    elements.sort(key=lambda e: (e["page_num"], e["bbox"]["y1"],
-                                 e["bbox"]["x1"]))
     return elements
 
 

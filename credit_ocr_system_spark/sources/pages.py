@@ -12,9 +12,13 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
 
 * domains drawn Zipf-style so a few hot domains dominate — the skew
   the salted repartitioning must defuse;
-* ~8% of rows carry a ``%PDF-GRAFT`` token-layout payload instead of
-  HTML (payload dispatch on magic bytes, cf. the reference mime
-  whitelist ``src/dms/service.py:79-80``);
+* ~8% of rows carry a PDF payload instead of HTML (payload dispatch
+  on magic bytes, cf. the reference mime whitelist
+  ``src/dms/service.py:79-80``): half genuine ``%PDF-1.4`` files with
+  digital-text content streams (``.pdf_write`` — mixed
+  Flate/uncompressed, Tm/Td/TJ operator styles, exercising
+  ``kernel/pdf_text.py``), half ``%PDF-GRAFT`` token layouts (the
+  OCR-shaped path with per-token confidences);
 * credit-request forms embed a per-page subset of the 21 configured
   fields with value variants that fire every cleaning/validation rule
   (German numbers, bad dates, out-of-range years, OCR'd ``m?`` areas,
@@ -187,6 +191,50 @@ def _html_page(rng: random.Random, values: Dict[str, str],
     )
 
 
+def _real_pdf_page(rng: random.Random, values: Dict[str, str],
+                   fields: List[str], title: str) -> bytes:
+    """Genuine ``%PDF-1.4`` bytes (catalog, page tree, content
+    streams) via :mod:`.pdf_write` — same form layout as the GRAFT
+    variant, on the writer's ``CHAR_W`` px/char grid so the parser's
+    width model reproduces the intended merge gaps."""
+    from .pdf_write import CHAR_W, FONT_SIZE, build_pdf
+
+    pages: List[List] = [[]]
+
+    def tok(x: float, y: float, text: str, fs: float = FONT_SIZE) -> None:
+        pages[-1].append((x, y, text, fs))
+
+    tok(40.0, 20.0, title, 16.0)
+    y = 60.0
+    for f in fields:
+        val = values[f]
+        style = rng.random()
+        if f in _SPLITTABLE and style < 0.35:
+            a, b = _SPLITTABLE[f]
+            # split label: small gap → merge path (G3) fires
+            tok(40.0, y, a)
+            tok(40.0 + CHAR_W * len(a) + 6.0, y, b)
+            tok(280.0, y, val)
+        elif style < 0.50 and " " in val:
+            # 3-element row ending in a value → simple_three_element (G6)
+            head, tail = val.split(" ", 1)
+            tok(40.0, y, _LABELS[f] + ":")
+            tok(300.0, y, head)
+            tok(300.0 + CHAR_W * len(head) + 40.0, y, tail)
+        else:
+            tok(40.0, y, _LABELS[f] + ":")
+            tok(300.0, y, val)
+        y += 28.0
+        if y > 760.0:
+            y = 60.0
+            pages.append([])
+    return build_pdf(
+        pages,
+        compress=rng.random() < 0.5,
+        style=rng.choice(("tm", "td", "tj")),
+    )
+
+
 def _pdf_page(rng: random.Random, values: Dict[str, str],
               fields: List[str], title: str) -> str:
     """%PDF-GRAFT token layout; one form row per line, 8px/char glyphs."""
@@ -239,7 +287,11 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     fields = sorted(rng.sample(_ALL_FIELDS, n_fields),
                     key=_ALL_FIELDS.index)
     title = f"{values['company_name']} Application {row_id}"
-    if rng.random() < 0.08:
+    kind_draw = rng.random()
+    if kind_draw < 0.04:
+        # genuine %PDF-1.4 with digital-text content streams
+        payload = _real_pdf_page(rng, values, fields, title)
+    elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
     else:
         payload = _html_page(rng, values, fields, title).encode("utf-8")

@@ -16,7 +16,7 @@ from credit_ocr_system_spark.kernel.extract import extract_document  # noqa: E40
 from credit_ocr_system_spark.kernel.serialize import stage_envelope  # noqa: E402
 from credit_ocr_system_spark.sources.pages import gen_page  # noqa: E402
 
-N_GOLDENS = 24
+N_GOLDENS = 32  # rows 0..31: includes HTML, %PDF-GRAFT and real %PDF-1.4
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "goldens")
 

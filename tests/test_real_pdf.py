@@ -1,0 +1,252 @@
+"""Real ``%PDF-1.x`` extraction: writer↔parser round trip, checked-in
+binary fixture, exotic text operators, and malformed-input tolerance.
+
+The reference OCRs rasterized real PDFs
+(``/root/reference/src/ocr/easyocr_client.py:26-58``); this engine's
+digital-text fallback (``kernel/pdf_text.py``) must make genuine
+``%PDF-1.x`` payloads flow through the same layout kernel instead of
+silently yielding zero elements. Regenerate the fixture after an
+*intentional* writer/parser change: ``python tests/test_real_pdf.py``.
+"""
+
+import json
+import os
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from credit_ocr_system_spark.kernel.extract import extract_document  # noqa: E402
+from credit_ocr_system_spark.kernel.pdf_layout import parse_pdf_tokens  # noqa: E402
+from credit_ocr_system_spark.kernel.pdf_text import parse_real_pdf  # noqa: E402
+from credit_ocr_system_spark.sources.pdf_write import (  # noqa: E402
+    CHAR_W,
+    FONT_SIZE,
+    build_pdf,
+)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures")
+FIXTURE_PDF = os.path.join(FIXTURE_DIR, "real_text.pdf")
+FIXTURE_GOLDEN = os.path.join(FIXTURE_DIR, "real_text_elements.json")
+
+# Two pages; exercises escapes (parens, backslash), WinAnsi bytes
+# (€, umlauts, ²), a split label on the CHAR_W grid, a 3-element row,
+# and the second-page restart.
+FIXTURE_TOKENS = [
+    [
+        (40.0, 20.0, "Grünbau & (Söhne) GmbH Application 1", 16.0),
+        (40.0, 60.0, "Company Name:", FONT_SIZE),
+        (300.0, 60.0, r"Grünbau & (Söhne) GmbH \ Co.", FONT_SIZE),
+        (40.0, 88.0, "Loan", FONT_SIZE),
+        (40.0 + CHAR_W * 4 + 6.0, 88.0, "Amount:", FONT_SIZE),
+        (280.0, 88.0, "1.250.000 €", FONT_SIZE),
+        (40.0, 116.0, "Total Area:", FONT_SIZE),
+        (300.0, 116.0, "1,200", FONT_SIZE),
+        (300.0 + CHAR_W * 5 + 40.0, 116.0, "m²", FONT_SIZE),
+    ],
+    [
+        (40.0, 60.0, "Term:", FONT_SIZE),
+        (300.0, 60.0, "15 Jahre", FONT_SIZE),
+    ],
+]
+
+
+def make_fixture() -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    pdf = build_pdf(FIXTURE_TOKENS, compress=True, style="tm")
+    with open(FIXTURE_PDF, "wb") as fh:
+        fh.write(pdf)
+    with open(FIXTURE_GOLDEN, "w", encoding="utf-8") as fh:
+        json.dump(parse_real_pdf(pdf), fh, indent=2, ensure_ascii=False)
+
+
+def _fixture_bytes() -> bytes:
+    with open(FIXTURE_PDF, "rb") as fh:
+        return fh.read()
+
+
+def test_writer_is_byte_stable_vs_fixture():
+    assert build_pdf(FIXTURE_TOKENS, compress=True,
+                     style="tm") == _fixture_bytes()
+
+
+def test_parser_matches_checked_in_golden():
+    with open(FIXTURE_GOLDEN, encoding="utf-8") as fh:
+        want = json.load(fh)
+    got = parse_real_pdf(_fixture_bytes())
+    assert got == want
+    texts = [e["text"] for e in got]
+    assert r"Grünbau & (Söhne) GmbH \ Co." in texts
+    assert "1.250.000 €" in texts
+    assert "m²" in texts
+    assert {e["page_num"] for e in got} == {1, 2}
+    assert all(e["confidence"] == 1.0 for e in got)
+
+
+def test_fixture_through_full_kernel():
+    res = extract_document("u", _fixture_bytes())
+    assert res["doc_kind"] == "pdf"
+    assert res["page_count"] == 2
+    labels = {p["label"] for p in res["pairs"]}
+    # split fragments merged on the CHAR_W grid → "Loan / Amount"
+    assert "Loan / Amount" in labels
+    assert res["extracted_text"].startswith(
+        "Grünbau & (Söhne) GmbH Application 1")
+
+
+def test_all_writer_styles_round_trip():
+    for style in ("tm", "td", "tj"):
+        for compress in (False, True):
+            pdf = build_pdf(FIXTURE_TOKENS, compress=compress, style=style)
+            got = parse_real_pdf(pdf)
+            assert [(e["page_num"], e["text"],
+                     e["bbox"]["x1"], e["bbox"]["y1"]) for e in got] == [
+                (p + 1, t, x, y)
+                for p, toks in enumerate(FIXTURE_TOKENS)
+                for x, y, t, _ in toks]
+
+
+def _wrap_stream(content: bytes, n_pages: int = 1,
+                 media: bytes = b"/MediaBox [0 0 612 792]") -> bytes:
+    """One-page PDF around a raw content stream (uncompressed)."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 " + media
+        + b" >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\n"
+        b"endobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+
+
+def test_quote_tstar_and_leading_operators():
+    content = (b"BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm\n"
+               b"(line one) Tj\n"
+               b"(line two) '\n"          # ' = T* + show
+               b"1 2 (line three) \"\n"   # " = aw ac T* + show
+               b"T* (line four) Tj\nET")
+    els = parse_real_pdf(_wrap_stream(content))
+    assert [e["text"] for e in els] == [
+        "line one", "line two", "line three", "line four"]
+    ys = [e["bbox"]["y1"] for e in els]
+    # each line drops by the 14pt leading (top-down y grows)
+    assert all(b - a == 14.0 for a, b in zip(ys, ys[1:]))
+    # ' and " reset x to the line start
+    assert {e["bbox"]["x1"] for e in els} == {50.0}
+
+
+def test_hex_strings_and_octal_escapes():
+    content = (b"BT /F1 12 Tf 1 0 0 1 10 700 Tm "
+               b"<48656C 6C6F> Tj "
+               b"1 0 0 1 10 650 Tm (A\\101\\56 \\n B) Tj ET")
+    els = parse_real_pdf(_wrap_stream(content))
+    assert els[0]["text"] == "Hello"
+    assert els[1]["text"] == "AA. \n B"
+
+
+def test_tj_kerning_narrows_width():
+    plain = b"BT /F1 10 Tf 1 0 0 1 0 700 Tm [(ab) (cd)] TJ ET"
+    kerned = b"BT /F1 10 Tf 1 0 0 1 0 700 Tm [(ab) 100 (cd)] TJ ET"
+    w_plain = parse_real_pdf(_wrap_stream(plain))[0]["bbox"]["width"]
+    w_kern = parse_real_pdf(_wrap_stream(kerned))[0]["bbox"]["width"]
+    assert parse_real_pdf(_wrap_stream(kerned))[0]["text"] == "abcd"
+    assert w_plain - w_kern == 1.0  # 100/1000 * fs 10
+
+
+def test_mediabox_inheritance_and_override():
+    content = b"BT /F1 12 Tf 1 0 0 1 0 100 Tm (x) Tj ET"
+    # inherited 612x792: y_top = 792 - 100 - 9.6
+    els = parse_real_pdf(_wrap_stream(content))
+    assert els[0]["bbox"]["y1"] == 682.4
+    # page-level MediaBox overrides the inherited one
+    pdf = _wrap_stream(content).replace(
+        b"/Contents 5 0 R",
+        b"/Contents 5 0 R /MediaBox [0 0 400 500]")
+    els = parse_real_pdf(pdf)
+    assert els[0]["bbox"]["y1"] == 390.4
+
+
+def test_contents_array_concatenates_streams():
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R"
+        b" /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 0 700 Tm (a) Tj ET\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT /F1 12 Tf 1 0 0 1 0 600 Tm (b) Tj ET\nendstream\nendobj\n"
+        b"%%EOF\n")
+    assert [e["text"] for e in parse_real_pdf(pdf)] == ["a", "b"]
+
+
+def test_malformed_inputs_never_raise():
+    cases = [
+        b"%PDF",                                  # bare magic
+        b"%PDF-1.7\nnothing here",                # no objects
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n",  # no pages
+        # declared FlateDecode but junk bytes
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 /Filter /FlateDecode >>\nstream\n"
+        b"junk!\nendstream\nendobj\n",
+        # unsupported filter
+        b"%PDF-1.4\n3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 3 /Filter /DCTDecode >>\nstream\n"
+        b"\xff\xd8\xff\nendstream\nendobj\n",
+        # cyclic page tree must not loop forever
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n",
+        b"\x00" * 64,
+        b"",
+    ]
+    for payload in cases:
+        assert parse_real_pdf(payload) == []
+        # dispatch through the kernel never raises either
+        res = extract_document("u", b"%PDF-1.4\n" + payload)
+        assert res["doc_kind"] == "pdf"
+
+
+def test_compressed_stream_containing_pdf_keywords():
+    """Flate bytes that happen to contain ``endobj``/``N 0 obj``
+    patterns must not derail the sequential object scan."""
+    # craft content whose compressed form we then scan for patterns;
+    # regardless of whether the patterns occur, parsing must succeed
+    content = b"BT /F1 12 Tf 1 0 0 1 0 700 Tm (needle text) Tj ET"
+    raw = zlib.compress(b"endobj\n7 0 obj\nstream\n" * 30, 0)[2:-4]
+    # wrap: legit flate stream whose body embeds stored-mode zlib bytes
+    data = zlib.compress(content + b"% " + raw[:64], 6)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + data
+        + b"\nendstream\nendobj\n%%EOF\n")
+    els = parse_real_pdf(pdf)
+    assert [e["text"] for e in els] == ["needle text"]
+
+
+def test_graft_payloads_unaffected():
+    graft = (b"%PDF-GRAFT 1\n"
+             b"E\t1\t40.0\t60.0\t120.0\t80.0\t0.95\tCompany Name:\n"
+             b"E\t1\t300.0\t60.0\t400.0\t80.0\t0.9\tAcme GmbH\n")
+    els = parse_pdf_tokens(graft)
+    assert [e["text"] for e in els] == ["Company Name:", "Acme GmbH"]
+    assert els[0]["confidence"] == 0.95
+
+
+if __name__ == "__main__":
+    make_fixture()
+    print(f"wrote {FIXTURE_PDF} and {FIXTURE_GOLDEN}")
