@@ -267,6 +267,14 @@ def resize_images(media: DataFrame, out_w: int = 8,
 
 MEDIA_NEAR_DUP_THRESHOLD = 0.9999
 
+# Feature vectors are 16-bin *histograms* — non-negative, so a plain
+# sign bucket (>= 0) would put the whole corpus in one bucket. Center
+# the hyperplanes at the uniform-histogram expectation 1/N_FEAT
+# instead: bins oscillate around it, giving balanced buckets, and
+# byte-identical payloads (identical features) always share one.
+MEDIA_BUCKET_BITS = 8
+MEDIA_BUCKET_CENTER = 1.0 / N_FEAT
+
 
 def media_near_dup(media: DataFrame,
                    threshold: float = MEDIA_NEAR_DUP_THRESHOLD
@@ -278,19 +286,27 @@ def media_near_dup(media: DataFrame,
     same kind sit well below (16-bin histograms of pseudo-random bytes
     are near-uniform but differ at the percent level; measured max
     non-dup cosine ≈ 0.9533 on the seeded corpus), so the default
-    threshold separates with a wide margin. Bounded all-pairs join here (the
-    verifier form, as ``similarity.cosine_near_dup``); at corpus scale
-    the sign-bucket LSH from ``similarity.bucketed_topk`` prunes
-    candidates first and this join runs bucket-local.
+    threshold separates with a wide margin.
+
+    Scale shape: candidates come from a centered sign-bucket LSH
+    (equi-join on the 8-bit bucket — never an all-pairs nested loop;
+    plan-guarded), and the exact cosine verify runs bucket-locally.
+    Candidate pruning is *lossless for the pairs this operator exists
+    to find*: a byte-exact duplicate has the identical feature vector,
+    hence the identical bucket. The oracle mirrors the bucketing.
     """
     from .portable import pround
-    from .similarity import _cosine
+    from .similarity import _cosine, _sign_bucket
 
     feats = extract_media_features(media).select(
         "media_id", F.col("feat").cast("array<double>").alias("v"))
+    feats = feats.withColumn(
+        "bucket", _sign_bucket(F.col("v"), n_bits=MEDIA_BUCKET_BITS,
+                               center=MEDIA_BUCKET_CENTER))
     a, b = feats.alias("a"), feats.alias("b")
     return (
-        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),

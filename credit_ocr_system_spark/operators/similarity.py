@@ -67,9 +67,11 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
                     max_id: int = 300) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
-    The exact verifier of embedding-space dedup: bounded candidate
-    space here; at scale the sign-bucket LSH (``bucketed_topk``'s
-    bucketing) prunes candidates and this join runs bucket-local.
+    The *exact verifier* of embedding-space dedup, deliberately
+    bounded (``max_id``): all-pairs is the ground-truth definition,
+    not a scale shape. The shipped scale path is
+    :func:`bucketed_near_dup`, which runs this same cosine verify
+    bucket-locally over the full corpus.
     """
     base = embeddings.where(F.col("vec_id") < max_id).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -78,6 +80,37 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
     b = base.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine(F.col("a.v"), F.col("b.v")).alias("raw_cos"))
+        .where(F.col("raw_cos") >= threshold)
+        .select("vec_a", "vec_b",
+                pround(F.col("raw_cos"), 6).alias("cos_sim"))
+    )
+
+
+def bucketed_near_dup(embeddings: DataFrame,
+                      threshold: float = 0.35) -> DataFrame:
+    """Near-duplicate pairs over the FULL corpus, bucket-locally.
+
+    The 100 TB shape of embedding dedup: sign-bucket LSH generates
+    candidates (equi-join on bucket — shuffle is bucket-sized, never
+    n²), and the exact cosine verify runs only inside buckets. Recall
+    is bucket-limited by construction (a pair split across buckets is
+    never considered — the standard LSH trade; more tables/bits tune
+    it), which the oracle mirrors exactly. No nested-loop or cartesian
+    join appears in the plan (guarded in
+    ``tests/test_plan_properties.py``).
+    """
+    base = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", _sign_bucket(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -167,12 +200,18 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
 N_BUCKET_BITS = 4
 
 
-def _sign_bucket(vec):
-    """Bucket id from the sign pattern of the first N dims."""
+def _sign_bucket(vec, n_bits: int = N_BUCKET_BITS, center: float = 0.0):
+    """Bucket id from the sign pattern of the first ``n_bits`` dims.
+
+    ``center`` shifts the hyperplanes: non-negative feature spaces
+    (histograms, counts) bucket on ``dim >= center`` instead of the
+    useless ``>= 0`` (every vector would share one bucket).
+    """
     bucket = F.lit(0)
-    for i in range(N_BUCKET_BITS):
+    for i in range(n_bits):
         bucket = bucket + F.when(
-            F.element_at(vec, i + 1) >= 0, F.lit(2 ** i)).otherwise(0)
+            F.element_at(vec, i + 1) >= center,
+            F.lit(2 ** i)).otherwise(0)
     return bucket.cast("int")
 
 

@@ -336,6 +336,21 @@ _BUCKET_EXPR = " + ".join(
     f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
     for i in range(S.N_BUCKET_BITS))
 
+
+def _media_bucket_expr(col: str) -> str:
+    # centered sign bucket over the media feature histograms — bit
+    # count and center derive from the multimodal constants so
+    # retuning them cannot desynchronize the oracle
+    from .operators.multimodal import (
+        MEDIA_BUCKET_BITS,
+        MEDIA_BUCKET_CENTER,
+    )
+
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= {MEDIA_BUCKET_CENTER!r} "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(MEDIA_BUCKET_BITS))
+
 _IVF_CTE = f"""
 cents AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id,
                  CAST(embedding AS DOUBLE[]) AS c
@@ -799,6 +814,21 @@ FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       FROM base a JOIN base b ON a.vec_id < b.vec_id)
 WHERE raw_cos >= 0.35
 """,
+    "bucketed_near_dup": f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+ bucketed AS (SELECT vec_id, v,
+               {_BUCKET_EXPR.format(col='v')} AS bucket FROM base)
+SELECT vec_a, vec_b, {sql_pround("raw_cos", 6)} AS cos_sim
+FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v))
+          * sqrt(list_dot_product(b.v, b.v))) AS raw_cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE raw_cos >= 0.35
+""",
     "bucketed_topk": f"""
 WITH {_ANN_CTE},
  cb AS (SELECT neighbor_id, v,
@@ -1018,15 +1048,20 @@ SELECT url, page_num, COUNT(*) AS n_elements,
 FROM read_parquet('{elements}')
 GROUP BY url, page_num
 """,
+        # candidates are bucket-local (centered sign-bucket LSH) on
+        # BOTH sides — the SQL mirrors the operator's pruning exactly
         "media_near_dup": f"""
 WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
            FROM read_parquet('{features}')),
+ fb AS (SELECT media_id, v,
+         {_media_bucket_expr("v")} AS bucket FROM f),
  scored AS (
   SELECT a.media_id AS media_a, b.media_id AS media_b,
    list_dot_product(a.v, b.v) /
      (sqrt(list_dot_product(a.v, a.v))
       * sqrt(list_dot_product(b.v, b.v))) AS raw
-  FROM f a JOIN f b ON a.media_id < b.media_id)
+  FROM fb a JOIN fb b
+    ON a.bucket = b.bucket AND a.media_id < b.media_id)
 SELECT media_a, media_b, {sql_pround("raw", 6)} AS cos_sim
 FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
 """,
@@ -1101,6 +1136,8 @@ def build_queries() -> Dict[str, QueryFn]:
         "bucketed_topk": lambda s, d: S.bucketed_topk(
             R.load(s, d, "embeddings")),
         "cosine_near_dup": lambda s, d: S.cosine_near_dup(
+            R.load(s, d, "embeddings")),
+        "bucketed_near_dup": lambda s, d: S.bucketed_near_dup(
             R.load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: S.ivf_assign(
             R.load(s, d, "embeddings")),

@@ -107,6 +107,33 @@ def test_ivf_probe_join_is_broadcast_bucket_local(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # top-k pruned pre-shuffle
 
 
+def test_bucketed_near_dup_is_bucket_local(spark, sf_dir):
+    """Full-corpus embedding near-dup must candidate-generate via the
+    bucket equi-join — the all-pairs nested loop must never appear."""
+    from credit_ocr_system_spark.operators.similarity import (
+        bucketed_near_dup,
+    )
+
+    plan = plan_of(bucketed_near_dup(R.load(spark, sf_dir, "embeddings")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_media_near_dup_is_bucket_local(spark):
+    """Media near-dup: centered sign-bucket candidates, bucket-local
+    cosine verify — no all-pairs join over the feature table."""
+    from credit_ocr_system_spark.operators.multimodal import (
+        media_df,
+        media_near_dup,
+    )
+
+    plan = plan_of(media_near_dup(media_df(spark, 60)))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_asof_join_has_no_join_at_all(spark, sf_dir):
     """The as-of join must compile to union + window — never a
     nested-loop range join (the naive b.ts <= a.ts shape)."""
