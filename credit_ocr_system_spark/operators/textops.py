@@ -235,6 +235,15 @@ def dedup_clusters(documents: DataFrame,
                    rows_per_band: int = 1) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash
     candidate graph; cluster id = min doc_id of the component.
+    """
+    edges = minhash_candidates(documents, n_bands, rows_per_band)
+    return _connected_components(documents, edges, max_iterations)
+
+
+def _connected_components(documents: DataFrame, edges: DataFrame,
+                          max_iterations: int = 15) -> DataFrame:
+    """Connected components over ``edges`` (doc_a, doc_b); every
+    document gets a row, singletons are their own root.
 
     Iterative Hash-to-Min-style label propagation with pointer
     jumping: each round a doc's label becomes the min of (its label,
@@ -244,7 +253,6 @@ def dedup_clusters(documents: DataFrame,
     at 10^12 scale. Lineage is cut per round (localCheckpoint) so the
     plan doesn't grow with iterations.
     """
-    edges = minhash_candidates(documents, n_bands, rows_per_band)
     und = (
         edges.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"))
@@ -288,6 +296,74 @@ def dedup_clusters(documents: DataFrame,
         if changed.isEmpty():
             break
     return labels.select("doc_id", F.col("root").alias("cluster_root"))
+
+
+VERIFY_JACCARD_THRESHOLD = 0.8
+
+
+def verified_near_dup_pairs(documents: DataFrame,
+                            threshold: float = VERIFY_JACCARD_THRESHOLD,
+                            n_bands: int = N_BANDS,
+                            rows_per_band: int = 1) -> DataFrame:
+    """Exact shingle-Jaccard verification ON CANDIDATE PAIRS ONLY.
+
+    The composed candidates→verify step of the dedup pipeline: MinHash
+    LSH proposes pairs (bucket equi-join, never n²), then the exact
+    3-shingle Jaccard runs only on those pairs — the verifier's join
+    fans out per candidate pair, so its cost is O(candidates ×
+    shingles/doc), independent of corpus size. Output:
+    (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    cands = minhash_candidates(documents, n_bands, rows_per_band)
+    sh = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.array_distinct(_shingles(_tokens(F.col("text")))))
+         .alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands
+        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
+              & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(F.col("n_inter")
+                   / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                   6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verified_near_dup_clusters(
+        documents: DataFrame,
+        threshold: float = VERIFY_JACCARD_THRESHOLD,
+        n_bands: int = N_BANDS,
+        rows_per_band: int = 1,
+        max_iterations: int = 15) -> DataFrame:
+    """The full dedup pipeline as ONE operator:
+    candidates (MinHash LSH) → exact Jaccard verify on candidates only
+    → connected components over the verified edges.
+
+    This is :func:`dedup_clusters` with false-positive candidates
+    (docs that merely collided in a band) removed before clustering —
+    at a hot-template corpus scale the verify step is what keeps
+    transitive chaining from collapsing loosely-similar pages into one
+    giant cluster. Output: (doc_id, cluster_root) for every document.
+    """
+    edges = verified_near_dup_pairs(
+        documents, threshold, n_bands, rows_per_band
+    ).select("doc_a", "doc_b")
+    return _connected_components(documents, edges, max_iterations)
 
 
 # --- SimHash -------------------------------------------------------------

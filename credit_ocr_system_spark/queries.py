@@ -615,6 +615,35 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
  CAST(COALESCE(r.cluster_root, d.doc_id) AS BIGINT) AS cluster_root
 FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 """,
+    # candidates → exact-Jaccard verify (candidates only): the shared
+    # MinHash prefix IS the candidates oracle, so (b, r) retuning can
+    # never desynchronize the composed pipeline from its parts
+    "verified_near_dup_pairs": f"""
+WITH {_MINHASH_CTE},
+ live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM live a JOIN live b
+    ON a.band = b.band AND a.minhash = b.minhash
+   AND a.doc_id < b.doc_id),
+ sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+        FROM shingled),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard
+FROM (SELECT doc_a, doc_b,
+       {sql_pround("n_inter / (sa.n_sh + sb.n_sh - n_inter)", 6)}
+         AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= {T.VERIFY_JACCARD_THRESHOLD}
+""",
     "sessionize_events": """
 SELECT user_id, CAST(session_idx AS INT) AS session_idx,
  COUNT(*) AS n_events,
@@ -1114,6 +1143,10 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents"), n_bands=4, rows_per_band=2),
         "dedup_clusters": lambda s, d: T.dedup_clusters(
             R.load(s, d, "documents")),
+        "verified_near_dup_pairs": lambda s, d: T.verified_near_dup_pairs(
+            R.load(s, d, "documents")),
+        "verified_dedup_clusters": lambda s, d: T.verified_near_dup_clusters(
+            R.load(s, d, "documents")),
         "sessionize_events": R.sessionize_events,
         "simhash": lambda s, d: T.simhash(R.load(s, d, "documents")),
         "simhash_candidates": lambda s, d: T.simhash_candidates(
@@ -1169,6 +1202,25 @@ def build_queries() -> Dict[str, QueryFn]:
 # BY CONSTRUCTION — one oracle string, referenced twice, so an edit to
 # the banding SQL can never drift the value-identity proof
 ORACLES["value_banding_salted"] = ORACLES["value_banding"]
+
+# clusters over VERIFIED edges: the edge CTE IS the
+# verified_near_dup_pairs oracle (structural reuse), followed by the
+# same recursive-reachability closure dedup_clusters uses
+ORACLES["verified_dedup_clusters"] = f"""
+WITH RECURSIVE verified AS ({ORACLES["verified_near_dup_pairs"]}),
+ und AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         UNION SELECT doc_b, doc_a FROM verified),
+ reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+ roots AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_root
+  FROM reach GROUP BY a)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+ CAST(COALESCE(r.cluster_root, d.doc_id) AS BIGINT) AS cluster_root
+FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+"""
 
 # range join over the session windows: the sess CTE IS the
 # sessionize_events oracle (structural reuse — the window definition

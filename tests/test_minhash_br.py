@@ -37,6 +37,40 @@ def test_r2_keeps_recall_and_improves_precision(spark, sf_dir):
     assert len(cand_r2) < len(cand_r1)
 
 
+def test_verified_pipeline_refines_unverified_clusters(spark, sf_dir):
+    """candidates → verify → CC: verified edges are a subset of the
+    candidate edges, so verified clustering can only split (never
+    merge) the unverified clusters, and verified pairs all clear the
+    exact-Jaccard threshold."""
+    docs = R.load(spark, sf_dir, "documents")
+    cands = _pairs(T.minhash_candidates(docs))
+    verified_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in T.verified_near_dup_pairs(docs).collect()}
+    assert verified_pairs, "seeded corpus must contain true near-dups"
+    assert {(a, b) for a, b, _ in verified_pairs} <= cands
+    assert all(j >= T.VERIFY_JACCARD_THRESHOLD
+               for _, _, j in verified_pairs)
+
+    plain = {r.doc_id: r.cluster_root
+             for r in T.dedup_clusters(docs).collect()}
+    verified = {r.doc_id: r.cluster_root
+                for r in T.verified_near_dup_clusters(docs).collect()}
+    assert set(plain) == set(verified)  # every doc gets a row in both
+    # refinement: docs sharing a verified cluster also share the
+    # unverified one (the reverse need not hold)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for doc, root in verified.items():
+        groups[root].append(doc)
+    for members in groups.values():
+        assert len({plain[d] for d in members}) == 1
+    # and the verify step actually prunes: fewer non-singleton members
+    n_plain = sum(1 for d, r in plain.items() if d != r)
+    n_verified = sum(1 for d, r in verified.items() if d != r)
+    assert n_verified <= n_plain
+
+
 def test_r2_band_signature_null_on_shingleless_docs(spark):
     # a 2-token doc has no 3-gram shingles: signature must be NULL
     # (dropped), matching the '||' NULL propagation in the oracle
