@@ -123,17 +123,80 @@ def bucketed_near_dup(embeddings: DataFrame,
 
 N_CENTROIDS = 16
 N_PROBE = 2
+KMEANS_ITERS = 3
 
 
-def _centroids(embeddings: DataFrame) -> DataFrame:
-    """Deterministic coarse-quantizer codebook: the first
-    ``N_CENTROIDS`` vectors by vec_id. (A trained k-means codebook
-    would be an offline artifact at scale; a fixed deterministic one
-    keeps the partitioning logic — the part Spark executes — exact and
-    oracle-checkable.)"""
+def _seed_centroids(embeddings: DataFrame) -> DataFrame:
+    """k-means seeds: the first ``N_CENTROIDS`` vectors by vec_id —
+    deterministic, so the whole training run is reproducible and
+    oracle-checkable. (Also the *untrained* baseline codebook the
+    recall tests compare against.)"""
     return embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").cast("bigint").alias("centroid_id"),
         _as_double(F.col("embedding")).alias("c"))
+
+
+def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS
+                    ) -> DataFrame:
+    """Trained IVF coarse quantizer: fixed-iteration Lloyd's k-means
+    as DataFrame operations. Output: (centroid_id, c array<double>).
+
+    Deterministic by construction — the property that makes it
+    oracle-checkable bit-for-bit:
+
+    * seeds are the first ``N_CENTROIDS`` vectors by vec_id;
+    * assignment is argmax cosine with (desc cos, asc centroid_id)
+      tie-break — a broadcast join + windowed top-1, map-side at
+      scale;
+    * the centroid update sums each dimension by an ORDERED left fold
+      over ``vec_id`` (``array_sort(collect_list(struct))`` +
+      ``aggregate``): float addition isn't associative, so an
+      unordered ``avg()`` would differ run-to-run and engine-to-engine
+      at the ulp level — and a ulp on a centroid can flip an
+      assignment. The ordered fold gives the identical IEEE sum in
+      any engine;
+    * clusters that lose all members keep their previous centroid.
+
+    Scale note: the per-(centroid, dim) ordered fold materializes the
+    member values of one centroid dimension as a list — fine for
+    codebook training, which at 10^12 rows runs on a sample anyway
+    (training a 16-entry codebook on the full corpus buys nothing).
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    cents = _seed_centroids(embeddings)
+    for _ in range(iters):
+        assigned = _nearest_centroids(corpus, cents, "vec_id", "v", 1)
+        dims = assigned.select(
+            "centroid_id", "vec_id",
+            F.posexplode("v").alias("pos", "val"))
+        sums = dims.groupBy("centroid_id", "pos").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"]).alias("s"),
+            F.count("*").alias("n"))
+        means = (
+            sums
+            .withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"]).alias("c_new")))
+        # codebook-sized (N_CENTROIDS rows) join: always broadcast —
+        # Catalyst can't size an aggregate-of-aggregate subtree and
+        # would fall back to a sort-merge join
+        cents = (
+            cents.join(F.broadcast(means), "centroid_id", "left")
+            .select("centroid_id",
+                    F.coalesce("c_new", "c").alias("c")))
+    return cents
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """The codebook IVF partitions on — the trained k-means quantizer."""
+    return kmeans_codebook(embeddings)
 
 
 def _nearest_centroids(vectors: DataFrame, centroids: DataFrame,
@@ -151,23 +214,27 @@ def _nearest_centroids(vectors: DataFrame, centroids: DataFrame,
             .drop("c", "ccos", "crn"))
 
 
-def ivf_assign(embeddings: DataFrame) -> DataFrame:
+def ivf_assign(embeddings: DataFrame,
+               centroids: DataFrame | None = None) -> DataFrame:
     """IVF coarse assignment: every vector → its nearest centroid.
 
     Output: (vec_id, centroid_id). At scale this column becomes the
     partition/bucket key the corpus is repartitioned and stored by
-    (one inverted list per centroid).
+    (one inverted list per centroid). The codebook defaults to the
+    trained k-means quantizer (:func:`kmeans_codebook`).
     """
     corpus = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"))
+    cents = centroids if centroids is not None else _centroids(embeddings)
     return _nearest_centroids(
-        corpus, _centroids(embeddings), "vec_id", "v", 1
+        corpus, cents, "vec_id", "v", 1
     ).select("vec_id", "centroid_id")
 
 
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
-             k: int = 5, nprobe: int = N_PROBE) -> DataFrame:
+             k: int = 5, nprobe: int = N_PROBE,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest
     inverted lists only.
 
@@ -177,7 +244,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
     the tiny probe side broadcast) — the n×q cross product never
     materializes. Output: (query_id, neighbor_id, rank).
     """
-    cents = _centroids(embeddings)
+    cents = centroids if centroids is not None else _centroids(embeddings)
     corpus = embeddings.select(
         F.col("vec_id").cast("bigint").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("v"))

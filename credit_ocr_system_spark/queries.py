@@ -351,10 +351,57 @@ def _media_bucket_expr(col: str) -> str:
         f"THEN {2 ** i} ELSE 0 END)"
         for i in range(MEDIA_BUCKET_BITS))
 
+_COS_CD = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled fixed-iteration Lloyd's k-means, mirroring
+    ``similarity.kmeans_codebook`` statement-for-statement: seeded from
+    the first N_CENTROIDS vectors, argmax-cosine assignment with the
+    same tie-break, and ORDERED left-fold dimension sums (zipped
+    unnest + ``list_reduce`` over vec_id order) so every float lands
+    bit-identically to the Spark side. Final codebook: ``cents``."""
+    cos = _COS_CD.format(a="k.v", b="p.c")
+    parts = [
+        "kcorpus AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cents0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id,"
+        f" CAST(embedding AS DOUBLE[]) AS c FROM embeddings"
+        f" WHERE vec_id < {S.N_CENTROIDS})",
+    ]
+    for t in range(1, S.KMEANS_ITERS + 1):
+        prev = f"cents{t - 1}"
+        parts.append(f"""assign{t} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT k.vec_id, k.v, p.centroid_id,
+     row_number() OVER (PARTITION BY k.vec_id ORDER BY
+       {cos} DESC, p.centroid_id ASC) AS crn
+    FROM kcorpus k CROSS JOIN {prev} p)
+  WHERE crn = 1)""")
+        parts.append(f"""dims{t} AS (
+  SELECT centroid_id, vec_id,
+   unnest(generate_series(1, len(v))) AS i, unnest(v) AS val
+  FROM assign{t})""")
+        parts.append(f"""sums{t} AS (
+  SELECT centroid_id, i,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(val ORDER BY vec_id)),
+               (a, b) -> a + b) AS s,
+   COUNT(*) AS n
+  FROM dims{t} GROUP BY 1, 2)""")
+        parts.append(f"""cents{t} AS (
+  SELECT p.centroid_id, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT centroid_id, list(s / n ORDER BY i) AS c
+    FROM sums{t} GROUP BY centroid_id) m USING (centroid_id))""")
+    parts.append(
+        f"cents AS (SELECT centroid_id, c FROM cents{S.KMEANS_ITERS})")
+    return ",\n".join(parts)
+
+
 _IVF_CTE = f"""
-cents AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id,
-                 CAST(embedding AS DOUBLE[]) AS c
-          FROM embeddings WHERE vec_id < {S.N_CENTROIDS}),
+{_kmeans_ctes()},
 corpus_assign AS (
   SELECT neighbor_id, v, centroid_id FROM (
     SELECT neighbor_id, v, centroid_id,
@@ -877,6 +924,13 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 5
 """,
+    "kmeans_codebook": f"""
+WITH {_kmeans_ctes()}
+SELECT centroid_id, CAST(i - 1 AS INT) AS dim_idx, val AS value
+FROM (SELECT centroid_id,
+       unnest(generate_series(1, len(c))) AS i, unnest(c) AS val
+      FROM cents)
+""",
     "ivf_assign": f"""
 WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
                        CAST(embedding AS DOUBLE[]) AS v
@@ -1172,6 +1226,9 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings")),
         "bucketed_near_dup": lambda s, d: S.bucketed_near_dup(
             R.load(s, d, "embeddings")),
+        "kmeans_codebook": lambda s, d: S.kmeans_codebook(
+            R.load(s, d, "embeddings")).selectExpr(
+                "centroid_id", "posexplode(c) AS (dim_idx, value)"),
         "ivf_assign": lambda s, d: S.ivf_assign(
             R.load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: S.ivf_topk(
