@@ -166,6 +166,71 @@ def llm_batch_infer(prompts: DataFrame,
     ).mapInArrow(run, schema=RESPONSES_SCHEMA)
 
 
+def http_infer(endpoint: str, timeout: float = 120.0, retries: int = 3,
+               backoff: float = 0.2,
+               headers: dict | None = None
+               ) -> Callable[[List[str]], List[str]]:
+    """Real HTTP ``infer_fn`` for the :func:`llm_batch_infer` seam.
+
+    The production counterpart of the reference's Ollama client
+    (``/root/reference/src/llm/client.py:23-60`` — aiohttp POST with a
+    120 s total timeout): one JSON POST per batch
+    (``{"prompts": [...]}`` → ``{"responses": [...]}``), stdlib-only
+    (``urllib``) so executors need no extra deps.
+
+    Failure policy:
+
+    * transient faults (connection errors, timeouts, HTTP 5xx) retry
+      up to ``retries`` times with exponential backoff — a flaky
+      endpoint costs latency, not a failed Spark task;
+    * non-transient faults (HTTP 4xx, malformed/mis-sized response
+      bodies) raise immediately: retrying a deterministic server bug
+      would just burn the timeout budget ``retries`` times and then
+      fail anyway.
+
+    The returned closure is serialized to executors by Spark; it holds
+    only plain config values.
+    """
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    def infer(prompts: List[str]) -> List[str]:
+        body = _json.dumps({"prompts": prompts}).encode("utf-8")
+        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        last_err: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                req = urllib.request.Request(
+                    endpoint, data=body, headers=hdrs, method="POST")
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    payload = _json.loads(r.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    raise RuntimeError(
+                        f"http_infer: endpoint rejected batch "
+                        f"(HTTP {e.code})") from e
+                last_err = e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last_err = e
+            else:
+                responses = payload.get("responses")
+                if (not isinstance(responses, list)
+                        or len(responses) != len(prompts)):
+                    raise RuntimeError(
+                        f"http_infer: endpoint returned "
+                        f"{len(responses) if isinstance(responses, list) else type(responses).__name__}"
+                        f" responses for {len(prompts)} prompts")
+                return [str(x) for x in responses]
+            if attempt < retries:
+                time.sleep(backoff * (2 ** attempt))
+        raise RuntimeError(
+            f"http_infer: {retries + 1} attempts failed; "
+            f"last error: {last_err}") from last_err
+
+    return infer
+
+
 def parse_llm_response(responses: DataFrame) -> DataFrame:
     """Fence/comment strip + JSON parse — the reference's response
     cleanup (``field_extractor.py:53-87``) as column expressions."""
