@@ -39,21 +39,71 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
-EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
-DE_STOPWORDS = ("der", "die", "das", "und", "ist", "von", "mit", "für")
-
-# Top-stopword tables per language for the language-ID heuristic.
-# Cross-language collisions ("la" fr/es/it, "is" en/nl, ...) are part
-# of the data; the tie-break rule below resolves them deterministically.
+# Stopword tables per language for the language-ID heuristic —
+# realistic sizes (55-65 words/lang, the standard published stopword
+# inventories), loaded as a broadcast vocabulary table at query time
+# (see ``lang_vocab_df``), NOT inlined into the expression tree: at
+# these sizes an isin() per language bloats codegen, while a 360-row
+# broadcast join costs one hash probe per token. Cross-language
+# collisions ("la" fr/es/it, "is" en/nl, de/nl overlap, ...) are part
+# of the data; the tie-break rule in ``language_id`` resolves them
+# deterministically.
 LANG_STOPWORDS = {
-    "de": DE_STOPWORDS,
-    "en": EN_STOPWORDS,
-    "es": ("el", "la", "los", "que", "y", "es", "por", "una"),
-    "fr": ("le", "les", "la", "et", "est", "une", "dans", "pour"),
-    "it": ("il", "che", "e", "di", "per", "con", "sono", "una"),
-    "nl": ("de", "het", "een", "en", "van", "is", "voor", "met"),
+    "de": (
+        "aber", "alle", "als", "also", "am", "an", "auch", "auf", "aus",
+        "bei", "bin", "bis", "das", "dass", "dem", "den", "der", "des",
+        "die", "doch", "durch", "ein", "eine", "einem", "einen", "einer",
+        "er", "es", "für", "hat", "haben", "ich", "im", "in", "ist",
+        "ja", "kann", "mit", "nach", "nicht", "noch", "nur", "oder",
+        "sich", "sie", "sind", "so", "über", "um", "und", "von", "vor",
+        "war", "wenn", "werden", "wie", "zu", "zum", "zur"),
+    "en": (
+        "a", "about", "after", "all", "also", "an", "and", "any", "are",
+        "as", "at", "be", "been", "but", "by", "can", "could", "did",
+        "do", "for", "from", "had", "has", "have", "he", "her", "his",
+        "if", "in", "into", "is", "it", "its", "more", "my", "no",
+        "not", "of", "on", "one", "or", "other", "our", "she", "so",
+        "some", "than", "that", "the", "their", "them", "then", "there",
+        "they", "this", "to", "was", "were", "which", "will", "with",
+        "would", "you"),
+    "es": (
+        "al", "algo", "ante", "antes", "aunque", "bien", "cada", "como",
+        "con", "cual", "cuando", "de", "del", "desde", "donde", "dos",
+        "el", "ella", "ellos", "en", "entre", "era", "es", "esa", "ese",
+        "esta", "este", "fue", "ha", "hay", "la", "las", "le", "lo",
+        "los", "más", "me", "mi", "muy", "no", "nos", "o", "para",
+        "pero", "por", "porque", "que", "se", "ser", "si", "sin",
+        "sobre", "son", "su", "sus", "también", "te", "tiene", "todo",
+        "un", "una", "uno", "y", "ya"),
+    "fr": (
+        "au", "aux", "avec", "ce", "ces", "cette", "dans", "de", "des",
+        "du", "elle", "en", "est", "et", "être", "il", "ils", "je",
+        "la", "le", "les", "leur", "lui", "mais", "me", "même", "mes",
+        "moi", "mon", "ne", "nos", "notre", "nous", "on", "ou", "où",
+        "par", "pas", "plus", "pour", "qui", "que", "sa", "se", "ses",
+        "son", "sont", "sur", "tout", "tu", "un", "une", "vous", "y"),
+    "it": (
+        "a", "ai", "al", "alla", "anche", "che", "chi", "ci", "come",
+        "con", "da", "dai", "dal", "della", "delle", "dei", "di", "e",
+        "è", "era", "gli", "ha", "hanno", "i", "il", "in", "io", "la",
+        "le", "lo", "loro", "ma", "mi", "ne", "nel", "nella", "non",
+        "o", "per", "più", "quella", "questo", "se", "si", "sia",
+        "sono", "su", "sua", "suo", "tra", "tu", "un", "una", "uno"),
+    "nl": (
+        "aan", "al", "alle", "als", "bij", "dan", "dat", "de", "der",
+        "deze", "die", "dit", "door", "een", "en", "er", "had", "heb",
+        "heeft", "hem", "het", "hier", "hij", "hoe", "ik", "in", "is",
+        "je", "kan", "maar", "me", "meer", "met", "mij", "mijn", "naar",
+        "niet", "nog", "nu", "of", "om", "ons", "ook", "op", "over",
+        "te", "toen", "tot", "uit", "van", "veel", "voor", "was", "wat",
+        "we", "wel", "wie", "wij", "zal", "ze", "zich", "zijn", "zo",
+        "zou"),
 }
 LANG_IDS = tuple(sorted(LANG_STOPWORDS))
+
+# The English table doubles as the stopword-ratio vocabulary of
+# ``quality_score`` (single source with its oracle's IN-list).
+EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 # --- exact dedup --------------------------------------------------------
@@ -469,13 +519,30 @@ def simhash_candidates(documents: DataFrame) -> DataFrame:
 
 # --- language ID ----------------------------------------------------------
 
-def _hit_filter(words: tuple):
-    # single-parameter closure (see minhash member_hash note)
-    return lambda t: t.isin(*words)
+def lang_vocab_df(spark) -> DataFrame:
+    """The stopword vocabulary as a (word, lang) table — the broadcast
+    side of the language-ID join. On a real deployment this is where a
+    full vocabulary table (thousands of words, loaded from storage)
+    plugs in; the operator shape doesn't change with vocabulary size."""
+    rows = [(w, lang) for lang in LANG_IDS
+            for w in LANG_STOPWORDS[lang]]
+    return spark.createDataFrame(rows, "word string, lang string")
 
 
 def language_id(documents: DataFrame) -> DataFrame:
-    """Stopword-hit language guess over LANG_STOPWORDS (6 languages).
+    """Stopword-hit language guess over LANG_STOPWORDS (6 languages,
+    ~60 words each).
+
+    Shape: explode tokens → broadcast-hash LEFT join against the
+    vocabulary table → one groupBy(doc_id) with per-language
+    conditional counts (counting every occurrence). The join replaces
+    per-language ``isin`` chains, so vocabulary size scales without
+    bloating the codegen'd expression tree; the whole operator is one
+    broadcast probe per token plus ONE shuffle (the doc_id groupBy).
+    A sentinel empty token appended per document keeps zero-token
+    documents in the groupBy — no second join back to the doc list
+    (which would be a doc_id-sized shuffle join). Plan guarded in
+    ``tests/test_plan_properties.py``.
 
     Emits per-language hit counts and the guess. Tie-break rule,
     applied deterministically: the guess is the unique language with
@@ -484,14 +551,22 @@ def language_id(documents: DataFrame) -> DataFrame:
     maximum is genuine ambiguity — several languages share stopwords
     — and guessing one would be an arbitrary bias).
     """
-    toks = _tokens(F.col("text"))
-    hits = {
-        lang: F.size(F.filter(toks, _hit_filter(LANG_STOPWORDS[lang])))
-        for lang in LANG_IDS
-    }
-    cols = [hits[lang].alias(f"{lang}_hits") for lang in LANG_IDS]
-    counted = documents.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), *cols)
+    docs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    # sentinel "" matches no vocabulary word but keeps the doc's row
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.concat(_tokens(F.col("text")),
+                           F.array(F.lit("")))).alias("tok"))
+    vocab = lang_vocab_df(documents.sparkSession)
+    counted = (
+        toks.join(F.broadcast(vocab), toks.tok == vocab.word, "left")
+        .groupBy("doc_id")
+        .agg(*[
+            F.sum(F.when(F.col("lang") == lang, 1).otherwise(0))
+            .cast("int").alias(f"{lang}_hits")
+            for lang in LANG_IDS])
+    )
     hit_cols = [F.col(f"{lang}_hits") for lang in LANG_IDS]
     m = F.greatest(*hit_cols)
     n_max = None

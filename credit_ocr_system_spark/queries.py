@@ -302,9 +302,14 @@ _MINHASH_R2_CTE = _minhash_cte(
 
 
 def _language_id_oracle() -> str:
-    hit_defs = ",\n       ".join(
-        f"CAST(len(list_filter(toks, t -> t IN "
-        f"({', '.join(repr(w) for w in LANG_STOPWORDS[lang])})))"
+    # same vocabulary-table join the Spark operator runs: the VALUES
+    # list is generated from LANG_STOPWORDS, so vocabulary edits can
+    # never desynchronize the oracle
+    vocab_rows = ", ".join(
+        f"('{w}', '{lang}')" for lang in LANG_IDS
+        for w in LANG_STOPWORDS[lang])
+    hit_defs = ",\n   ".join(
+        f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)"
         f" AS INT) AS {lang}_hits"
         for lang in LANG_IDS)
     hit_cols = ", ".join(f"{lang}_hits" for lang in LANG_IDS)
@@ -315,13 +320,20 @@ def _language_id_oracle() -> str:
     argmax = " ".join(
         f"WHEN {lang}_hits = {m} THEN '{lang}'" for lang in LANG_IDS)
     return f"""
+WITH vocab(word, lang) AS (VALUES {vocab_rows}),
+ toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_append({_TOKS}, '')) AS tok
+  FROM documents),
+ wide AS (
+  SELECT doc_id,
+   {hit_defs}
+  FROM toks LEFT JOIN vocab ON tok = word GROUP BY doc_id)
 SELECT doc_id, {hit_cols},
  CASE WHEN {m} > 0 AND ({n_max}) = 1
       THEN (CASE {argmax} END)
       ELSE 'unknown' END AS lang_guess
-FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       {hit_defs}
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+FROM wide
 """
 
 _ANN_CTE = """

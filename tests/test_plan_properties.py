@@ -107,6 +107,20 @@ def test_ivf_probe_join_is_broadcast_bucket_local(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # top-k pruned pre-shuffle
 
 
+def test_language_id_vocab_is_broadcast_join(spark, sf_dir):
+    """The stopword vocabulary joins as a broadcast table — growing it
+    must never introduce a shuffle join or a codegen-bloating isin."""
+    from credit_ocr_system_spark.operators.textops import language_id
+
+    plan = plan_of(language_id(R.load(spark, sf_dir, "documents")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one data shuffle: the doc_id groupBy (plus the broadcast
+    # exchange for the vocab side)
+    assert plan.count("Exchange hashpartitioning") <= 2  # tree + detail
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
 def test_bucketed_near_dup_is_bucket_local(spark, sf_dir):
     """Full-corpus embedding near-dup must candidate-generate via the
     bucket equi-join — the all-pairs nested loop must never appear."""
