@@ -212,6 +212,164 @@ class SnapshotSink:
         return self.write_snapshot(df, run_id, meta, op="replace")
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def merge_sql(table: str, source_view: str, keys: list[str]) -> str:
+    """The MERGE statement :class:`IcebergSink` runs — new rows win on
+    ``keys``, unmatched old rows survive (the reference's Postgres
+    upsert, ``src/dms/adapters.py:130-167``)."""
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (f"MERGE INTO {table} t USING {source_view} s ON {cond} "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
+
+
+class IcebergSink:
+    """The SnapshotSink interface on a real Iceberg catalog.
+
+    Same contract as :class:`SnapshotSink` (append snapshots,
+    MERGE-upsert, ``VERSION AS OF`` time travel keyed by run_id), but
+    every operation is the genuine Iceberg call a cluster user runs:
+    ``writeTo(...).append()``, ``MERGE INTO``, ``VERSION AS OF``. The
+    run_id → snapshot mapping rides in Iceberg snapshot summary
+    properties (``snapshot-property.run_id`` write option), so time
+    travel needs no side files. Requires the Iceberg Spark runtime
+    (``iceberg_available``); tests skip where the jars are absent.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table  # fully qualified: catalog.db.name
+
+    def _table_exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def committed_snapshots(self) -> list[dict]:
+        if not self._table_exists():
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.table}.snapshots "
+            f"ORDER BY committed_at").collect()
+        return [{"snapshot_id": r.snapshot_id,
+                 "run_id": r.summary.get("run_id"),
+                 "op": r.summary.get("sink_op", "append")}
+                for r in rows]
+
+    def _snapshot_id_for(self, run_id: str) -> int:
+        for s in self.committed_snapshots():
+            if s["run_id"] == run_id:
+                return s["snapshot_id"]
+        # MERGE commits can't carry snapshot-property options; their
+        # run_id → snapshot mapping is recorded as a table property
+        row = self.spark.sql(
+            f"SELECT value FROM {self.table}.properties "
+            f"WHERE key = 'run.{run_id}'").first()
+        if row is not None:
+            return int(row.value)
+        raise KeyError(f"no committed snapshot for run {run_id}")
+
+    def read_committed(self, spark: SparkSession | None = None,
+                       as_of: str | None = None) -> DataFrame | None:
+        spark = spark or self.spark
+        if not self._table_exists():
+            return None
+        if as_of is None:
+            return spark.table(self.table)
+        return spark.sql(
+            f"SELECT * FROM {self.table} "
+            f"VERSION AS OF {self._snapshot_id_for(as_of)}")
+
+    def read_snapshot(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """One snapshot's own rows: incremental read of that commit."""
+        sid = self._snapshot_id_for(run_id)
+        return (spark.read.format("iceberg")
+                .option("start-snapshot-id", self._parent_of(sid))
+                .option("end-snapshot-id", sid)
+                .load(self.table))
+
+    def _parent_of(self, snapshot_id: int) -> int:
+        row = self.spark.sql(
+            f"SELECT parent_id FROM {self.table}.snapshots "
+            f"WHERE snapshot_id = {snapshot_id}").first()
+        return row.parent_id if row and row.parent_id is not None else 0
+
+    def write_snapshot(self, df: DataFrame, run_id: str,
+                       meta: dict | None = None,
+                       op: str = "append",
+                       partition_by: list[str] | None = None) -> str:
+        if any(s["run_id"] == run_id for s in self.committed_snapshots()):
+            raise ValueError(
+                f"run_id {run_id!r} already has a committed snapshot; "
+                "snapshots are immutable — use a fresh run_id")
+        writer = (df.writeTo(self.table)
+                  .option("snapshot-property.run_id", run_id)
+                  .option("snapshot-property.sink_op", op))
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        if not self._table_exists():
+            if partition_by:
+                writer = writer.partitionedBy(*map(F.col, partition_by))
+            writer.create()
+        else:
+            writer.append()
+        return run_id
+
+    def merge_upsert(self, spark: SparkSession, df: DataFrame,
+                     run_id: str, keys: list[str],
+                     meta: dict | None = None) -> str:
+        dup = (df.groupBy(*keys).count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_upsert source has duplicate keys "
+                f"(e.g. {dict(zip(keys, dup[0][:-1]))}); a MERGE "
+                f"source must be unique on {keys}")
+        if not self._table_exists():
+            return self.write_snapshot(df, run_id, meta, op="replace")
+        view = f"merge_src_{run_id}"
+        df.createOrReplaceTempView(view)
+        try:
+            spark.sql(merge_sql(self.table, view, keys))
+        finally:
+            spark.catalog.dropTempView(view)
+        # record run_id → MERGE snapshot for VERSION AS OF time travel
+        spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('run.{run_id}' = '{self._latest_snapshot_id()}')")
+        return run_id
+
+    def _latest_snapshot_id(self) -> int:
+        return self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").first().snapshot_id
+
+
+def make_sink(spark: SparkSession, root: str,
+              catalog: str | None = None):
+    """Sink factory — the switch between the sandbox stand-in and a
+    real Iceberg catalog.
+
+    ``catalog=None`` → :class:`SnapshotSink` under the ``root`` path;
+    ``catalog="iceberg:<cat>.<db>.<table>"`` (or any fully-qualified
+    table after the prefix) → :class:`IcebergSink` on that table.
+    """
+    if catalog and catalog.startswith("iceberg:"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg catalog requested but the Iceberg Spark "
+                "runtime is not on the classpath")
+        return IcebergSink(spark, catalog[len("iceberg:"):])
+    return SnapshotSink(root)
+
+
 def preflight(pages: DataFrame) -> DataFrame:
     """Ingestion-side invariants (reference DMS upload checks,
     ``src/dms/service.py:30-110``, collapsed to input-table filters per
