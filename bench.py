@@ -88,6 +88,14 @@ HEADLINE = [
     "session_error_counts",
     "dedup_clusters",
     "media_near_dup",
+    # round 3 additions: bucketed near-dup scale paths, the composed
+    # candidates→verify→CC dedup pipeline, trained IVF codebook
+    "bucketed_near_dup",
+    "verified_near_dup_pairs",
+    "verified_dedup_clusters",
+    "kmeans_codebook",
+    "decontaminate",
+    "deterministic_sample",
 ]
 
 

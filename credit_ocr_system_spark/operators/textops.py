@@ -416,6 +416,93 @@ def verified_near_dup_clusters(
     return _connected_components(documents, edges, max_iterations)
 
 
+# --- benchmark decontamination -------------------------------------------
+
+DECONTAM_NGRAM_W = 8
+DECONTAM_BENCH_IDS = 20  # doc_id < 20 form the held-out benchmark set
+
+
+def decontaminate(documents: DataFrame,
+                  n_bench: int = DECONTAM_BENCH_IDS,
+                  width: int = DECONTAM_NGRAM_W) -> DataFrame:
+    """Train/test decontamination: flag documents sharing any
+    ``width``-gram with the held-out benchmark set (here: doc_id <
+    ``n_bench``, standing in for an eval-suite table).
+
+    The standard pre-training hygiene pass (GPT-3/PaLM-style 8-13-gram
+    overlap): the benchmark's distinct n-grams are a broadcast-sized
+    set (eval suites are tiny next to the corpus), so the check is one
+    broadcast-hash join probe per document n-gram plus one doc_id
+    groupBy — no shuffle of the corpus against itself, which is what
+    makes it a map-side pass at 10^12 rows. A sentinel empty gram
+    keeps zero-hit documents in the output (no join back).
+
+    Output: (doc_id, n_hits, is_contaminated) for EVERY document;
+    benchmark members trivially match themselves (n_hits = their own
+    gram count) — consumers drop ``doc_id < n_bench`` rows or use
+    them as the positive control.
+    """
+    grams = _shingles(_tokens(F.col("text")), width=width)
+    bench = (
+        documents.where(F.col("doc_id") < n_bench)
+        .select(F.explode(F.array_distinct(grams)).alias("bgram"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.concat(grams, F.array(F.lit("")))).alias("gram"))
+    return (
+        doc_grams
+        .join(F.broadcast(bench), doc_grams.gram == bench.bgram, "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("bgram").isNotNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_hits"))
+        .select("doc_id", "n_hits",
+                (F.col("n_hits") > 0).alias("is_contaminated"))
+    )
+
+
+# --- deterministic sampling ----------------------------------------------
+
+SAMPLE_RATE_HEX = "40000000"  # md5-prefix cutoff: keep ≈ 25%
+SOURCE_QUOTA = 10             # per-source document cap
+
+
+def deterministic_sample(documents: DataFrame,
+                         rate_hex: str = SAMPLE_RATE_HEX,
+                         quota: int = SOURCE_QUOTA) -> DataFrame:
+    """Reproducible corpus sampling — the mixing/subsetting step of a
+    training-data pipeline, with two independent, engine-portable
+    mechanisms:
+
+    * **Bernoulli by content-free hash**: keep a document iff the hex
+      ``md5(doc_id)`` prefix sorts below ``rate_hex`` — a pure string
+      comparison, so any engine computes the identical sample (no RNG,
+      no seed drift, stable under repartitioning). ``"40000000"`` ≈
+      rate 0.25.
+    * **Per-source quota** (domain capping): rank documents within
+      each source by (hash, doc_id) and keep rank ≤ ``quota`` — the
+      top-k-per-domain cap that stops hot domains from dominating the
+      mixture. One shuffle on source; the rank is WindowGroupLimit-
+      prunable.
+
+    Output: every document with (hash_key, kept_bernoulli, src_rank,
+    kept_quota) so downstream mixing can compose the two predicates.
+    """
+    hashed = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hash_key"))
+    w = Window.partitionBy("source").orderBy("hash_key", "doc_id")
+    return (
+        hashed
+        .withColumn("kept_bernoulli",
+                    F.substring("hash_key", 1, len(rate_hex)) < rate_hex)
+        .withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .withColumn("kept_quota", F.col("src_rank") <= quota)
+    )
+
+
 # --- SimHash -------------------------------------------------------------
 
 # 64 bits (Manku et al.'s standard width): one parity vote per hex

@@ -765,6 +765,38 @@ FROM (
  FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
  LEFT JOIN tri t ON u.doc_id = t.doc_id)
 """,
+    "decontaminate": f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+   CASE WHEN len(toks) >= {T.DECONTAM_NGRAM_W}
+    THEN [{" || ' ' || ".join(f"toks[i+{j}]" for j in range(T.DECONTAM_NGRAM_W))}
+          FOR i IN generate_series(1, len(toks) - {T.DECONTAM_NGRAM_W - 1})]
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+ bench AS (
+  SELECT DISTINCT unnest(list_distinct(grams)) AS bgram FROM g
+  WHERE doc_id < {T.DECONTAM_BENCH_IDS}),
+ dg AS (SELECT doc_id, unnest(list_append(grams, '')) AS gram FROM g)
+SELECT doc_id, n_hits, n_hits > 0 AS is_contaminated
+FROM (SELECT doc_id,
+       CAST(SUM(CASE WHEN b.bgram IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits
+      FROM dg LEFT JOIN bench b ON dg.gram = b.bgram
+      GROUP BY doc_id)
+""",
+    "deterministic_sample": f"""
+SELECT doc_id, source, hash_key,
+ substr(hash_key, 1, {len(T.SAMPLE_RATE_HEX)}) < '{T.SAMPLE_RATE_HEX}'
+   AS kept_bernoulli,
+ CAST(rn AS INT) AS src_rank,
+ rn <= {T.SOURCE_QUOTA} AS kept_quota
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       md5(CAST(doc_id AS VARCHAR)) AS hash_key,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                   doc_id) AS rn
+      FROM documents)
+""",
     "simhash": _simhash_oracle(),
     # band count, width, mask and hamming bound all derived from the
     # textops constants so retuning them cannot desynchronize the oracle
@@ -1228,6 +1260,10 @@ def build_queries() -> Dict[str, QueryFn]:
         "fingerprints": lambda s, d: T.fingerprints(
             R.load(s, d, "documents")),
         "shingle_jaccard_pairs": lambda s, d: T.shingle_jaccard_pairs(
+            R.load(s, d, "documents")),
+        "decontaminate": lambda s, d: T.decontaminate(
+            R.load(s, d, "documents")),
+        "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(

@@ -107,6 +107,16 @@ def test_ivf_probe_join_is_broadcast_bucket_local(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # top-k pruned pre-shuffle
 
 
+def test_decontaminate_probes_a_broadcast_gram_set(spark, sf_dir):
+    """The benchmark gram set must broadcast: the corpus is never
+    shuffled against itself for the overlap check."""
+    from credit_ocr_system_spark.operators.textops import decontaminate
+
+    plan = plan_of(decontaminate(R.load(spark, sf_dir, "documents")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_language_id_vocab_is_broadcast_join(spark, sf_dir):
     """The stopword vocabulary joins as a broadcast table — growing it
     must never introduce a shuffle join or a codegen-bloating isin."""
