@@ -96,6 +96,12 @@ HEADLINE = [
     "kmeans_codebook",
     "decontaminate",
     "deterministic_sample",
+    # canonical keep-best selection, TF-IDF top terms, exact
+    # substring-dedup signal, capped inverted index
+    "dedup_keep_best",
+    "tfidf_top_terms",
+    "duplicate_spans",
+    "inverted_index",
 ]
 
 

@@ -895,3 +895,193 @@ def repetition_score(documents: DataFrame) -> DataFrame:
             .alias("is_repetitive"),
         )
     )
+
+
+# --- canonical selection (dedup keep-best) ---------------------------------
+
+def dedup_keep_best(documents: DataFrame,
+                    threshold: float = VERIFY_JACCARD_THRESHOLD,
+                    n_bands: int = N_BANDS,
+                    rows_per_band: int = 1) -> DataFrame:
+    """The final step of the dedup pipeline: pick ONE survivor per
+    near-dup cluster, by quality.
+
+    Composes :func:`verified_near_dup_clusters` (candidates → exact
+    verify → connected components) with :func:`quality_score`: within
+    each cluster the highest-quality document wins (``doc_id`` breaks
+    exact quality ties — the composite is rounded to 3 decimals, so
+    ties are real). Output: every document with its cluster root,
+    quality, and an ``is_canonical`` keep flag — the filter a training
+    mixture applies before tokenization.
+
+    Scale shape: the cluster ⋈ quality join is doc_id-keyed (AQE picks
+    the strategy), and the keep-flag window partitions by
+    ``cluster_root`` — verified clusters are small by construction
+    (the exact-Jaccard verify step removes the band-collision chains
+    that create giant components), so the window never sees a hot key.
+    """
+    clusters = verified_near_dup_clusters(
+        documents, threshold, n_bands, rows_per_band)
+    quality = quality_score(documents).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc("quality"), F.asc("doc_id"))
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_root", "quality",
+                (F.col("rn") == 1).alias("is_canonical"))
+    )
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``, scikit-style so unseen-term idf stays
+    positive).
+
+    Shape: one token explode → (doc_id, term) count [shuffle 1] →
+    term-level document frequency re-aggregated FROM the tf table
+    [shuffle 2 — df is ``count(*)`` over (doc, term) rows, no second
+    distinct pass over the corpus] → corpus size N broadcast as a
+    1-row aggregate → per-doc top-k window (WindowGroupLimit prunes
+    map-side). Ranking compares the ROUNDED score (term ascending on
+    ties) so every engine ranks identical values.
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            pround(F.col("tf")
+                   * (F.log((F.col("n_docs") + F.lit(1.0))
+                            / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                   6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"),
+                "tf_idf", "rank")
+    )
+
+
+# --- exact substring-level dedup signal ------------------------------------
+
+DUP_SPAN_W = 8          # token n-gram width of a "span" (Lee et al. use
+                        # 50 BPE tokens; 8 whitespace tokens at the
+                        # synthetic corpus' tiny vocabulary plays the
+                        # same role: long enough that sharing is not
+                        # chance, short enough to exist in every doc)
+DUP_SPAN_FRAC_MAX = 0.5
+
+
+def duplicate_spans(documents: DataFrame,
+                    width: int = DUP_SPAN_W) -> DataFrame:
+    """Exact substring-level duplication signal (the corpus-internal
+    counterpart of :func:`decontaminate`, after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of token POSITIONS covered by at least
+    one ``width``-gram that also occurs verbatim in another document.
+
+    Unlike document-level MinHash, this catches boilerplate spans
+    pasted into otherwise-unique pages. Suffix arrays don't
+    distribute; the gram-postings formulation does, and coverage
+    converges to the same span mask:
+
+    * gram table: ``posexplode`` of the ``width``-gram shingles
+      [the corpus-sized shuffle, keyed by gram];
+    * shared grams: ``min(doc_id) < max(doc_id)`` per gram — a plain
+      map-side-combinable min/max agg, NO count-distinct pass;
+    * coverage: shared-gram hits explode to their ``width`` covered
+      positions, distinct-counted per document.
+
+    Output: (doc_id, n_tokens, n_covered, dup_span_frac, is_dup_span)
+    for every document; ``is_dup_span`` compares the ROUNDED fraction
+    so every engine flags identically.
+    """
+    docs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens(F.col("text")).alias("toks"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(F.col("toks"), width=width))
+         .alias("i0", "gram"))
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") < F.col("hi"))
+        .select("gram"))
+    cov = (
+        grams.join(shared, "gram")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("i0") + 1,
+                                     F.col("i0") + width)).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("pos")).alias("n_covered")))
+    base = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    frac = pround(
+        F.coalesce(F.col("n_covered"), F.lit(0))
+        / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+    return (
+        base.join(cov, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce(F.col("n_covered"), F.lit(0))
+                 .cast("bigint").alias("n_covered"),
+                frac.alias("dup_span_frac"),
+                (frac > DUP_SPAN_FRAC_MAX).alias("is_dup_span"))
+    )
+
+
+# --- inverted index --------------------------------------------------------
+
+POSTINGS_CAP = 20
+
+
+def inverted_index(documents: DataFrame,
+                   cap: int = POSTINGS_CAP) -> DataFrame:
+    """Token → postings table: document frequency, total occurrences,
+    and the first ``cap`` posting doc_ids (ascending, serialized as a
+    comma string — raw arrays are banned in oracle-checked outputs).
+
+    The postings head is capped BEFORE any collection: a stopword's
+    full posting list is O(corpus) and would blow up any
+    ``collect_set``-then-slice plan at 10^12 docs. Instead the
+    (term, doc_id) pairs go through a rank window (WindowGroupLimit
+    prunes to ``cap`` rows per term map-side, before the shuffle) and
+    only the survivors are collected — per-group state is bounded by
+    ``cap`` everywhere. df / n_occurrences aggregate the full pair
+    table separately (plain counts, map-side combinable).
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_tokens(F.col("text"))).alias("term"))
+    pairs = toks.groupBy("term", "doc_id").agg(F.count("*").alias("n"))
+    stats = pairs.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("n").cast("bigint").alias("n_occurrences"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .groupBy("term")
+        .agg(F.concat_ws(
+            ",",
+            F.transform(F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"))).alias("postings_head")))
+    return stats.join(head, "term").select(
+        "term", "df", "n_occurrences", "postings_head")

@@ -797,6 +797,69 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                                    doc_id) AS rn
       FROM documents)
 """,
+    "tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
+  FROM documents),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+ scored AS (
+  SELECT doc_id, term, tf, df,
+   {sql_pround("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)", 6)}
+     AS tf_idf
+  FROM tf JOIN dft USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+ tf_idf, CAST(rn AS INT) AS rank
+FROM (SELECT doc_id, term, tf, df, tf_idf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tf_idf DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= {T.TFIDF_TOP_K}
+""",
+    "duplicate_spans": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+ g1 AS (SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {T.DUP_SPAN_W - 1})) AS i
+        FROM toks WHERE len(toks) >= {T.DUP_SPAN_W}),
+ grams AS (SELECT doc_id, i,
+            {" || ' ' || ".join(f"toks[i+{j}]" for j in range(T.DUP_SPAN_W))}
+              AS gram
+           FROM g1),
+ shared AS (SELECT gram
+            FROM (SELECT gram, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                  FROM grams GROUP BY gram)
+            WHERE lo < hi),
+ cov1 AS (SELECT doc_id,
+           unnest(generate_series(i, i + {T.DUP_SPAN_W - 1})) AS pos
+          FROM grams JOIN shared USING (gram)),
+ cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_covered
+         FROM cov1 GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_covered, dup_span_frac,
+ dup_span_frac > {T.DUP_SPAN_FRAC_MAX} AS is_dup_span
+FROM (
+ SELECT d.doc_id, d.n_tokens,
+  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+  {sql_pround("COALESCE(c.n_covered, 0) / greatest(d.n_tokens, 1)", 6)}
+    AS dup_span_frac
+ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents) d
+ LEFT JOIN cov c ON d.doc_id = c.doc_id)
+""",
+    "inverted_index": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
+  FROM documents),
+ pairs AS (SELECT term, doc_id, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+ CAST(SUM(n) AS BIGINT) AS n_occurrences,
+ array_to_string(
+   list_transform(list_sort(list(doc_id))[1:{T.POSTINGS_CAP}],
+                  d -> CAST(d AS VARCHAR)), ',') AS postings_head
+FROM pairs GROUP BY term
+""",
     "simhash": _simhash_oracle(),
     # band count, width, mask and hamming bound all derived from the
     # textops constants so retuning them cannot desynchronize the oracle
@@ -1263,6 +1326,14 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "decontaminate": lambda s, d: T.decontaminate(
             R.load(s, d, "documents")),
+        "dedup_keep_best": lambda s, d: T.dedup_keep_best(
+            R.load(s, d, "documents")),
+        "tfidf_top_terms": lambda s, d: T.tfidf_top_terms(
+            R.load(s, d, "documents")),
+        "duplicate_spans": lambda s, d: T.duplicate_spans(
+            R.load(s, d, "documents")),
+        "inverted_index": lambda s, d: T.inverted_index(
+            R.load(s, d, "documents")),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
         # similarity
@@ -1325,6 +1396,20 @@ WITH RECURSIVE verified AS ({ORACLES["verified_near_dup_pairs"]}),
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
  CAST(COALESCE(r.cluster_root, d.doc_id) AS BIGINT) AS cluster_root
 FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+"""
+
+# keep-best composes the verified-clusters and quality oracles
+# STRUCTURALLY (both CTEs are the exact oracle strings of their own
+# queries), so neither definition can drift from its parts; the window
+# ranks the ROUNDED quality, identical in every engine
+ORACLES["dedup_keep_best"] = f"""
+WITH clusters AS ({ORACLES["verified_dedup_clusters"]}),
+ q AS (SELECT doc_id, quality FROM ({ORACLES["quality_score"]}))
+SELECT doc_id, cluster_root, quality, rn = 1 AS is_canonical
+FROM (SELECT c.doc_id, c.cluster_root, q.quality,
+       row_number() OVER (PARTITION BY c.cluster_root
+                          ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN q USING (doc_id))
 """
 
 # range join over the session windows: the sess CTE IS the

@@ -191,3 +191,38 @@ def test_time_rollup_is_single_pass_partial_agg(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2  # tree + detail of ONE scan
     assert "Expand" in plan
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_tfidf_topk_prunes_and_broadcasts_corpus_size(spark, sf_dir):
+    """TF-IDF: the 1-row corpus-size aggregate must broadcast (never a
+    shuffled cross join) and the per-doc top-k must prune map-side."""
+    from credit_ocr_system_spark.operators.textops import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(R.load(spark, sf_dir, "documents")))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N side only
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the tf groupBy
+
+
+def test_duplicate_spans_has_no_distinct_count_over_grams(spark, sf_dir):
+    """The shared-gram test is a min/max agg (map-side combinable) —
+    never a count-distinct expand over the corpus-sized gram table;
+    and no all-pairs join anywhere."""
+    from credit_ocr_system_spark.operators.textops import duplicate_spans
+
+    plan = plan_of(duplicate_spans(R.load(spark, sf_dir, "documents")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_inverted_index_caps_postings_before_collect(spark, sf_dir):
+    """Postings heads must be rank-capped BEFORE collection
+    (WindowGroupLimit) so per-group state is bounded by the cap, never
+    by a stopword's full O(corpus) posting list."""
+    from credit_ocr_system_spark.operators.textops import inverted_index
+
+    plan = plan_of(inverted_index(R.load(spark, sf_dir, "documents")))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
