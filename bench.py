@@ -102,6 +102,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "duplicate_spans",
     "inverted_index",
+    # iterative graph centrality + exact order statistics
+    "candidate_pagerank",
+    "corpus_percentiles",
 ]
 
 

@@ -187,10 +187,16 @@ def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS
         # codebook-sized (N_CENTROIDS rows) join: always broadcast —
         # Catalyst can't size an aggregate-of-aggregate subtree and
         # would fall back to a sort-merge join
+        # lineage cut per Lloyd round (same discipline as the CC loop
+        # and candidate_pagerank): the codebook is N_CENTROIDS rows, but
+        # without the cut every round — and every DOWNSTREAM use
+        # (ivf_assign's corpus pass, ivf_topk's probe side) — re-embeds
+        # and re-RUNS the full prior-round assignment subtree
         cents = (
             cents.join(F.broadcast(means), "centroid_id", "left")
             .select("centroid_id",
-                    F.coalesce("c_new", "c").alias("c")))
+                    F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True))
     return cents
 
 

@@ -1085,3 +1085,143 @@ def inverted_index(documents: DataFrame,
                         lambda d: d.cast("string"))).alias("postings_head")))
     return stats.join(head, "term").select(
         "term", "df", "n_occurrences", "postings_head")
+
+
+# --- PageRank over the near-dup candidate graph -----------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85   # both constants appear as the SAME decimal
+PAGERANK_BASE = 0.15      # literals in Spark and SQL: (1 - 0.85) and a
+                          # literal 0.15 are DIFFERENT doubles in IEEE
+
+
+def candidate_pagerank(documents: DataFrame,
+                       iters: int = PAGERANK_ITERS,
+                       n_bands: int = N_BANDS,
+                       rows_per_band: int = 1) -> DataFrame:
+    """Fixed-iteration PageRank over the MinHash candidate graph —
+    which template families dominate the corpus (centrality of the
+    near-dup neighborhood, the signal a crawl-prioritization or
+    boilerplate-triage pass ranks by).
+
+    Graph: :func:`minhash_candidates` pairs, symmetrized. Update:
+    ``r'(v) = 0.15/N + 0.85 * Σ_{u→v} r(u)/deg(u)`` (simplified
+    PageRank — dangling mass leaks, the standard formulation when
+    ranks are only compared within one run). Deterministic bit-for-bit
+    across engines, same discipline as ``kmeans_codebook``:
+
+    * the per-target neighbor sum is an ORDERED left fold by source
+      doc_id (``array_sort(collect_list(struct))`` + ``aggregate``) —
+      float addition isn't associative, and shuffle arrival order
+      isn't deterministic;
+    * damping constants are the identical decimal literals on both
+      sides (``1 - 0.85 != 0.15`` in IEEE doubles).
+
+    Scale shape per iteration: one equi-join of the rank vector
+    against the (src-keyed) edge list + one groupBy(dst) — both
+    co-partitionable on the same key across iterations; lineage is cut
+    per iteration (localCheckpoint, as in ``_connected_components``),
+    so candidate generation runs exactly once and the plan stays
+    constant-size regardless of ``iters``.
+    The ordered fold materializes one vertex's in-neighbor
+    contributions as a list — bounded by max degree, which the
+    verify-threshold candidate graph keeps small (hubs in the RAW
+    band-collision graph would instead call for the standard
+    outer-join + plain-sum variant with a tolerance oracle).
+    """
+    edges = minhash_candidates(documents, n_bands, rows_per_band)
+    und = (edges.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionAll(edges.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst"))))
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # lineage cut (same discipline as _connected_components): without
+    # it every iteration's plan re-embeds — and re-RUNS — the whole
+    # candidate-generation subtree
+    ed = und.join(deg, "src").localCheckpoint(eager=True)
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    nodes = (documents
+             .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+             .crossJoin(F.broadcast(n_docs))
+             .localCheckpoint(eager=True))
+    ranks = nodes.select(
+        "doc_id", (F.lit(1.0) / F.col("n_docs")).alias("r"))
+    for _ in range(iters):
+        contrib = (ed.join(ranks, ed.src == ranks.doc_id)
+                   .select("dst", "src",
+                           (F.col("r") / F.col("deg")).alias("c")))
+        folded = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"]).alias("s"))
+        ranks = (nodes.join(folded, nodes.doc_id == folded.dst, "left")
+                 .select("doc_id",
+                         (F.lit(PAGERANK_BASE) / F.col("n_docs")
+                          + F.lit(PAGERANK_DAMPING)
+                          * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("r"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("doc_id", pround(F.col("r"), 9).alias("pagerank"))
+
+
+# --- exact corpus percentiles ------------------------------------------------
+
+PERCENTILE_PS = (0.5, 0.9, 0.99)
+
+
+def corpus_percentiles(documents: DataFrame,
+                       ps: tuple = PERCENTILE_PS) -> DataFrame:
+    """Per-language length profile: exact type-7 percentiles of
+    ``n_chars`` (the R/numpy/Spark/DuckDB default definition:
+    ``h = p·(n−1)``, linear interpolation between the two adjacent
+    order statistics).
+
+    Built from first principles — rank window + interpolation —
+    rather than ``F.percentile``/``quantile_cont``, because the two
+    engines' builtins interpolate with DIFFERENTLY-ASSOCIATED float
+    expressions; here the formula ``lo + (hi − lo) · frac`` is the
+    identical IEEE operation sequence on both sides.
+
+    Shape: one rank window per language partition + a language-level
+    count, then each requested percentile joins exactly two ranked
+    rows. Exact order statistics need the per-group sort; at 10^12
+    rows the scale path is ``approx_percentile`` (t-digest) — this
+    operator is the exact auditor you run on samples/strata.
+
+    Output: (lang, p, n_docs, value).
+    """
+    docs = documents.select(
+        "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("doc_id").cast("bigint").alias("doc_id"))
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars", F.row_number().over(w).alias("rk"))
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    ps_df = documents.sparkSession.createDataFrame(
+        [(p,) for p in ps], "p double")
+    locs = (cnt.crossJoin(F.broadcast(ps_df))
+            .withColumn("h", F.col("p") * (F.col("n_docs") - 1))
+            .withColumn("lo_rk",
+                        (F.floor("h") + 1).cast("bigint"))
+            .withColumn("hi_rk",
+                        F.least(F.floor("h") + 2,
+                                F.col("n_docs")).cast("bigint"))
+            .withColumn("frac", F.col("h") - F.floor("h")))
+    lo = ranked.select(F.col("lang").alias("l_lang"),
+                       F.col("rk").alias("l_rk"),
+                       F.col("n_chars").alias("lo_v"))
+    hi = ranked.select(F.col("lang").alias("h_lang"),
+                       F.col("rk").alias("h_rk"),
+                       F.col("n_chars").alias("hi_v"))
+    return (
+        locs
+        .join(lo, (F.col("lang") == F.col("l_lang"))
+              & (F.col("lo_rk") == F.col("l_rk")))
+        .join(hi, (F.col("lang") == F.col("h_lang"))
+              & (F.col("hi_rk") == F.col("h_rk")))
+        .select("lang", "p", "n_docs",
+                pround(F.col("lo_v")
+                       + (F.col("hi_v") - F.col("lo_v")) * F.col("frac"),
+                       6).alias("value"))
+    )

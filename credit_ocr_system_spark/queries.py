@@ -301,6 +301,53 @@ _MINHASH_R2_CTE = _minhash_cte(
     " s -> md5(CAST(b * 2 + 1 AS VARCHAR) || ':' || s)))")
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank mirroring
+    ``textops.candidate_pagerank`` statement-for-statement: the edge
+    CTE is the minhash_candidates oracle (structural reuse), neighbor
+    sums are ORDERED left folds by source doc_id, and the damping
+    constants are the identical decimal literals (``1 - 0.85`` is a
+    different double than a literal ``0.15``)."""
+    parts = [
+        "live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL)",
+        """e AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM live a JOIN live b
+    ON a.band = b.band AND a.minhash = b.minhash
+   AND a.doc_id < b.doc_id)""",
+        """und AS (SELECT doc_a AS src, doc_b AS dst FROM e
+        UNION ALL SELECT doc_b, doc_a FROM e)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src)",
+        "ed AS (SELECT u.src, u.dst, d.deg FROM und u"
+        " JOIN deg d USING (src))",
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, n_docs"
+        " FROM documents CROSS JOIN n)",
+        "rank0 AS (SELECT doc_id, 1.0 / n_docs AS r FROM nodes)",
+    ]
+    for t in range(1, T.PAGERANK_ITERS + 1):
+        parts.append(f"""contrib{t} AS (
+  SELECT e.dst, e.src, r.r / e.deg AS c
+  FROM ed e JOIN rank{t - 1} r ON e.src = r.doc_id)""")
+        parts.append(f"""fold{t} AS (
+  SELECT dst,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY src)),
+               (a, b) -> a + b) AS s
+  FROM contrib{t} GROUP BY dst)""")
+        parts.append(f"""rank{t} AS (
+  SELECT nd.doc_id,
+   {T.PAGERANK_BASE!r} / nd.n_docs
+   + {T.PAGERANK_DAMPING!r} * COALESCE(f.s, 0.0) AS r
+  FROM nodes nd LEFT JOIN fold{t} f ON nd.doc_id = f.dst)""")
+    body = ",\n ".join(parts)
+    return f"""
+WITH {_MINHASH_CTE},
+ {body}
+SELECT doc_id, {sql_pround("r", 9)} AS pagerank
+FROM rank{T.PAGERANK_ITERS}
+"""
+
+
 def _language_id_oracle() -> str:
     # same vocabulary-table join the Spark operator runs: the VALUES
     # list is generated from LANG_STOPWORDS, so vocabulary edits can
@@ -848,6 +895,31 @@ FROM (
         CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents) d
  LEFT JOIN cov c ON d.doc_id = c.doc_id)
 """,
+    "corpus_percentiles": f"""
+WITH docs AS (SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+ ranked AS (SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rk
+            FROM docs),
+ cnt AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY lang),
+ ps(p) AS (VALUES {", ".join(f"(CAST({p} AS DOUBLE))"
+                             for p in T.PERCENTILE_PS)}),
+ locs AS (SELECT lang, n_docs, p, p * (n_docs - 1) AS h
+          FROM cnt CROSS JOIN ps),
+ locs2 AS (SELECT lang, n_docs, p,
+            CAST(floor(h) + 1 AS BIGINT) AS lo_rk,
+            CAST(least(floor(h) + 2, CAST(n_docs AS DOUBLE)) AS BIGINT)
+              AS hi_rk,
+            h - floor(h) AS frac
+           FROM locs)
+SELECT l.lang, l.p, l.n_docs,
+ {sql_pround("lo.n_chars + (hi.n_chars - lo.n_chars) * l.frac", 6)}
+   AS value
+FROM locs2 l
+JOIN ranked lo ON lo.lang = l.lang AND lo.rk = l.lo_rk
+JOIN ranked hi ON hi.lang = l.lang AND hi.rk = l.hi_rk
+""",
     "inverted_index": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
@@ -860,6 +932,7 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
                   d -> CAST(d AS VARCHAR)), ',') AS postings_head
 FROM pairs GROUP BY term
 """,
+    "candidate_pagerank": _pagerank_oracle(),
     "simhash": _simhash_oracle(),
     # band count, width, mask and hamming bound all derived from the
     # textops constants so retuning them cannot desynchronize the oracle
@@ -1333,6 +1406,10 @@ def build_queries() -> Dict[str, QueryFn]:
         "duplicate_spans": lambda s, d: T.duplicate_spans(
             R.load(s, d, "documents")),
         "inverted_index": lambda s, d: T.inverted_index(
+            R.load(s, d, "documents")),
+        "candidate_pagerank": lambda s, d: T.candidate_pagerank(
+            R.load(s, d, "documents")),
+        "corpus_percentiles": lambda s, d: T.corpus_percentiles(
             R.load(s, d, "documents")),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),

@@ -226,3 +226,28 @@ def test_inverted_index_caps_postings_before_collect(spark, sf_dir):
     plan = plan_of(inverted_index(R.load(spark, sf_dir, "documents")))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    """Every PageRank iteration must be an equi-join + groupBy — no
+    nested-loop/cartesian node anywhere in the unrolled plan."""
+    from credit_ocr_system_spark.operators.textops import (
+        candidate_pagerank,
+    )
+
+    plan = plan_of(candidate_pagerank(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    # final-iteration plan (lineage cut upstream): equi-joins only
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_percentiles_one_rank_window(spark, sf_dir):
+    """Exact percentiles: one rank window over the corpus; the
+    percentile spec table broadcasts."""
+    from credit_ocr_system_spark.operators.textops import (
+        corpus_percentiles,
+    )
+
+    plan = plan_of(corpus_percentiles(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
