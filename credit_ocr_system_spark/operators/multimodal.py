@@ -7,12 +7,16 @@ provides the full Spark-side plumbing — schemas, deterministic
 synthetic media source, feature extraction, image resize, video frame
 sampling (1→N explode) — with the *codec* behind a seam:
 
-* ``decode_media`` raises ``NotImplementedError`` for real codecs
-  (PIL/ffmpeg/soundfile are not in this container, by design);
-* ``fake_decode`` is the deterministic stand-in used by default: it
-  derives a numpy array purely from the payload bytes + metadata, so
-  every downstream shape/partitioning/batching behavior is real and
-  testable while the codec is swappable.
+* ``decode_media`` really decodes PNG / BMP / WAV payloads via the
+  stdlib codecs in ``kernel/codecs.py`` (zlib inflate + scanline
+  unfilter, DIB row handling, PCM scaling); entropy-coded formats
+  (JPEG, MP4) raise ``NotImplementedError`` — no PIL/pyav in this
+  container, by design, and they swap in at this same seam;
+* ``fake_decode`` is the deterministic stand-in used by default for
+  the opaque synthetic payloads: it derives a numpy array purely from
+  the payload bytes + metadata, so every downstream
+  shape/partitioning/batching behavior is real and testable while the
+  codec is swappable.
 
 Scale notes: media payloads are the memory bound, not row counts —
 same Arrow-batch sizing rule as the page kernel. Frame sampling emits
@@ -87,15 +91,88 @@ def media_df(spark, n: int, seed: int = 42,
     ).repartition(partitions, "media_id")
 
 
-def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
-    """Real codec seam — intentionally unimplemented in this container.
-
-    On a cluster with codec libs installed, route to PIL / soundfile /
-    pyav here; everything else in this module is codec-agnostic.
+def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
+    """Deterministic synthetic media rows with REAL payloads: actual
+    PNG (row filters cycling 0..4), BMP, and 16-bit PCM WAV bytes from
+    ``kernel/codecs.py``, so the decode path exercised is the real
+    zlib-inflate/unfilter/PCM-scale one, not the stand-in. Pixel and
+    sample content derives purely from seed+id; the same ~18%
+    duplicate structure as ``gen_media_rows`` feeds the near-dup
+    operators.
     """
+    from ..kernel import codecs
+
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:real:{i}".encode()).digest()
+        if i >= 20 and h[7] < 46:          # ≈18% duplicate rate
+            src = rows[i - 1 - (h[6] % 20)]
+            rows.append({"media_id": i, "kind": src["kind"],
+                         "payload": src["payload"],
+                         "meta": dict(src["meta"])})
+            continue
+        fmt = ("png", "bmp", "wav")[h[0] % 3]
+        if fmt in ("png", "bmp"):
+            w, ht = 8 + h[2] % 25, 8 + h[3] % 25
+            need = ht * w * 3
+            body = np.frombuffer(
+                (h * (need // len(h) + 1))[:need], dtype=np.uint8)
+            px = body.reshape(ht, w, 3)
+            payload = (codecs.encode_png(px) if fmt == "png"
+                       else codecs.encode_bmp(px))
+            rows.append({
+                "media_id": i, "kind": "image", "payload": payload,
+                "meta": {"width": w, "height": ht, "sample_rate": None,
+                         "n_frames": 1, "mime": f"image/{fmt}"},
+            })
+        else:
+            rate = 8000 + h[4] * 16
+            n_samp = 200 + h[5] * 4
+            body = np.frombuffer(
+                (h * (n_samp // len(h) + 1))[:n_samp], dtype=np.uint8)
+            samples = (body.astype(np.float32) - 127.5) / 127.5
+            rows.append({
+                "media_id": i, "kind": "audio",
+                "payload": codecs.encode_wav(samples, rate),
+                "meta": {"width": None, "height": None,
+                         "sample_rate": rate, "n_frames": None,
+                         "mime": "audio/wav"},
+            })
+    return rows
+
+
+def real_media_df(spark, n: int, seed: int = 42,
+                  partitions: int = 8) -> DataFrame:
+    return spark.createDataFrame(
+        gen_real_media_rows(n, seed), schema=MEDIA_SCHEMA
+    ).repartition(partitions, "media_id")
+
+
+def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
+    """Real codec dispatch — stdlib decoders where they honestly exist.
+
+    PNG / BMP / WAV payloads (sniffed by magic bytes) decode for real
+    via ``kernel/codecs.py`` — zlib-inflated, unfiltered, PCM-scaled
+    actual bytes, not a stand-in (the reference consumes media through
+    PIL, ``/root/reference/src/ocr/easyocr_client.py:17-58``; these
+    return the same ``(h, w, 3) uint8`` / float32-sample ndarrays).
+    Entropy-coded formats (JPEG, MP4/H.264) still raise — there is no
+    stdlib decode for those; a cluster with PIL/pyav swaps them in at
+    this same seam. ``fake_decode`` remains the deterministic stand-in
+    for the opaque synthetic payloads.
+    """
+    from ..kernel import codecs
+
+    fmt = codecs.sniff_format(payload)
+    if fmt in ("png", "bmp"):
+        return codecs.decode_image_rgb(payload)
+    if fmt == "wav":
+        samples, _rate = codecs.decode_wav(payload)
+        return samples
     raise NotImplementedError(
-        f"real {kind} decode requires codec libraries; "
-        "use fake_decode for the deterministic test path")
+        f"real {kind} decode: no stdlib codec for this payload "
+        "(JPEG/MP4 need PIL/pyav); use fake_decode for the "
+        "deterministic test path")
 
 
 def fake_decode(payload: bytes, kind: str, meta: dict) -> np.ndarray:
@@ -144,10 +221,13 @@ _PA_FEATURES = pa.schema([
 N_FEAT = 16
 
 
-def media_feature_row(r: dict) -> dict:
+def media_feature_row(r: dict, decode=fake_decode) -> dict:
     """Feature row for one media record — pure function, shared by the
     Spark UDF and the driver-side golden materialization
     (``oracle_golden.py``) so both compute byte-identical values.
+
+    ``decode`` selects the codec: ``fake_decode`` (default, opaque
+    synthetic payloads) or ``decode_media`` (real PNG/BMP/WAV bytes).
 
     ``feat_json`` is the driver-contract serialization of the feature
     vector: raw arrays are banned in oracle-checked outputs (engines
@@ -155,7 +235,7 @@ def media_feature_row(r: dict) -> dict:
     rule), so the vector is serialized in Python where the formatting
     is single-sourced.
     """
-    arr = fake_decode(r["payload"], r["kind"], r["meta"])
+    arr = decode(r["payload"], r["kind"], r["meta"])
     flat = arr.astype(np.float64).ravel()
     # 16-bin byte histogram as the embedding-ish feature
     hist, _ = np.histogram(flat, bins=N_FEAT)
@@ -175,16 +255,24 @@ def media_feature_row(r: dict) -> dict:
     }
 
 
-def _features_batches(
-        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        rows = [media_feature_row(r) for r in batch.to_pylist()]
-        yield pa.RecordBatch.from_pylist(rows, schema=_PA_FEATURES)
+def _features_batches(decode):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = [media_feature_row(r, decode)
+                    for r in batch.to_pylist()]
+            yield pa.RecordBatch.from_pylist(rows, schema=_PA_FEATURES)
+
+    return run
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the fake-decode seam."""
-    return media.mapInArrow(_features_batches,
+def extract_media_features(media: DataFrame,
+                           decode=fake_decode) -> DataFrame:
+    """Arrow-batched feature extraction over the decode seam.
+
+    Pass ``decode=decode_media`` to run the real stdlib codecs
+    (PNG/BMP/WAV) instead of the deterministic stand-in.
+    """
+    return media.mapInArrow(_features_batches(decode),
                             schema=MEDIA_FEATURES_SCHEMA)
 
 

@@ -163,6 +163,16 @@ def _media_goldens() -> None:
                ("height", pa.int32()), ("pixels", pa.binary()),
            ]))
 
+    # real codecs: the same feature extraction over actual PNG/BMP/WAV
+    # payloads, decoded for real (kernel/codecs.py) — the golden is the
+    # single-process run of the identical pure functions
+    from .operators.multimodal import decode_media, gen_real_media_rows
+
+    real = gen_real_media_rows(X_N_MEDIA)
+    _write("x_media_real.parquet",
+           [media_feature_row(r, decode_media) for r in real],
+           _PA_FEATURES)
+
 
 def materialize() -> str:
     """(Re)write every golden parquet; returns the directory."""

@@ -131,6 +131,22 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("pixels").alias("n_bytes"))
 
 
+def x_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: feature extraction over REAL PNG/BMP/WAV
+    payloads, decoded by the stdlib codecs (``kernel/codecs.py``) —
+    the codec seam closed, not stubbed. Vector travels as
+    ``feat_json`` (raw arrays banned in oracle-checked outputs)."""
+    from .operators.multimodal import (
+        decode_media,
+        extract_media_features,
+        real_media_df,
+    )
+
+    return extract_media_features(
+        real_media_df(spark, G.X_N_MEDIA), decode=decode_media
+    ).drop("feat")
+
+
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the SVG overlays from the
     materialized kernel elements (integer-pixel coords + pinned
@@ -1157,6 +1173,7 @@ def _x_oracles() -> Dict[str, str]:
     features = G.golden_path("x_media_features.parquet")
     frames = G.golden_path("x_media_frames.parquet")
     resize = G.golden_path("x_media_resize.parquet")
+    real = G.golden_path("x_media_real.parquet")
     from .operators.multimodal import MEDIA_NEAR_DUP_THRESHOLD
     from .operators.llm_infer import (
         FAKE_MODEL_TAG,
@@ -1255,6 +1272,11 @@ FROM read_parquet('{frames}')
 SELECT media_id, width, height, md5(hex(pixels)) AS pixels_md5,
        CAST(octet_length(pixels) AS INT) AS n_bytes
 FROM read_parquet('{resize}')
+""",
+        "x_media_real": f"""
+SELECT media_id, kind, n_bytes, feat_json, mean_val, std_val,
+       width, height, n_frames
+FROM read_parquet('{real}')
 """,
         "x_annotations": f"""
 WITH shaped AS (
@@ -1438,6 +1460,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_media_features": x_media_features,
         "x_media_frames": x_media_frames,
         "x_media_resize": x_media_resize,
+        "x_media_real": x_media_real,
         "media_near_dup": media_near_dup,
         # U2 batched-inference orchestration (deterministic seam)
         "x_llm_prompts": x_llm_prompts,

@@ -1,0 +1,266 @@
+"""Stdlib media codecs: PNG / BMP / WAV round-trips and edge cases.
+
+The decoders are the real path behind ``decode_media``
+(``operators/multimodal.py``) — these tests prove actual bytes decode
+(zlib inflate + unfilter, DIB rows, PCM scaling), not a stand-in.
+WAV is additionally cross-validated against the stdlib ``wave``
+module as an independent implementation.
+"""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from credit_ocr_system_spark.kernel import codecs
+from credit_ocr_system_spark.kernel.codecs import (
+    PNG_SIG,
+    _png_chunk,
+    decode_bmp,
+    decode_image_rgb,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff_format,
+)
+
+
+def _rng_img(h, w, ch=3, seed=7):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    return img[:, :, 0] if ch == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_rgb_each_filter(ftype):
+    img = _rng_img(13, 17, 3, seed=ftype)
+    out = decode_png(encode_png(img, row_filter=ftype))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_roundtrip_default_cycles_all_filters():
+    # default cycles 0..4 by row — ≥5 rows exercises every unfilter
+    img = _rng_img(11, 9, 3)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_grey_and_rgba():
+    grey = _rng_img(8, 6, 1)
+    out = decode_png(encode_png(grey))
+    np.testing.assert_array_equal(out[:, :, 0], grey)
+    assert out.shape == (8, 6, 1)
+
+    rgba = _rng_img(7, 5, 4)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def test_png_roundtrip_1px_and_wide():
+    one = np.array([[[1, 2, 3]]], dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(one)), one)
+    wide = _rng_img(1, 301, 3)
+    np.testing.assert_array_equal(decode_png(encode_png(wide)), wide)
+
+
+def _raw_png(w, h, color_type, raw_scanlines, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw_scanlines)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def test_png_palette_expansion():
+    # 2x2, color type 3, palette of 3 colors, filter 0 rows
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = b"\x00\x00\x01" + b"\x00\x02\x00"       # rows: [0,1], [2,0]
+    payload = _raw_png(2, 2, 3, scan, extra=_png_chunk(b"PLTE", plte))
+    out = decode_png(payload)
+    assert out.shape == (2, 2, 3)
+    np.testing.assert_array_equal(out[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(out[0, 1], [0, 255, 0])
+    np.testing.assert_array_equal(out[1, 0], [0, 0, 255])
+
+
+def test_png_grey_alpha_decode():
+    # color type 4 (grey+alpha): encoder never emits it, decoder must
+    scan = b"\x00" + bytes([10, 200, 20, 100])     # 2x1, filter 0
+    out = decode_png(_raw_png(2, 1, 4, scan))
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_array_equal(out[0, 0], [10, 200])
+
+
+def test_png_crc_mismatch_raises():
+    payload = bytearray(encode_png(_rng_img(4, 4, 3)))
+    payload[-5] ^= 0xFF                            # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_bad_signature_and_depth():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOPE" + b"\x00" * 32)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(payload)
+
+
+def test_png_interlaced_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)   # Adam7 flag
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(payload)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w", [4, 5, 6, 7])      # all 4-byte pad residues
+def test_bmp_roundtrip_padding(w):
+    img = _rng_img(6, w, 3, seed=w)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_top_down_rows():
+    img = _rng_img(5, 4, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip height sign to top-down and reverse the stored row order
+    (h,) = struct.unpack_from("<i", payload, 22)
+    struct.pack_into("<i", payload, 22, -h)
+    stride = (4 * 3 + 3) & ~3
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    rows = [bytes(payload[offset + y * stride: offset + (y + 1) * stride])
+            for y in range(h)]
+    payload[offset:offset + h * stride] = b"".join(reversed(rows))
+    np.testing.assert_array_equal(decode_bmp(bytes(payload)), img)
+
+
+def test_bmp_32bit_alpha_dropped():
+    img = _rng_img(3, 3, 3)
+    # hand-build a 32-bit BMP: BGRA rows, no padding needed
+    h, w = img.shape[:2]
+    body = b"".join(
+        bytes(np.concatenate([img[y, x, ::-1], [0xAA]]).astype(np.uint8))
+        for y in range(h - 1, -1, -1) for x in range(w))
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body),
+                      2835, 2835, 0, 0)
+    np.testing.assert_array_equal(decode_bmp(header + dib + body), img)
+
+
+def test_bmp_compressed_rejected():
+    payload = bytearray(encode_bmp(_rng_img(2, 2, 3)))
+    struct.pack_into("<I", payload, 30, 1)         # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_16bit_quantization_bound():
+    rng = np.random.RandomState(3)
+    samples = (rng.rand(500).astype(np.float32) * 2 - 1)
+    out, rate = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000
+    # 16-bit quantization: encode rounds to /32767, decode divides by
+    # 32768 → worst case ≈ 0.5/32767 + |s|·(1/32767 − 1/32768) < 6.2e-5
+    np.testing.assert_allclose(out, samples, atol=6.2e-5)
+
+
+def test_wav_cross_validated_against_stdlib_wave():
+    rng = np.random.RandomState(4)
+    samples = (rng.rand(300).astype(np.float32) * 2 - 1)
+    payload = encode_wav(samples, 8000)
+    with wave.open(io.BytesIO(payload)) as wf:
+        assert wf.getframerate() == 8000
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        pcm_ref = np.frombuffer(
+            wf.readframes(wf.getnframes()), "<i2")
+    ours, _ = decode_wav(payload)
+    np.testing.assert_array_equal(
+        np.clip(np.rint(samples.astype(np.float64) * 32767), -32768, 32767),
+        pcm_ref)
+    np.testing.assert_allclose(ours, pcm_ref / 32768.0, atol=0)
+
+
+def test_wav_8bit_and_extra_chunks():
+    # hand-build: LIST chunk before data, 8-bit unsigned PCM
+    pcm8 = bytes([0, 64, 128, 192, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 11025, 11025, 1, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd→pad
+              + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out, rate = decode_wav(payload)
+    assert rate == 11025
+    np.testing.assert_allclose(
+        out, (np.array([0, 64, 128, 192, 255]) - 128.0) / 128.0)
+
+
+def test_wav_stereo_interleaved_flat():
+    samples = np.array([0.5, -0.5, 0.25, -0.25], dtype=np.float32)
+    out, _ = decode_wav(encode_wav(samples, 44100, channels=2))
+    assert out.shape == (4,)                       # flat, interleaved
+    np.testing.assert_allclose(out, samples, atol=6.2e-5)
+
+
+def test_wav_non_pcm_rejected():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(payload)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def test_sniff_format():
+    assert sniff_format(encode_png(_rng_img(2, 2, 3))) == "png"
+    assert sniff_format(encode_bmp(_rng_img(2, 2, 3))) == "bmp"
+    assert sniff_format(encode_wav(np.zeros(4, np.float32), 8000)) == "wav"
+    assert sniff_format(b"\xff\xd8\xff\xe0 jpeg?") is None
+
+
+def test_decode_image_rgb_normalizes_channels():
+    grey = _rng_img(4, 4, 1)
+    out = decode_image_rgb(encode_png(grey))
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_array_equal(out[:, :, 0], grey)
+    np.testing.assert_array_equal(out[:, :, 1], grey)
+
+    rgba = _rng_img(4, 4, 4)
+    out = decode_image_rgb(encode_png(rgba))
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+
+    with pytest.raises(NotImplementedError):
+        decode_image_rgb(b"\xff\xd8\xff\xe0 not supported")
+
+
+def test_module_has_no_nonstdlib_imports():
+    import credit_ocr_system_spark.kernel.codecs as m
+    src = open(m.__file__).read()
+    for line in src.splitlines():
+        line = line.strip()
+        if line.startswith(("import ", "from ")) and "__future__" not in line:
+            mod = line.split()[1].split(".")[0]
+            assert mod in ("struct", "zlib", "numpy"), mod

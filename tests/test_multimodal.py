@@ -16,7 +16,11 @@ from credit_ocr_system_spark.operators.multimodal import (
 N = 120
 
 
-def test_real_decode_is_a_documented_stub():
+def test_real_decode_rejects_non_stdlib_formats():
+    # the opaque synthetic payloads are not PNG/BMP/WAV — the real
+    # decoder refuses them honestly (entropy-coded formats need
+    # PIL/pyav at the same seam); real formats are covered in
+    # tests/test_codecs.py
     rows = gen_media_rows(3)
     with pytest.raises(NotImplementedError):
         decode_media(rows[0]["payload"], rows[0]["kind"], rows[0]["meta"])
