@@ -105,6 +105,12 @@ HEADLINE = [
     # iterative graph centrality + exact order statistics
     "candidate_pagerank",
     "corpus_percentiles",
+    # corpus-LM quality scoring + temperature-based source rebalancing
+    "unigram_lm_score",
+    "temperature_mixture",
+    # exact-substring dedup rewriter + the composed filter chain
+    "remove_duplicate_spans",
+    "quality_filter",
 ]
 
 

@@ -1225,3 +1225,279 @@ def corpus_percentiles(documents: DataFrame,
                        + (F.col("hi_v") - F.col("lo_v")) * F.col("frac"),
                        6).alias("value"))
     )
+
+
+# --- corpus-trained unigram LM quality score -----------------------------
+
+# Per-token −log p quantized to 9 decimals before the fold: ln() is the
+# one non-exactly-rounded IEEE op in the formula (libm differs by ≤2 ulp
+# across engines), so each term is snapped to a grid ~10^6× coarser than
+# the ulp error before any cross-term arithmetic happens. All other ops
+# (÷, ×, the ordered fold's +) are correctly rounded and sequenced
+# identically in both engines.
+UNIGRAM_TERM_DIGITS = 9
+
+
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram LM:
+    per-document cross-entropy ``H(doc) = Σ tf(t)·(−ln p(t)) / n_tokens``
+    in nats, where ``p(t)`` is the token's relative frequency over the
+    whole corpus. The classic cheap LM filter (CCNet/RedPajama use a
+    KenLM 5-gram; the unigram variant is the same two-pass shape):
+    low H ⇒ stopword-heavy boilerplate, high H ⇒ rare-token noise —
+    both tails get cut.
+
+    Two corpus passes, both shuffle-light:
+
+    * **train**: token → global count (map-side combinable groupBy)
+      plus one scalar total, giving ``nlogp = pround(−ln(n/total), 9)``
+      per vocabulary entry;
+    * **score**: per-(doc, token) tf (map-side combinable), equi-join
+      against the vocabulary on token, then one groupBy(doc_id).
+      The token join key is Zipf-skewed ("the" collides hard) — AQE
+      skew-join splits it; at 10^12 rows the standing fix is
+      broadcasting the vocabulary head (a few thousand tokens cover
+      most mass) and shuffle-joining only the tail.
+
+    The per-document sum is an ORDERED left fold over token string
+    order (float + isn't associative; same discipline as
+    ``candidate_pagerank``) — bounded by the doc's distinct-token
+    count, so the collected list is document-sized, not corpus-sized.
+
+    Output: (doc_id, n_tokens, n_distinct, cross_entropy).
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_tokens(F.col("text"))).alias("tok"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("n"))
+             .crossJoin(F.broadcast(total))
+             .select("tok", pround(
+                 -F.log(F.col("n").cast("double") / F.col("total")),
+                 UNIGRAM_TERM_DIGITS).alias("nlogp")))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    terms = tf.join(vocab, "tok").select(
+        "doc_id", "tok",
+        (F.col("tf").cast("double") * F.col("nlogp")).alias("t"),
+        "tf")
+    return (
+        terms.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"]).alias("s"))
+        .select("doc_id", "n_tokens", "n_distinct",
+                pround(F.col("s") / F.col("n_tokens").cast("double"),
+                       6).alias("cross_entropy"))
+    )
+
+
+# --- temperature-based source rebalancing --------------------------------
+
+# α = 0.5 exactly — the exponent is applied as sqrt(), which IEEE 754
+# guarantees correctly rounded (unlike pow(x, 0.5), which libm does
+# not), so the whole weight computation is bit-identical across
+# engines with no quantization step.
+MIXTURE_TARGET_FRAC = 0.5
+
+
+def temperature_mixture(documents: DataFrame,
+                        target_frac: float = MIXTURE_TARGET_FRAC
+                        ) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual /
+    multi-source data-mixing step, mBERT/XLM-R style with α = 0.5):
+    sampling budget ``T = target_frac · N`` is split across sources
+    proportionally to ``n_s^α`` instead of ``n_s``, flattening the
+    mixture so hot domains stop dominating and small sources are
+    upweighted.
+
+    Per-source quota ``cap_s = pround0(T · q_s)`` with
+    ``q_s = sqrt(n_s) / Σ_s sqrt(n_s)``; the Σ over sources is an
+    ORDERED fold by source name (sources are a tiny aggregate — one
+    broadcast row). Documents are then kept by deterministic
+    stratified rank — ``row_number`` over (md5(doc_id), doc_id)
+    within each source, kept iff rank ≤ cap — the same content-free
+    hash-order trick as ``deterministic_sample``, so any engine
+    draws the identical sample and the drawn counts hit the quota
+    exactly (a Bernoulli draw would only hit it in expectation).
+    Sources smaller than their cap keep every row (standard
+    temperature-sampling behavior: upweighting beyond 1× is the
+    *repetition* decision, left to the consumer via ``q``).
+
+    Scale shape: one tiny groupBy(source) + broadcast join back + one
+    rank window per source. The window is the cost on hot sources at
+    10^12 rows; caps make it WindowGroupLimit-prunable, and the
+    fallback for pathological single-domain skew is the hash-threshold
+    Bernoulli variant (accept rate ``cap_s / n_s``).
+
+    Output: (doc_id, source, n_src, q, cap, src_rank, kept).
+    """
+    docs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hash_key"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    z_total = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                "source",
+                F.sqrt(F.col("n_src").cast("double")).alias("w")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"]).alias("z"),
+        F.sum("n_src").cast("double").alias("n_total"))
+    quotas = (
+        counts.crossJoin(F.broadcast(z_total))
+        .select(
+            "source", "n_src",
+            (F.sqrt(F.col("n_src").cast("double")) / F.col("z"))
+            .alias("q"),
+            F.lit(float(target_frac)).alias("tf_"),
+            "n_total")
+        .select(
+            "source", "n_src", "q",
+            pround(F.col("tf_") * F.col("n_total") * F.col("q"), 0)
+            .cast("bigint").alias("cap")))
+    w = Window.partitionBy("source").orderBy("hash_key", "doc_id")
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(quotas), "source")
+        .select("doc_id", "source", "n_src",
+                pround(F.col("q"), 9).alias("q"), "cap", "src_rank",
+                (F.col("src_rank") <= F.col("cap")).alias("kept"))
+    )
+
+
+# --- duplicate-span REMOVAL (exact substring dedup, keep-first) ----------
+
+def remove_duplicate_spans(documents: DataFrame,
+                           width: int = DUP_SPAN_W) -> DataFrame:
+    """Exact substring deduplication that actually rewrites the text
+    (Lee et al. 2022 §4: remove repeated spans, keep one copy):
+    token positions covered by a ``width``-gram that also occurs in an
+    EARLIER document (min doc_id keeps its copy) are dropped, and the
+    surviving tokens are stitched back in order.
+
+    :func:`duplicate_spans` is the *detector* (flag/score); this is
+    the *rewriter* — same gram-postings formulation, so the corpus
+    never self-joins:
+
+    * shared grams reduce to ``(gram, keeper = min(doc_id))`` via a
+      map-side-combinable min/max agg (``min < max`` filters the
+      unshared);
+    * a doc's removable positions are its own occurrences of grams
+      whose keeper is a smaller doc_id — an equi-join on gram, then a
+      position explode bounded by hits × width;
+    * reconstruction is a per-document ORDERED fold: surviving
+      (pos, token) pairs sorted and joined — deterministic, and the
+      collected list is bounded by the document length (the same
+      per-group bound every kernel batch already carries).
+
+    Within-document repeats (keeper == the doc itself) keep all their
+    copies, mirroring ``duplicate_spans``'s cross-document definition;
+    the first document of every shared span survives verbatim.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for every
+    document — fully-duplicated docs come back with clean_text = ''.
+    """
+    docs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens(F.col("text")).alias("toks"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(F.col("toks"), width=width))
+         .alias("i0", "gram"))
+    keepers = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("keeper"), F.max("doc_id").alias("hi"))
+        .where(F.col("keeper") < F.col("hi"))
+        .select("gram", "keeper"))
+    removed = (
+        grams.join(keepers, "gram")
+        .where(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id",
+                F.explode(F.sequence(F.col("i0") + 1,
+                                     F.col("i0") + width)).alias("pos"))
+        .distinct())
+    toks_pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    survivors = toks_pos.join(removed, ["doc_id", "pos"], "left_anti")
+    clean = (
+        survivors.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"]), " ").alias("clean_text")))
+    base = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(clean, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                (F.col("n_tokens")
+                 - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("bigint").alias("n_removed"),
+                F.coalesce(F.col("clean_text"), F.lit(""))
+                .alias("clean_text"))
+    )
+
+
+# --- composed pre-training quality filter chain --------------------------
+
+# Thresholds compare ROUNDED emitted columns (quality pround-3,
+# cross_entropy pround-6) against the identical decimal literals on
+# both engines, so every verdict bit is engine-identical. The CE band
+# cuts both tails of the corpus distribution (boilerplate below, noise
+# above); the corpus here is homogeneous so the band mostly passes —
+# the operator's value is the composition shape, components do the
+# cutting on real crawls.
+QF_MIN_QUALITY = 0.5
+QF_CE_MIN = 2.0
+QF_CE_MAX = 3.6
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """The full pre-training filter chain as ONE composed plan — the
+    per-document keep/drop verdict a webtext pipeline actually ships
+    (C4/Gopher/RedPajama-style): known language, heuristic quality
+    floor, LM-score band, not repetitive, no corpus-duplicated spans,
+    not benchmark-contaminated.
+
+    Every component is the exact operator that backs its own driver
+    query (``language_id``, ``quality_score``, ``unigram_lm_score``,
+    ``repetition_score``, ``duplicate_spans``, ``decontaminate``) and
+    the oracle embeds those components' exact oracle strings, so the
+    composition can never drift from its parts. Components run as
+    independent subtrees equi-joined on doc_id — at scale each is
+    map-side-combinable aggregation work sharing the corpus scan, and
+    AQE co-partitions the doc_id joins.
+
+    Output: (doc_id, lang_ok, quality_ok, lm_ok, is_repetitive,
+    is_dup_span, is_contaminated, kept).
+    """
+    lid = language_id(documents).select("doc_id", "lang_guess")
+    qual = quality_score(documents).select("doc_id", "quality")
+    rep = repetition_score(documents).select("doc_id", "is_repetitive")
+    spans = duplicate_spans(documents).select("doc_id", "is_dup_span")
+    cont = decontaminate(documents).select("doc_id", "is_contaminated")
+    lm = unigram_lm_score(documents).select("doc_id", "cross_entropy")
+    lang_ok = F.col("lang_guess") != "unknown"
+    quality_ok = F.col("quality") >= F.lit(QF_MIN_QUALITY)
+    lm_ok = F.coalesce(
+        (F.col("cross_entropy") >= F.lit(QF_CE_MIN))
+        & (F.col("cross_entropy") <= F.lit(QF_CE_MAX)), F.lit(False))
+    return (
+        lid.join(qual, "doc_id").join(rep, "doc_id")
+        .join(spans, "doc_id").join(cont, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            lang_ok.alias("lang_ok"),
+            quality_ok.alias("quality_ok"),
+            lm_ok.alias("lm_ok"),
+            "is_repetitive", "is_dup_span", "is_contaminated",
+            (lang_ok & quality_ok & lm_ok
+             & ~F.col("is_repetitive") & ~F.col("is_dup_span")
+             & ~F.col("is_contaminated")).alias("kept"))
+    )

@@ -936,6 +936,61 @@ FROM locs2 l
 JOIN ranked lo ON lo.lang = l.lang AND lo.rk = l.lo_rk
 JOIN ranked hi ON hi.lang = l.lang AND hi.rk = l.hi_rk
 """,
+    # mirrors textops.unigram_lm_score: per-token −ln p quantized to
+    # UNIGRAM_TERM_DIGITS before the ORDERED fold over token order
+    "unigram_lm_score": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS tok
+  FROM documents),
+ tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+ vocab AS (
+  SELECT tok,
+   {sql_pround("-ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot))",
+               T.UNIGRAM_TERM_DIGITS)} AS nlogp
+  FROM toks GROUP BY tok),
+ tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ terms AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) * nlogp AS t, tf
+           FROM tf JOIN vocab USING (tok)),
+ agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY tok)),
+               (a, b) -> a + b) AS s
+  FROM terms GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+ {sql_pround("s / CAST(n_tokens AS DOUBLE)", 6)} AS cross_entropy
+FROM agg
+""",
+    # mirrors textops.temperature_mixture: α = 0.5 applied as sqrt()
+    # (IEEE-exact), Σ over sources as an ORDERED fold by source name,
+    # identical literal {T.MIXTURE_TARGET_FRAC!r} on both sides
+    "temperature_mixture": f"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               md5(CAST(doc_id AS VARCHAR)) AS hash_key FROM documents),
+ counts AS (SELECT source, COUNT(*) AS n_src FROM docs GROUP BY source),
+ z AS (SELECT
+   list_reduce(
+     list_prepend(CAST(0 AS DOUBLE),
+                  list(sqrt(CAST(n_src AS DOUBLE)) ORDER BY source)),
+     (a, b) -> a + b) AS z,
+   CAST(SUM(n_src) AS DOUBLE) AS n_total
+  FROM counts),
+ quotas AS (
+  SELECT source, CAST(n_src AS BIGINT) AS n_src,
+   sqrt(CAST(n_src AS DOUBLE)) / z AS q,
+   CAST({sql_pround(
+       f"{T.MIXTURE_TARGET_FRAC!r} * n_total"
+       " * (sqrt(CAST(n_src AS DOUBLE)) / z)", 0)} AS BIGINT) AS cap
+  FROM counts CROSS JOIN z),
+ ranked AS (SELECT doc_id, source, hash_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hash_key, doc_id) AS rn
+            FROM docs)
+SELECT r.doc_id, r.source, qu.n_src,
+ {sql_pround("qu.q", 9)} AS q, qu.cap,
+ CAST(r.rn AS INT) AS src_rank, r.rn <= qu.cap AS kept
+FROM ranked r JOIN quotas qu USING (source)
+""",
     "inverted_index": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
@@ -1435,6 +1490,14 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
+        "unigram_lm_score": lambda s, d: T.unigram_lm_score(
+            R.load(s, d, "documents")),
+        "temperature_mixture": lambda s, d: T.temperature_mixture(
+            R.load(s, d, "documents")),
+        "remove_duplicate_spans": lambda s, d: T.remove_duplicate_spans(
+            R.load(s, d, "documents")),
+        "quality_filter": lambda s, d: T.quality_filter(
+            R.load(s, d, "documents")),
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1510,6 +1573,74 @@ FROM (SELECT c.doc_id, c.cluster_root, q.quality,
        row_number() OVER (PARTITION BY c.cluster_root
                           ORDER BY q.quality DESC, c.doc_id ASC) AS rn
       FROM clusters c JOIN q USING (doc_id))
+"""
+
+# mirrors textops.remove_duplicate_spans: same gram-postings chain as
+# duplicate_spans, keep-first (min doc_id) semantics, reconstruction
+# by ordered string_agg over surviving positions
+ORACLES["remove_duplicate_spans"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+ g1 AS (SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {T.DUP_SPAN_W - 1})) AS i
+        FROM toks WHERE len(toks) >= {T.DUP_SPAN_W}),
+ grams AS (SELECT doc_id, i,
+            {" || ' ' || ".join(f"toks[i+{j}]"
+                                for j in range(T.DUP_SPAN_W))} AS gram
+           FROM g1),
+ keepers AS (SELECT gram, keeper
+             FROM (SELECT gram, MIN(doc_id) AS keeper,
+                    MAX(doc_id) AS hi FROM grams GROUP BY gram)
+             WHERE keeper < hi),
+ rem0 AS (SELECT g.doc_id,
+           unnest(generate_series(g.i, g.i + {T.DUP_SPAN_W - 1})) AS pos
+          FROM grams g JOIN keepers k USING (gram)
+          WHERE g.doc_id > k.keeper),
+ rem AS (SELECT DISTINCT doc_id, pos FROM rem0),
+ positions AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS pos
+               FROM toks),
+ survivors AS (SELECT p.doc_id, p.pos, p.toks[p.pos] AS tok
+               FROM positions p LEFT JOIN rem r
+                 ON p.doc_id = r.doc_id AND p.pos = r.pos
+               WHERE r.pos IS NULL),
+ clean AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+            string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM survivors GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+ CAST(len(t.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+ COALESCE(c.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN clean c USING (doc_id)
+"""
+
+# the composed filter chain embeds the exact oracle strings of its six
+# components (same structural-reuse rule as dedup_keep_best), and the
+# verdict thresholds are the identical decimal literals both sides
+ORACLES["quality_filter"] = f"""
+WITH lid AS (SELECT doc_id, lang_guess FROM ({ORACLES["language_id"]})),
+ q AS (SELECT doc_id, quality FROM ({ORACLES["quality_score"]})),
+ rep AS (SELECT doc_id, is_repetitive
+         FROM ({ORACLES["repetition_score"]})),
+ sp AS (SELECT doc_id, is_dup_span FROM ({ORACLES["duplicate_spans"]})),
+ ct AS (SELECT doc_id, is_contaminated
+        FROM ({ORACLES["decontaminate"]})),
+ lm AS (SELECT doc_id, cross_entropy
+        FROM ({ORACLES["unigram_lm_score"]}))
+SELECT lid.doc_id,
+ lang_guess <> 'unknown' AS lang_ok,
+ quality >= {T.QF_MIN_QUALITY!r} AS quality_ok,
+ COALESCE(cross_entropy >= {T.QF_CE_MIN!r}
+          AND cross_entropy <= {T.QF_CE_MAX!r}, FALSE) AS lm_ok,
+ is_repetitive, is_dup_span, is_contaminated,
+ (lang_guess <> 'unknown') AND quality >= {T.QF_MIN_QUALITY!r}
+   AND COALESCE(cross_entropy >= {T.QF_CE_MIN!r}
+                AND cross_entropy <= {T.QF_CE_MAX!r}, FALSE)
+   AND NOT is_repetitive AND NOT is_dup_span AND NOT is_contaminated
+   AS kept
+FROM lid JOIN q USING (doc_id) JOIN rep USING (doc_id)
+ JOIN sp USING (doc_id) JOIN ct USING (doc_id)
+ LEFT JOIN lm USING (doc_id)
 """
 
 # range join over the session windows: the sess CTE IS the

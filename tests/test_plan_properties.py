@@ -251,3 +251,69 @@ def test_corpus_percentiles_one_rank_window(spark, sf_dir):
     plan = plan_of(corpus_percentiles(R.load(spark, sf_dir, "documents")))
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_unigram_lm_vocab_join_is_equi_and_total_broadcasts(
+        spark, sf_dir):
+    """Unigram LM: the corpus-total (1 row) must broadcast, the
+    tf⋈vocab join must be an equi-join on token (AQE-splittable on the
+    Zipf head), and both groupBys must combine map-side."""
+    from credit_ocr_system_spark.operators.textops import (
+        unigram_lm_score,
+    )
+
+    plan = plan_of(unigram_lm_score(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ node (tree + detail): the 1-row total side
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "partial_count" in plan  # map-side combine on tf/vocab
+
+
+def test_temperature_mixture_quotas_broadcast(spark, sf_dir):
+    """Temperature mixture: per-source quotas (a handful of rows) must
+    broadcast back onto the corpus — never a shuffle join — and the
+    source-count aggregate must combine map-side."""
+    from credit_ocr_system_spark.operators.textops import (
+        temperature_mixture,
+    )
+
+    plan = plan_of(temperature_mixture(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # quotas onto ranked docs
+    assert "partial_count" in plan
+
+
+def test_remove_duplicate_spans_is_all_equi_joins(spark, sf_dir):
+    """Span removal: gram keepers via min/max agg (map-side
+    combinable), removable positions and reconstruction via equi-joins
+    — the corpus never self-joins all-pairs."""
+    from credit_ocr_system_spark.operators.textops import (
+        remove_duplicate_spans,
+    )
+
+    plan = plan_of(remove_duplicate_spans(
+        R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_quality_filter_composes_without_nested_loops(spark, sf_dir):
+    """The composed filter chain: six component subtrees equi-joined
+    on doc_id; the only nested-loop joins are the 1-row broadcast
+    scalars its components already carry (corpus total / gram set)."""
+    from credit_ocr_system_spark.operators.textops import quality_filter
+
+    plan = plan_of(quality_filter(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop node is the 1-row corpus-total broadcast
+    # the unigram component already carries; every BNLJ tree node
+    # builds a broadcast side — never a streamed cross product
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or ":-" in ln]
+    bnlj = [ln for ln in tree if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1
+    for ln in bnlj:
+        assert "BuildRight" in ln or "BuildLeft" in ln, ln
+    # doc_id joins are hash-based
+    assert sum("HashJoin" in ln for ln in tree) >= 5
