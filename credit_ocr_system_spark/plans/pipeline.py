@@ -25,6 +25,7 @@ Scale mechanics (north_rule):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -211,6 +212,56 @@ class SnapshotSink:
             df = survivors.unionByName(df)
         return self.write_snapshot(df, run_id, meta, op="replace")
 
+    def data_files(self, as_of: str | None = None) -> list[str]:
+        """Parquet part files backing the visible view — the metadata
+        listing a maintenance pass sizes its work from (Iceberg's
+        ``table.files``)."""
+        files = []
+        for p in self.committed_paths(as_of):
+            for dirpath, _dirs, names in os.walk(p):
+                files += [os.path.join(dirpath, n) for n in names
+                          if n.endswith(".parquet")]
+        return files
+
+    def compact(self, spark: SparkSession, run_id: str,
+                target_bytes: int = 128 << 20,
+                partition_by: list[str] | None = None,
+                meta: dict | None = None) -> dict:
+        """Small-files maintenance — Iceberg's ``rewrite_data_files``
+        (binpack) as a replace snapshot.
+
+        Every incremental append (and each per-url micro-batch a
+        resumable crawl commits) leaves its own part files; at 10^12
+        rows the accumulated small files dominate scan/open cost long
+        before data size does. This rewrites the CURRENT view into
+        ``ceil(bytes / target_bytes)`` files as one ``replace``
+        snapshot: value-identical (one repartition, no
+        transformation), prior snapshots stay readable via time
+        travel, and readers switch atomically at the manifest append.
+        Single-writer like the rest of the sink: don't run it
+        concurrently with appends.
+
+        On a real catalog use
+        ``CALL <cat>.system.rewrite_data_files(...)``
+        (:meth:`IcebergSink.compact`); the 128 MB default matches
+        Iceberg's write target and Spark's maxPartitionBytes split.
+
+        Returns {run_id, files_before, files_after, bytes_before}.
+        """
+        current = self.read_committed(spark)
+        if current is None:
+            raise ValueError("nothing to compact: no committed snapshots")
+        before = self.data_files()
+        n_bytes = sum(os.path.getsize(f) for f in before)
+        n_target = max(1, math.ceil(n_bytes / target_bytes))
+        self.write_snapshot(
+            current.repartition(n_target), run_id,
+            {"compacted_files": len(before), **(meta or {})},
+            op="replace", partition_by=partition_by)
+        return {"run_id": run_id, "files_before": len(before),
+                "files_after": len(self.data_files()),
+                "bytes_before": n_bytes}
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime is on the classpath."""
@@ -350,6 +401,24 @@ class IcebergSink:
         return self.spark.sql(
             f"SELECT snapshot_id FROM {self.table}.snapshots "
             f"ORDER BY committed_at DESC LIMIT 1").first().snapshot_id
+
+    def compact(self, spark: SparkSession | None = None,
+                run_id: str | None = None,
+                target_bytes: int = 128 << 20, **_ignored) -> dict:
+        """The genuine maintenance call (:meth:`SnapshotSink.compact`
+        docstring has the why): Iceberg's binpack rewrite procedure.
+        ``run_id`` is unused — Iceberg names the rewrite snapshot
+        itself."""
+        spark = spark or self.spark
+        cat, tbl = self.table.split(".", 1)
+        row = spark.sql(
+            f"CALL {cat}.system.rewrite_data_files("
+            f"table => '{tbl}', "
+            f"options => map('target-file-size-bytes', "
+            f"'{target_bytes}'))").first()
+        return {"rewritten_data_files_count":
+                row.rewritten_data_files_count,
+                "added_data_files_count": row.added_data_files_count}
 
 
 def make_sink(spark: SparkSession, root: str,

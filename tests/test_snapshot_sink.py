@@ -188,3 +188,61 @@ def test_write_snapshot_rejects_reused_run_id(spark, tmp_path):
     with pytest.raises(ValueError, match="already has a committed"):
         sink.merge_upsert(spark, _status_df(spark, [("u3", "c")]),
                           "r1", keys=["url"])
+
+
+def test_compact_rewrites_small_files_value_identically(spark, tmp_path):
+    sink = SnapshotSink(str(tmp_path / "c"))
+    # 6 appends x 4 partitions each -> many small part files
+    for i in range(6):
+        df = spark.createDataFrame(
+            [Row(url=f"u{i}-{j}", status=f"s{i}") for j in range(40)],
+            schema="url string, status string").repartition(4)
+        sink.write_snapshot(df, f"r{i}")
+    before_rows = _by_url(sink.read_committed(spark))
+    n_small = len(sink.data_files())
+    assert n_small >= 24
+
+    stats = sink.compact(spark, "compact1")
+    assert stats["files_before"] == n_small
+    # tiny table -> one target file
+    assert stats["files_after"] == 1
+    # value-identical view
+    assert _by_url(sink.read_committed(spark)) == before_rows
+    assert len(before_rows) == 240
+    # prior snapshots still time-travelable
+    assert len(_by_url(sink.read_committed(spark, as_of="r2"))) == 120
+    # appends after compaction stack on the replace snapshot
+    sink.write_snapshot(_status_df(spark, [("zz", "n")]), "r7")
+    after = _by_url(sink.read_committed(spark))
+    assert len(after) == 241 and after["zz"] == "n"
+    # manifest records the rewrite as a replace with provenance
+    last_replace = [s for s in sink.committed_snapshots()
+                    if s["run_id"] == "compact1"][0]
+    assert last_replace["op"] == "replace"
+    assert last_replace["compacted_files"] == n_small
+
+
+def test_compact_refuses_empty_sink(spark, tmp_path):
+    import pytest
+
+    sink = SnapshotSink(str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="nothing to compact"):
+        sink.compact(spark, "c1")
+
+
+def test_iceberg_compact_call_shape(spark, tmp_path):
+    """Where the Iceberg jars exist, the real rewrite procedure runs;
+    otherwise assert only the call is well-formed (skip)."""
+    import pytest
+
+    from credit_ocr_system_spark.plans.pipeline import (
+        IcebergSink,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime not on classpath")
+    sink = IcebergSink(spark, "local.db.compact_t")
+    sink.write_snapshot(_status_df(spark, [("u1", "a")]), "r1")
+    stats = sink.compact()
+    assert "rewritten_data_files_count" in stats
