@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 import uuid
 
@@ -262,6 +263,48 @@ class SnapshotSink:
                 "files_after": len(self.data_files()),
                 "bytes_before": n_bytes}
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """History retention — Iceberg's ``expire_snapshots``.
+
+        Time travel keeps every snapshot's files alive forever; on a
+        10^12-row table that is unbounded storage (every replace —
+        MERGE, compaction — retains the full pre-image). This drops
+        all but the last ``keep_last`` manifest entries, deletes
+        snapshot dirs no longer referenced by any surviving entry's
+        view, and rewrites the manifest atomically (tmp file +
+        ``os.replace``). The CURRENT view is never touched:
+        ``keep_last`` is clamped so the suffix always includes the
+        visible view's snapshots (a replace boundary or the whole
+        log). Expired run_ids subsequently raise on ``as_of`` —
+        exactly Iceberg's contract. Single-writer, like the sink.
+
+        Returns {kept, expired, deleted_dirs}.
+        """
+        snaps = self.committed_snapshots()
+        # never expire into the visible view: the suffix must start at
+        # or before the last replace boundary
+        visible = len(self._visible())
+        keep = max(keep_last, visible)
+        if keep >= len(snaps):
+            return {"kept": len(snaps), "expired": 0, "deleted_dirs": 0}
+        kept, expired = snaps[-keep:], snaps[:-keep]
+        live = {s["dir"] for s in kept}
+        deleted = 0
+        for s in expired:
+            if s["dir"] in live:
+                continue
+            path = os.path.join(self.root, s["dir"])
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                deleted += 1
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for s in kept:
+                fh.write(json.dumps(s) + "\n")
+        os.replace(tmp, self.manifest)
+        return {"kept": len(kept), "expired": len(expired),
+                "deleted_dirs": deleted}
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime is on the classpath."""
@@ -419,6 +462,16 @@ class IcebergSink:
         return {"rewritten_data_files_count":
                 row.rewritten_data_files_count,
                 "added_data_files_count": row.added_data_files_count}
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's history-retention procedure (see
+        :meth:`SnapshotSink.expire_snapshots` for the why)."""
+        cat, tbl = self.table.split(".", 1)
+        row = self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots("
+            f"table => '{tbl}', retain_last => {int(keep_last)}, "
+            f"older_than => TIMESTAMP '9999-01-01 00:00:00')").first()
+        return {"deleted_data_files_count": row.deleted_data_files_count}
 
 
 def make_sink(spark: SparkSession, root: str,

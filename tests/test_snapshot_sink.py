@@ -246,3 +246,33 @@ def test_iceberg_compact_call_shape(spark, tmp_path):
     sink.write_snapshot(_status_df(spark, [("u1", "a")]), "r1")
     stats = sink.compact()
     assert "rewritten_data_files_count" in stats
+
+
+def test_expire_is_a_noop_while_appends_are_all_visible(spark, tmp_path):
+    # append snapshots are deltas: with no replace boundary the whole
+    # log IS the current view, so expiration must refuse to shrink it
+    # (Iceberg's contract: expire never changes current table state)
+    sink = SnapshotSink(str(tmp_path / "x"))
+    for i in range(4):
+        sink.write_snapshot(_status_df(spark, [(f"u{i}", "s")]), f"r{i}")
+    stats = sink.expire_snapshots(keep_last=2)
+    assert stats == {"kept": 4, "expired": 0, "deleted_dirs": 0}
+    assert len(_by_url(sink.read_committed(spark))) == 4
+    assert len(sink.committed_snapshots()) == 4
+
+
+def test_expire_never_truncates_into_visible_replace_view(spark, tmp_path):
+    sink = SnapshotSink(str(tmp_path / "y"))
+    for i in range(5):
+        sink.write_snapshot(_status_df(spark, [(f"u{i}", "s")]), f"r{i}")
+    sink.compact(spark, "cp")  # replace boundary: view = 5 rows, 1 snap
+    sink.write_snapshot(_status_df(spark, [("u9", "s")]), "r9")
+    view = _by_url(sink.read_committed(spark))
+    assert len(view) == 6
+
+    # visible view = [cp, r9]; keep_last=1 must clamp to 2
+    stats = sink.expire_snapshots(keep_last=1)
+    assert stats["kept"] == 2 and stats["expired"] == 5
+    assert _by_url(sink.read_committed(spark)) == view
+    # pre-compaction snapshots are gone from disk and time travel
+    assert len(sink.committed_snapshots()) == 2
