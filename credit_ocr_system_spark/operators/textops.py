@@ -1237,6 +1237,13 @@ def corpus_percentiles(documents: DataFrame,
 # identically in both engines.
 UNIGRAM_TERM_DIGITS = 9
 
+# Zipf-head split: vocabulary entries with corpus count >= this are
+# the "head" (a few thousand tokens carry most of the mass) and join
+# by BROADCAST; the long tail shuffle-joins. Threshold-based — not
+# top-k — so membership needs no global sort and the head stays
+# broadcast-sized by construction (at most total/threshold entries).
+UNIGRAM_HEAD_MIN_COUNT = 100
+
 
 def unigram_lm_score(documents: DataFrame) -> DataFrame:
     """Perplexity-proxy quality score from a corpus-trained unigram LM:
@@ -1252,12 +1259,20 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     * **train**: token → global count (map-side combinable groupBy)
       plus one scalar total, giving ``nlogp = pround(−ln(n/total), 9)``
       per vocabulary entry;
-    * **score**: per-(doc, token) tf (map-side combinable), equi-join
+    * **score**: per-(doc, token) tf (map-side combinable), joined
       against the vocabulary on token, then one groupBy(doc_id).
-      The token join key is Zipf-skewed ("the" collides hard) — AQE
-      skew-join splits it; at 10^12 rows the standing fix is
-      broadcasting the vocabulary head (a few thousand tokens cover
-      most mass) and shuffle-joining only the tail.
+      The token join key is Zipf-skewed ("the" collides hard), so the
+      join is SPLIT: head entries (count ≥ ``UNIGRAM_HEAD_MIN_COUNT``
+      — at most total/threshold rows, broadcast-sized by
+      construction) join as a broadcast-hash probe, so the skewed
+      mass — which is by definition exactly the head keys — never
+      shuffles at all; only the long tail, where every key is rare
+      and hence skew-free, shuffle-joins. tf and vocab are
+      materialized once before the split (eager lineage cut — they
+      feed both sides, and without the cut Spark re-runs both
+      subtrees, measured). The union of the two joins is
+      row-identical to the single equi-join (each tf row matches
+      exactly one vocab entry), so the oracle is the plain-join SQL.
 
     The per-document sum is an ORDERED left fold over token string
     order (float + isn't associative; same discipline as
@@ -1270,13 +1285,29 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(_tokens(F.col("text"))).alias("tok"))
     total = toks.agg(F.count("*").cast("double").alias("total"))
+    # tf and vocab are each consumed by BOTH sides of the head/tail
+    # split; without a cut Spark re-embeds (and re-RUNS) their whole
+    # subtrees — measured: no exchange reuse across the union, 2×
+    # corpus passes. The eager cut materializes each once (same
+    # discipline as _connected_components; a deployment would have
+    # them as tables anyway).
     vocab = (toks.groupBy("tok").agg(F.count("*").alias("n"))
              .crossJoin(F.broadcast(total))
-             .select("tok", pround(
+             .select("tok", "n", pround(
                  -F.log(F.col("n").cast("double") / F.col("total")),
-                 UNIGRAM_TERM_DIGITS).alias("nlogp")))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    terms = tf.join(vocab, "tok").select(
+                 UNIGRAM_TERM_DIGITS).alias("nlogp"))
+             .localCheckpoint(eager=True))
+    head = F.broadcast(
+        vocab.where(F.col("n") >= UNIGRAM_HEAD_MIN_COUNT)
+        .select("tok", "nlogp"))
+    tail = vocab.where(
+        F.col("n") < UNIGRAM_HEAD_MIN_COUNT).select("tok", "nlogp")
+    tf = (toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    # each tf row matches exactly one vocab entry, so head-join ∪
+    # tail-join ≡ the single equi-join, row for row
+    terms = tf.join(head, "tok").unionByName(
+        tf.join(tail, "tok")).select(
         "doc_id", "tok",
         (F.col("tf").cast("double") * F.col("nlogp")).alias("t"),
         "tf")

@@ -253,20 +253,25 @@ def test_corpus_percentiles_one_rank_window(spark, sf_dir):
     assert plan.count("Window") >= 1
 
 
-def test_unigram_lm_vocab_join_is_equi_and_total_broadcasts(
+def test_unigram_lm_head_broadcasts_over_materialized_tf(
         spark, sf_dir):
-    """Unigram LM: the corpus-total (1 row) must broadcast, the
-    tf⋈vocab join must be an equi-join on token (AQE-splittable on the
-    Zipf head), and both groupBys must combine map-side."""
+    """Unigram LM: the Zipf-head vocabulary side must join by
+    BROADCAST hash (the skewed mass never shuffles), tf/vocab must be
+    materialized (lineage cut: the final plan reads the checkpointed
+    RDDs, not re-derived corpus subtrees), and no nested-loop or
+    cartesian join anywhere."""
     from credit_ocr_system_spark.operators.textops import (
         unigram_lm_score,
     )
 
     plan = plan_of(unigram_lm_score(R.load(spark, sf_dir, "documents")))
     assert "CartesianProduct" not in plan
-    # exactly one BNLJ node (tree + detail): the 1-row total side
-    assert plan.count("BroadcastNestedLoopJoin") == 2
-    assert "partial_count" in plan  # map-side combine on tf/vocab
+    assert "BroadcastNestedLoopJoin" not in plan  # cut away with vocab
+    assert "BroadcastHashJoin" in plan            # head probe
+    # both join inputs come from the checkpointed RDDs — the corpus
+    # scan/explode/agg subtrees must NOT be re-embedded in this plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_temperature_mixture_quotas_broadcast(spark, sf_dir):
