@@ -16,9 +16,11 @@ genuinely handle:
   in [-1, 1]. Cross-validated in tests against the stdlib ``wave``
   module as an independent implementation.
 
-Video (MP4/H.264) and JPEG remain behind ``NotImplementedError`` —
-there is no honest stdlib decode for entropy-coded formats; on a real
-cluster those route to PIL/pyav at the same seam
+Baseline **JPEG** (sequential DCT, 4:4:4 / greyscale) decodes and
+encodes via ``kernel/jpeg.py`` (stdlib + numpy; data-derived huffman
+tables, generated zigzag/DCT). Out-of-scope JPEG variants
+(progressive, subsampled 4:2:0) and video (MP4/H.264) still raise —
+on a real cluster those route to PIL/pyav at the same seam
 (``operators/multimodal.py::decode_media``).
 
 The reference consumes media through PIL
@@ -326,6 +328,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":                 # SOI + first marker
+        return "jpeg"
     return None
 
 
@@ -338,6 +342,10 @@ def decode_image_rgb(payload: bytes) -> np.ndarray:
         px = decode_png(payload)
     elif fmt == "bmp":
         px = decode_bmp(payload)
+    elif fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)                      # already (h, w, 3)
     else:
         raise NotImplementedError(
             f"no stdlib decoder for image format {fmt or 'unknown'}")

@@ -7,10 +7,11 @@ provides the full Spark-side plumbing — schemas, deterministic
 synthetic media source, feature extraction, image resize, video frame
 sampling (1→N explode) — with the *codec* behind a seam:
 
-* ``decode_media`` really decodes PNG / BMP / WAV payloads via the
-  stdlib codecs in ``kernel/codecs.py`` (zlib inflate + scanline
-  unfilter, DIB row handling, PCM scaling); entropy-coded formats
-  (JPEG, MP4) raise ``NotImplementedError`` — no PIL/pyav in this
+* ``decode_media`` really decodes PNG / BMP / WAV / baseline-JPEG
+  payloads via the codecs in ``kernel/codecs.py`` + ``kernel/jpeg.py``
+  (zlib inflate + scanline unfilter, DIB row handling, PCM scaling,
+  huffman + IDCT); out-of-scope variants (progressive/4:2:0 JPEG,
+  MP4) raise ``NotImplementedError`` — no PIL/pyav in this
   container, by design, and they swap in at this same seam;
 * ``fake_decode`` is the deterministic stand-in used by default for
   the opaque synthetic payloads: it derives a numpy array purely from
@@ -93,14 +94,15 @@ def media_df(spark, n: int, seed: int = 42,
 
 def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic media rows with REAL payloads: actual
-    PNG (row filters cycling 0..4), BMP, and 16-bit PCM WAV bytes from
-    ``kernel/codecs.py``, so the decode path exercised is the real
-    zlib-inflate/unfilter/PCM-scale one, not the stand-in. Pixel and
-    sample content derives purely from seed+id; the same ~18%
-    duplicate structure as ``gen_media_rows`` feeds the near-dup
-    operators.
+    PNG (row filters cycling 0..4), BMP, baseline JPEG (huffman +
+    DCT, ``kernel/jpeg.py``), and 16-bit PCM WAV bytes, so the decode
+    path exercised is the real zlib-inflate/unfilter/entropy-decode/
+    PCM-scale one, not the stand-in. Pixel and sample content derives
+    purely from seed+id; the same ~18% duplicate structure as
+    ``gen_media_rows`` feeds the near-dup operators.
     """
     from ..kernel import codecs
+    from ..kernel.jpeg import encode_jpeg
 
     rows = []
     for i in range(n):
@@ -111,15 +113,16 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
                          "payload": src["payload"],
                          "meta": dict(src["meta"])})
             continue
-        fmt = ("png", "bmp", "wav")[h[0] % 3]
-        if fmt in ("png", "bmp"):
+        fmt = ("png", "bmp", "wav", "jpeg")[h[0] % 4]
+        if fmt in ("png", "bmp", "jpeg"):
             w, ht = 8 + h[2] % 25, 8 + h[3] % 25
             need = ht * w * 3
             body = np.frombuffer(
                 (h * (need // len(h) + 1))[:need], dtype=np.uint8)
             px = body.reshape(ht, w, 3)
             payload = (codecs.encode_png(px) if fmt == "png"
-                       else codecs.encode_bmp(px))
+                       else codecs.encode_bmp(px) if fmt == "bmp"
+                       else encode_jpeg(px, quality=85 + h[4] % 15))
             rows.append({
                 "media_id": i, "kind": "image", "payload": payload,
                 "meta": {"width": w, "height": ht, "sample_rate": None,
@@ -149,22 +152,23 @@ def real_media_df(spark, n: int, seed: int = 42,
 
 
 def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
-    """Real codec dispatch — stdlib decoders where they honestly exist.
+    """Real codec dispatch — honest decoders where they exist.
 
-    PNG / BMP / WAV payloads (sniffed by magic bytes) decode for real
-    via ``kernel/codecs.py`` — zlib-inflated, unfiltered, PCM-scaled
+    PNG / BMP / WAV / baseline-JPEG payloads (sniffed by magic bytes)
+    decode for real via ``kernel/codecs.py`` + ``kernel/jpeg.py`` —
+    zlib-inflated, unfiltered, huffman/IDCT-reconstructed, PCM-scaled
     actual bytes, not a stand-in (the reference consumes media through
     PIL, ``/root/reference/src/ocr/easyocr_client.py:17-58``; these
     return the same ``(h, w, 3) uint8`` / float32-sample ndarrays).
-    Entropy-coded formats (JPEG, MP4/H.264) still raise — there is no
-    stdlib decode for those; a cluster with PIL/pyav swaps them in at
-    this same seam. ``fake_decode`` remains the deterministic stand-in
-    for the opaque synthetic payloads.
+    Out-of-scope variants (progressive/subsampled JPEG, MP4/H.264)
+    still raise; a cluster with PIL/pyav swaps them in at this same
+    seam. ``fake_decode`` remains the deterministic stand-in for the
+    opaque synthetic payloads.
     """
     from ..kernel import codecs
 
     fmt = codecs.sniff_format(payload)
-    if fmt in ("png", "bmp"):
+    if fmt in ("png", "bmp", "jpeg"):
         return codecs.decode_image_rgb(payload)
     if fmt == "wav":
         samples, _rate = codecs.decode_wav(payload)

@@ -238,7 +238,8 @@ def test_sniff_format():
     assert sniff_format(encode_png(_rng_img(2, 2, 3))) == "png"
     assert sniff_format(encode_bmp(_rng_img(2, 2, 3))) == "bmp"
     assert sniff_format(encode_wav(np.zeros(4, np.float32), 8000)) == "wav"
-    assert sniff_format(b"\xff\xd8\xff\xe0 jpeg?") is None
+    assert sniff_format(b"\xff\xd8\xff\xe0 jpeg!") == "jpeg"
+    assert sniff_format(b"\x00\x01\x02 nothing") is None
 
 
 def test_decode_image_rgb_normalizes_channels():
@@ -252,8 +253,15 @@ def test_decode_image_rgb_normalizes_channels():
     out = decode_image_rgb(encode_png(rgba))
     np.testing.assert_array_equal(out, rgba[:, :, :3])
 
+    from credit_ocr_system_spark.kernel.jpeg import encode_jpeg
+
+    rgb = _rng_img(12, 9, 3)
+    out = decode_image_rgb(encode_jpeg(rgb, quality=95))
+    assert out.shape == (12, 9, 3)        # lossy: shape, not pixels
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 16
+
     with pytest.raises(NotImplementedError):
-        decode_image_rgb(b"\xff\xd8\xff\xe0 not supported")
+        decode_image_rgb(b"GIF89a not supported")
 
 
 def test_module_has_no_nonstdlib_imports():
@@ -263,4 +271,5 @@ def test_module_has_no_nonstdlib_imports():
         line = line.strip()
         if line.startswith(("import ", "from ")) and "__future__" not in line:
             mod = line.split()[1].split(".")[0]
-            assert mod in ("struct", "zlib", "numpy"), mod
+            # "" = in-package relative import (the jpeg sibling module)
+            assert mod in ("struct", "zlib", "numpy", ""), mod

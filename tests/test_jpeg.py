@@ -1,0 +1,246 @@
+"""Baseline JPEG codec tests (kernel/jpeg.py).
+
+The codec's design rule is "no memorized spec constants are
+load-bearing": zigzag is generated, huffman tables travel in DHT,
+quant tables travel in DQT. These tests pin the parts that make the
+emitted stream self-describing — a decoder that reads ONLY the bytes
+must reconstruct the image — plus the edge paths (huffman length cap,
+odd sizes, greyscale, out-of-scope rejection).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from credit_ocr_system_spark.kernel.jpeg import (
+    _BitReader,
+    _BitWriter,
+    _canonical,
+    _code_lengths,
+    _codebook_from_dht,
+    decode_jpeg,
+    dct2,
+    encode_jpeg,
+    idct2,
+    quant_tables,
+    zigzag_order,
+)
+
+
+def _rng_img(h, w, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c) if c else (h, w)).astype(np.uint8)
+
+
+def _smooth_img(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 3) % 256, (xx * 3) % 256,
+                     ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# generated transform plumbing
+# ---------------------------------------------------------------------------
+
+def test_zigzag_is_a_permutation_with_correct_endpoints():
+    zz = zigzag_order()
+    assert sorted(zz.tolist()) == list(range(64))
+    assert zz[0] == 0                     # DC first
+    assert zz[1] == 1                     # (0,1) — even diagonal runs up
+    assert zz[2] == 8                     # (1,0)
+    assert zz[-1] == 63                   # last coefficient
+
+def test_dct_is_orthonormal_and_invertible():
+    rng = np.random.default_rng(3)
+    b = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(idct2(dct2(b)), b, atol=1e-10)
+    # Parseval: orthonormal basis preserves energy
+    assert np.isclose((dct2(b) ** 2).sum(), (b ** 2).sum())
+
+
+def test_quant_tables_monotone_in_quality():
+    lo_l, lo_c = quant_tables(20)
+    hi_l, hi_c = quant_tables(95)
+    assert (hi_l <= lo_l).all() and (hi_c <= lo_c).all()
+    for t in (lo_l, lo_c, hi_l, hi_c):
+        assert t.min() >= 1 and t.max() <= 255
+
+
+# ---------------------------------------------------------------------------
+# bit I/O + huffman derivation
+# ---------------------------------------------------------------------------
+
+def test_bit_roundtrip_with_ff_stuffing():
+    w = _BitWriter()
+    vals = [(0xFF, 8), (0b101, 3), (0xFFFF, 16), (0, 1), (0x3F, 6)]
+    for v, n in vals:
+        w.write(v, n)
+    data = w.flush()
+    assert b"\xff\x00" in data            # stuffing actually happened
+    r = _BitReader(data)
+    for v, n in vals:
+        assert r.read_bits(n) == v
+
+
+def test_code_lengths_cap_and_allones_reservation():
+    # Fibonacci frequencies maximize huffman depth: 40 symbols would
+    # give ~40-bit codes uncapped — the cap must clamp to 16 while
+    # keeping the Kraft inequality (decodability) intact.
+    fib = [1, 1]
+    for _ in range(38):
+        fib.append(fib[-1] + fib[-2])
+    lengths = _code_lengths({i: f for i, f in enumerate(fib)})
+    real = {s: l for s, l in lengths.items() if s != 256}
+    assert max(real.values()) <= 16
+    assert sum(2.0 ** -l for l in lengths.values()) <= 1.0 + 1e-12
+    # dummy symbol sits at max depth → canonical all-ones lands on it
+    assert lengths[256] == max(lengths.values())
+    bits, huffval, codebook = _canonical(lengths)
+    assert 256 not in codebook and 256 not in huffval
+    for sym, (code, l) in codebook.items():
+        assert code != (1 << l) - 1       # spec: no real all-ones code
+
+
+def test_canonical_roundtrips_through_dht_payload():
+    freqs = {0: 100, 1: 60, 5: 30, 17: 10, 240: 3, 255: 1}
+    bits, huffval, codebook = _canonical(_code_lengths(freqs))
+    decoded = _codebook_from_dht(bits, huffval)
+    assert decoded == {(c, l): s for s, (c, l) in codebook.items()}
+    # prefix-free: no code is a prefix of a longer one
+    codes = sorted(codebook.values(), key=lambda cl: cl[1])
+    for i, (c1, l1) in enumerate(codes):
+        for c2, l2 in codes[i + 1:]:
+            assert c2 >> (l2 - l1) != c1 or l1 == l2
+
+
+# ---------------------------------------------------------------------------
+# end-to-end round-trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,quality,max_mean_err", [
+    ((64, 64, 3), 95, 4.0),
+    ((33, 47, 3), 85, 8.0),              # non-multiple-of-8 dims
+    ((8, 8, 3), 75, 14.0),
+    ((17, 3, 3), 85, 10.0),              # narrower than one block
+    ((1, 1, 3), 85, 4.0),
+])
+def test_roundtrip_color(shape, quality, max_mean_err):
+    img = _rng_img(*shape[:2], seed=shape[0])
+    # overlay smooth structure so quantization has something to keep
+    img[..., 0] = _smooth_img(*shape[:2])[..., 0]
+    dec = decode_jpeg(encode_jpeg(img, quality))
+    assert dec.shape == (shape[0], shape[1], 3)
+    assert dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < max_mean_err, err
+
+
+def test_roundtrip_greyscale_replicates_channels():
+    img = _rng_img(24, 40, c=0, seed=9)
+    dec = decode_jpeg(encode_jpeg(img, 90))
+    assert dec.shape == (24, 40, 3)
+    np.testing.assert_array_equal(dec[..., 0], dec[..., 1])
+    np.testing.assert_array_equal(dec[..., 1], dec[..., 2])
+    assert np.abs(dec[..., 0].astype(int) - img.astype(int)).mean() < 4
+
+
+def test_constant_images_are_lossless():
+    for v in (0, 128, 255):
+        img = np.full((24, 24, 3), v, np.uint8)
+        np.testing.assert_array_equal(decode_jpeg(encode_jpeg(img, 85)), img)
+
+
+def test_high_quality_smooth_is_near_lossless():
+    img = _smooth_img(48, 48)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_quality_tradeoff_bytes_and_error():
+    img = _rng_img(40, 40, seed=1)
+    enc_lo, enc_hi = encode_jpeg(img, 10), encode_jpeg(img, 95)
+    assert len(enc_lo) < len(enc_hi)
+    err = lambda e: np.abs(
+        decode_jpeg(e).astype(int) - img.astype(int)).mean()
+    assert err(enc_lo) > err(enc_hi)
+
+
+def test_encode_is_deterministic():
+    img = _rng_img(20, 20, seed=5)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)
+
+
+# ---------------------------------------------------------------------------
+# stream structure + scope rejection
+# ---------------------------------------------------------------------------
+
+def _markers(payload):
+    """Walk the marker sequence (skipping entropy data via lengths)."""
+    tags, pos = [], 2
+    tags.append(payload[1])
+    while pos < len(payload):
+        assert payload[pos] == 0xFF
+        tag = payload[pos + 1]
+        tags.append(tag)
+        pos += 2
+        if tag in (0xD8, 0xD9):
+            continue
+        (ln,) = struct.unpack(">H", payload[pos:pos + 2])
+        pos += ln
+        if tag == 0xDA:                   # scan: skip to EOI
+            while not (payload[pos] == 0xFF and payload[pos + 1] == 0xD9):
+                pos += 1
+    return tags
+
+
+def test_emitted_marker_sequence_is_wellformed_jfif():
+    tags = _markers(encode_jpeg(_rng_img(16, 16), 85))
+    assert tags[0] == 0xD8 and tags[-1] == 0xD9          # SOI ... EOI
+    assert tags[1] == 0xE0                               # JFIF APP0
+    assert tags.count(0xDB) == 2                         # luma+chroma DQT
+    assert tags.count(0xC4) == 4                         # 2 DC + 2 AC DHT
+    assert 0xC0 in tags and 0xDA in tags                 # SOF0, SOS
+
+
+def test_greyscale_stream_has_single_component_tables():
+    tags = _markers(encode_jpeg(_rng_img(16, 16, c=0), 85))
+    assert tags.count(0xDB) == 1 and tags.count(0xC4) == 2
+
+
+def test_decoder_rejects_out_of_scope():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+    enc = bytearray(encode_jpeg(_rng_img(16, 16), 85))
+    # flip SOF0 -> SOF2 (progressive)
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(enc))
+    # 4:2:0 sampling factors in SOF0
+    enc = bytearray(encode_jpeg(_rng_img(16, 16), 85))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 11] = 0x22                  # first component h/v = 2x2
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(enc))
+
+
+def test_decode_reads_tables_only_from_the_stream():
+    # Re-encode the decoded image with a different quality: tables in
+    # the second stream differ, yet both decode — proof the decoder
+    # uses DHT/DQT payloads, not shared in-process state.
+    img = _smooth_img(32, 32)
+    first = encode_jpeg(img, 95)
+    second = encode_jpeg(decode_jpeg(first), 50)
+    assert first != second
+    assert decode_jpeg(second).shape == (32, 32, 3)
+
+
+def test_module_has_no_nonstdlib_imports_beyond_numpy():
+    import credit_ocr_system_spark.kernel.jpeg as m
+    src = open(m.__file__).read()
+    for line in src.splitlines():
+        line = line.strip()
+        if line.startswith(("import ", "from ")) and "__future__" not in line:
+            mod = line.split()[1].split(".")[0]
+            assert mod in {"heapq", "struct", "numpy"}, line
