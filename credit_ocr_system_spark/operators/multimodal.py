@@ -359,13 +359,23 @@ def resize_images(media: DataFrame, out_w: int = 8,
 
 MEDIA_NEAR_DUP_THRESHOLD = 0.9999
 
-# Feature vectors are 16-bin *histograms* — non-negative, so a plain
-# sign bucket (>= 0) would put the whole corpus in one bucket. Center
-# the hyperplanes at the uniform-histogram expectation 1/N_FEAT
-# instead: bins oscillate around it, giving balanced buckets, and
-# byte-identical payloads (identical features) always share one.
+# Seeded full-dimension hyperplane sign-LSH over the 16-bin feature
+# histograms. The hyperplane entries carry random signs, so the
+# projections split the non-negative histogram space without the old
+# fixed-center hack, and byte-identical payloads (identical features)
+# always share every table's bucket — candidate pruning stays lossless
+# for exact duplicates. Distinct seed from the embedding path so the
+# two operator families never share hyperplanes.
 MEDIA_BUCKET_BITS = 8
-MEDIA_BUCKET_CENTER = 1.0 / N_FEAT
+MEDIA_LSH_TABLES = 2
+MEDIA_LSH_SEED = 0x3ED1A5EED
+
+
+def media_lsh_planes() -> list:
+    from .similarity import lsh_hyperplanes
+
+    return lsh_hyperplanes(MEDIA_LSH_TABLES, MEDIA_BUCKET_BITS,
+                           N_FEAT, seed=MEDIA_LSH_SEED)
 
 
 def media_near_dup(media: DataFrame,
@@ -380,29 +390,33 @@ def media_near_dup(media: DataFrame,
     non-dup cosine ≈ 0.9533 on the seeded corpus), so the default
     threshold separates with a wide margin.
 
-    Scale shape: candidates come from a centered sign-bucket LSH
-    (equi-join on the 8-bit bucket — never an all-pairs nested loop;
-    plan-guarded), and the exact cosine verify runs bucket-locally.
-    Candidate pruning is *lossless for the pairs this operator exists
-    to find*: a byte-exact duplicate has the identical feature vector,
-    hence the identical bucket. The oracle mirrors the bucketing.
+    Scale shape: candidates come from the multi-table hyperplane
+    sign-LSH (equi-join on (table, bucket) — never an all-pairs
+    nested loop; plan-guarded), and the exact cosine verify runs only
+    on candidates. Pruning is *lossless for the pairs this operator
+    exists to find*: a byte-exact duplicate has the identical feature
+    vector, hence identical buckets in every table. The oracle
+    mirrors the identical hyperplane literals.
     """
     from .portable import pround
-    from .similarity import _cosine, _sign_bucket
+    from .similarity import _cosine, lsh_candidate_pairs
 
+    # three consumers below (bucketing + both verify sides) — cut the
+    # lineage so the Arrow decode kernel runs once, not per branch
     feats = extract_media_features(media).select(
-        "media_id", F.col("feat").cast("array<double>").alias("v"))
-    feats = feats.withColumn(
-        "bucket", _sign_bucket(F.col("v"), n_bits=MEDIA_BUCKET_BITS,
-                               center=MEDIA_BUCKET_CENTER))
-    a, b = feats.alias("a"), feats.alias("b")
+        "media_id", F.col("feat").cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(feats, "media_id", "v",
+                               media_lsh_planes())
+    va = feats.select(F.col("media_id").alias("id_a"),
+                      F.col("v").alias("va"))
+    vb = feats.select(F.col("media_id").alias("id_b"),
+                      F.col("v").alias("vb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.media_id") < F.col("b.media_id")))
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            _cosine(F.col("a.v"), F.col("b.v")).alias("raw"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(F.col("id_a").alias("media_a"),
+                F.col("id_b").alias("media_b"),
+                _cosine(F.col("va"), F.col("vb")).alias("raw"))
         .where(F.col("raw") >= threshold)
         .select("media_a", "media_b",
                 pround(F.col("raw"), 6).alias("cos_sim"))

@@ -6,10 +6,11 @@ Two paths, as a 100TB pipeline needs both:
   (broadcast side); the corpus streams once; per-partition top-k via a
   window. All arithmetic is JVM-side higher-order functions
   (``zip_with`` + ``aggregate``) in double precision — no UDF.
-* **Sign-bucketed (LSH) top-k** — the scale path: bucket on the sign
-  pattern of the leading dimensions (a fixed random-projection
-  surrogate), probe only the query's bucket. Turns the n×q cross
-  product into bucket-local joins.
+* **Sign-bucketed (LSH) top-k / near-dup** — the scale path: bucket
+  on the sign pattern of seeded full-dimension hyperplane projections
+  (multi-table OR-construction for the near-dup path), probe only
+  matching buckets. Turns the n×q / n×n cross product into
+  bucket-local joins.
 
 Rank, not raw cosine, is the output contract — float formatting never
 leaks into correctness comparisons; ties break on vec_id.
@@ -37,6 +38,19 @@ def _cosine(a, b):
 
 def _as_double(col):
     return col.cast("array<double>")
+
+
+N_BUCKET_BITS = 4
+EMB_DIMS = 64          # testdata embeddings.parquet dimensionality
+LSH_SEED = 0x5EEDC0DE  # hyperplane stream seed — a LITERAL, like every
+                       # cross-engine constant (see operators/portable)
+
+# Full-corpus paths default to >=16 bits: at 10^12 rows a low fixed bit
+# count leaves n/2^bits of the corpus in every bucket and the
+# bucket-local self-join goes quadratic again. The corpus-scaled rule
+# (n_bits=None) sizes buckets to ~TARGET_BUCKET_SIZE rows.
+MIN_CORPUS_BITS = 16
+TARGET_BUCKET_SIZE = 256
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5,
@@ -90,31 +104,42 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.35,
     )
 
 
-def bucketed_near_dup(embeddings: DataFrame,
-                      threshold: float = 0.35) -> DataFrame:
+def bucketed_near_dup(embeddings: DataFrame, threshold: float = 0.35,
+                      n_bits: int | None = None, n_tables: int = 4,
+                      dims: int = EMB_DIMS,
+                      seed: int = LSH_SEED) -> DataFrame:
     """Near-duplicate pairs over the FULL corpus, bucket-locally.
 
-    The 100 TB shape of embedding dedup: sign-bucket LSH generates
-    candidates (equi-join on bucket — shuffle is bucket-sized, never
-    n²), and the exact cosine verify runs only inside buckets. Recall
-    is bucket-limited by construction (a pair split across buckets is
-    never considered — the standard LSH trade; more tables/bits tune
-    it), which the oracle mirrors exactly. No nested-loop or cartesian
-    join appears in the plan (guarded in
-    ``tests/test_plan_properties.py``).
+    The 100 TB shape of embedding dedup: seeded full-dimension
+    hyperplane sign-LSH generates candidates (equi-join on
+    (table, bucket) — shuffle is bucket-sized, never n²), and the
+    exact cosine verify runs only on candidates. Recall is the
+    standard LSH OR-construction 1-(1-p^n_bits)^n_tables — tuned by
+    ``n_bits``/``n_tables``, measured against :func:`cosine_near_dup`
+    ground truth in ``tests/test_lsh_recall.py`` — and the oracle
+    mirrors the identical hyperplane literals exactly. With
+    ``n_bits=None`` the bit count is corpus-scaled (one count(), then
+    buckets of ~TARGET_BUCKET_SIZE rows, floor MIN_CORPUS_BITS): at
+    10^12 rows the bucket-local verify stays linear in n instead of
+    quadratic-per-bucket. No nested-loop or cartesian join appears in
+    the plan (guarded in ``tests/test_plan_properties.py``).
     """
     base = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        _as_double(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", _sign_bucket(F.col("v")))
-    a, b = base.alias("a"), base.alias("b")
+        _as_double(F.col("embedding")).alias("v"))
+    if n_bits is None:
+        n_bits = _scaled_bits(base.count())
+    planes = lsh_hyperplanes(n_tables, n_bits, dims, seed)
+    cand = lsh_candidate_pairs(base, "vec_id", "v", planes)
+    va = base.select(F.col("vec_id").alias("id_a"),
+                     F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"),
+                     F.col("v").alias("vb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            _cosine(F.col("a.v"), F.col("b.v")).alias("raw_cos"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(F.col("id_a").alias("vec_a"),
+                F.col("id_b").alias("vec_b"),
+                _cosine(F.col("va"), F.col("vb")).alias("raw_cos"))
         .where(F.col("raw_cos") >= threshold)
         .select("vec_a", "vec_b",
                 pround(F.col("raw_cos"), 6).alias("cos_sim"))
@@ -270,41 +295,126 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
     )
 
 
-N_BUCKET_BITS = 4
+def _lcg_doubles(seed: int, n: int) -> list[float]:
+    """``n`` exactly-representable doubles in [-1, 1) from a 64-bit
+    LCG (Knuth MMIX constants). Every value is a 53-bit integer
+    divided by 2^53, scaled by 2 — all exact IEEE operations, so the
+    same literals reproduce in any engine (repr round-trips)."""
+    mask = (1 << 64) - 1
+    state = seed & mask
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005
+                 + 1442695040888963407) & mask
+        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
 
 
-def _sign_bucket(vec, n_bits: int = N_BUCKET_BITS, center: float = 0.0):
-    """Bucket id from the sign pattern of the first ``n_bits`` dims.
+def lsh_hyperplanes(n_tables: int, n_bits: int, dims: int,
+                    seed: int = LSH_SEED) -> list[list[list[float]]]:
+    """Seeded random hyperplanes for sign-projection LSH:
+    ``H[table][bit]`` is a ``dims``-long direction over ALL
+    dimensions (not a leading-dim slice). Deterministic by
+    construction — both the Spark plan and the SQL oracle embed the
+    identical literal doubles, so the bucketing is oracle-checkable
+    bit-for-bit."""
+    return [
+        [_lcg_doubles(seed ^ ((t * 1_000_003 + i) * 0x9E3779B9 + 1),
+                      dims)
+         for i in range(n_bits)]
+        for t in range(n_tables)
+    ]
 
-    ``center`` shifts the hyperplanes: non-negative feature spaces
-    (histograms, counts) bucket on ``dim >= center`` instead of the
-    useless ``>= 0`` (every vector would share one bucket).
+
+def proj_bucket(vec, planes_t: list[list[float]]):
+    """One LSH table's bucket id: bit i = sign(vec · H[i]).
+
+    The dot product is the same left fold as :func:`_dot` — IEEE-exact
+    and identical to DuckDB's ``list_dot_product`` (verified
+    bit-for-bit in the oracle suite). Works unchanged for
+    non-negative feature spaces (histograms): the hyperplane entries
+    carry random signs, so the projections split mass without the
+    centering hack the old leading-dim bucket needed.
     """
-    bucket = F.lit(0)
-    for i in range(n_bits):
-        bucket = bucket + F.when(
-            F.element_at(vec, i + 1) >= center,
-            F.lit(2 ** i)).otherwise(0)
-    return bucket.cast("int")
+    bucket = F.lit(0).cast("bigint")
+    for i, h in enumerate(planes_t):
+        dot = _dot(vec, F.array(*[F.lit(x) for x in h]))
+        bucket = bucket + F.when(dot >= 0.0,
+                                 F.lit(2 ** i).cast("bigint")
+                                 ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def proj_bucket_sql(col: str, planes_t: list[list[float]]) -> str:
+    """DuckDB mirror of :func:`proj_bucket` — generated from the SAME
+    hyperplane literals, so the two expressions cannot drift."""
+    terms = []
+    for i, h in enumerate(planes_t):
+        arr = "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {arr}) >= 0.0 "
+            f"THEN {2 ** i} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _scaled_bits(n_rows: int) -> int:
+    """Corpus-scaled bit count: buckets of ~TARGET_BUCKET_SIZE rows,
+    never below MIN_CORPUS_BITS. At 10^12 rows this is ~32 bits —
+    the bucket-local verify stays O(target²·n/target) = O(n)."""
+    import math
+
+    if n_rows <= TARGET_BUCKET_SIZE:
+        return MIN_CORPUS_BITS
+    return max(MIN_CORPUS_BITS,
+               math.ceil(math.log2(n_rows / TARGET_BUCKET_SIZE)))
+
+
+def lsh_candidate_pairs(base: DataFrame, id_col: str, vec_col: str,
+                        planes: list[list[list[float]]]) -> DataFrame:
+    """Multi-table OR-construction candidate pairs: a pair is a
+    candidate if it collides in ANY table (standard LSH recall
+    amplification: P = 1-(1-p^bits)^tables). Each table is an
+    equi-join on (table, bucket) — shuffle is bucket-sized, never n²
+    — and the union-of-tables is a posexplode + one join, not
+    ``n_tables`` plans. Output: distinct (id_a, id_b), id_a < id_b.
+    """
+    tb = base.select(
+        F.col(id_col),
+        F.posexplode(F.array(
+            *[proj_bucket(F.col(vec_col), pt) for pt in planes]
+        )).alias("t", "bucket"))
+    a, b = tb.alias("a"), tb.alias("b")
+    return (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def bucketed_topk(embeddings: DataFrame, n_queries: int = 5,
-                  k: int = 5) -> DataFrame:
-    """Approximate top-k: probe only the query's sign bucket.
+                  k: int = 5, n_bits: int = N_BUCKET_BITS,
+                  dims: int = EMB_DIMS) -> DataFrame:
+    """Approximate top-k: probe only the query's sign bucket
+    (single-table full-dimension hyperplane projections — same
+    machinery as :func:`bucketed_near_dup`).
 
     The bucket join replaces the full cross product — at 10^12 rows
     each of the 2^N buckets is scanned only by queries that land in
     it. Recall is approximate by construction (documented, measured
     against `cosine_topk` in tests).
     """
+    planes_t = lsh_hyperplanes(1, n_bits, dims)[0]
     corpus = embeddings.select(
         F.col("vec_id").cast("bigint").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", _sign_bucket(F.col("v")))
+    ).withColumn("bucket", proj_bucket(F.col("v"), planes_t))
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").cast("bigint").alias("query_id"),
         _as_double(F.col("embedding")).alias("q"),
-    ).withColumn("bucket", _sign_bucket(F.col("q")))
+    ).withColumn("bucket", proj_bucket(F.col("q"), planes_t))
     scored = corpus.join(F.broadcast(queries), "bucket").withColumn(
         "cos", _cosine(F.col("q"), F.col("v")))
     w = Window.partitionBy("query_id").orderBy(

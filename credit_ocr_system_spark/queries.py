@@ -407,24 +407,29 @@ queries AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
             FROM embeddings WHERE vec_id < 5)
 """
 
-_BUCKET_EXPR = " + ".join(
-    f"(CASE WHEN {{col}}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
-    for i in range(S.N_BUCKET_BITS))
+# Small-corpus LSH tuning for the REGISTERED bucketed_near_dup query:
+# the testdata embeddings are 500 near-random vectors (max pairwise
+# cosine ~0.5), so 8 bits x 4 tables yields a meaningful non-empty
+# result set to hash-compare. Production default is the corpus-scaled
+# >=16-bit path (n_bits=None) — see similarity._scaled_bits.
+ND_BITS = 8
+ND_TABLES = 4
+_ND_PLANES = S.lsh_hyperplanes(ND_TABLES, ND_BITS, S.EMB_DIMS)
+_TOPK_PLANES = S.lsh_hyperplanes(1, S.N_BUCKET_BITS, S.EMB_DIMS)[0]
+
+# the oracle bucket expressions are GENERATED from the identical
+# hyperplane literals the Spark plan embeds (similarity.proj_bucket /
+# proj_bucket_sql) — retuning bits/tables/seed cannot desynchronize
+_BUCKET_EXPR = S.proj_bucket_sql("{col}", _TOPK_PLANES)
 
 
-def _media_bucket_expr(col: str) -> str:
-    # centered sign bucket over the media feature histograms — bit
-    # count and center derive from the multimodal constants so
-    # retuning them cannot desynchronize the oracle
-    from .operators.multimodal import (
-        MEDIA_BUCKET_BITS,
-        MEDIA_BUCKET_CENTER,
-    )
-
-    return " + ".join(
-        f"(CASE WHEN {col}[{i + 1}] >= {MEDIA_BUCKET_CENTER!r} "
-        f"THEN {2 ** i} ELSE 0 END)"
-        for i in range(MEDIA_BUCKET_BITS))
+def _lsh_tables_cte(planes, src: str, id_col: str) -> str:
+    """UNION ALL of one bucket projection per LSH table — the SQL
+    mirror of similarity.lsh_candidate_pairs' posexplode."""
+    return "\n  UNION ALL ".join(
+        f"SELECT {id_col}, {t} AS t, "
+        f"{S.proj_bucket_sql('v', planes[t])} AS bucket FROM {src}"
+        for t in range(len(planes)))
 
 _COS_CD = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
@@ -1145,16 +1150,20 @@ WHERE raw_cos >= 0.35
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
- bucketed AS (SELECT vec_id, v,
-               {_BUCKET_EXPR.format(col='v')} AS bucket FROM base)
+ tb AS ({_lsh_tables_cte(_ND_PLANES, 'base', 'vec_id')}),
+ cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM tb a JOIN tb b
+            ON a.t = b.t AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+ scored AS (
+  SELECT vec_a, vec_b,
+   list_dot_product(va.v, vb.v) /
+     (sqrt(list_dot_product(va.v, va.v))
+      * sqrt(list_dot_product(vb.v, vb.v))) AS raw_cos
+  FROM cand JOIN base va ON va.vec_id = cand.vec_a
+            JOIN base vb ON vb.vec_id = cand.vec_b)
 SELECT vec_a, vec_b, {sql_pround("raw_cos", 6)} AS cos_sim
-FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       list_dot_product(a.v, b.v) /
-         (sqrt(list_dot_product(a.v, a.v))
-          * sqrt(list_dot_product(b.v, b.v))) AS raw_cos
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-WHERE raw_cos >= 0.35
+FROM scored WHERE raw_cos >= 0.35
 """,
     "bucketed_topk": f"""
 WITH {_ANN_CTE},
@@ -1229,7 +1238,10 @@ def _x_oracles() -> Dict[str, str]:
     frames = G.golden_path("x_media_frames.parquet")
     resize = G.golden_path("x_media_resize.parquet")
     real = G.golden_path("x_media_real.parquet")
-    from .operators.multimodal import MEDIA_NEAR_DUP_THRESHOLD
+    from .operators.multimodal import (
+        MEDIA_NEAR_DUP_THRESHOLD,
+        media_lsh_planes as _media_planes,
+    )
     from .operators.llm_infer import (
         FAKE_MODEL_TAG,
         PROMPT_FOOTER,
@@ -1388,20 +1400,25 @@ SELECT url, page_num, COUNT(*) AS n_elements,
 FROM read_parquet('{elements}')
 GROUP BY url, page_num
 """,
-        # candidates are bucket-local (centered sign-bucket LSH) on
+        # candidates are bucket-local (multi-table hyperplane sign-LSH
+        # generated from the SAME literals the Spark plan embeds) on
         # BOTH sides — the SQL mirrors the operator's pruning exactly
         "media_near_dup": f"""
 WITH f AS (SELECT media_id, CAST(feat AS DOUBLE[]) AS v
            FROM read_parquet('{features}')),
- fb AS (SELECT media_id, v,
-         {_media_bucket_expr("v")} AS bucket FROM f),
+ tb AS ({_lsh_tables_cte(_media_planes(), 'f', 'media_id')}),
+ cand AS (SELECT DISTINCT a.media_id AS media_a,
+                 b.media_id AS media_b
+          FROM tb a JOIN tb b
+            ON a.t = b.t AND a.bucket = b.bucket
+               AND a.media_id < b.media_id),
  scored AS (
-  SELECT a.media_id AS media_a, b.media_id AS media_b,
-   list_dot_product(a.v, b.v) /
-     (sqrt(list_dot_product(a.v, a.v))
-      * sqrt(list_dot_product(b.v, b.v))) AS raw
-  FROM fb a JOIN fb b
-    ON a.bucket = b.bucket AND a.media_id < b.media_id)
+  SELECT media_a, media_b,
+   list_dot_product(fa.v, fb.v) /
+     (sqrt(list_dot_product(fa.v, fa.v))
+      * sqrt(list_dot_product(fb.v, fb.v))) AS raw
+  FROM cand JOIN f fa ON fa.media_id = cand.media_a
+            JOIN f fb ON fb.media_id = cand.media_b)
 SELECT media_a, media_b, {sql_pround("raw", 6)} AS cos_sim
 FROM scored WHERE raw >= {MEDIA_NEAR_DUP_THRESHOLD}
 """,
@@ -1506,7 +1523,8 @@ def build_queries() -> Dict[str, QueryFn]:
         "cosine_near_dup": lambda s, d: S.cosine_near_dup(
             R.load(s, d, "embeddings")),
         "bucketed_near_dup": lambda s, d: S.bucketed_near_dup(
-            R.load(s, d, "embeddings")),
+            R.load(s, d, "embeddings"),
+            n_bits=ND_BITS, n_tables=ND_TABLES),
         "kmeans_codebook": lambda s, d: S.kmeans_codebook(
             R.load(s, d, "embeddings")).selectExpr(
                 "centroid_id", "posexplode(c) AS (dim_idx, value)"),
