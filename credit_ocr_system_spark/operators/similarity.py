@@ -149,6 +149,10 @@ def bucketed_near_dup(embeddings: DataFrame, threshold: float = 0.35,
 N_CENTROIDS = 16
 N_PROBE = 2
 KMEANS_ITERS = 3
+# training-sample rate for the registered codebook query, as an md5
+# hex prefix bound (engine-portable Bernoulli, same mechanism as
+# textops.deterministic_sample): "c0000000" keeps ~3/4 of the corpus
+KMEANS_SAMPLE_HEX = "c0000000"
 
 
 def _seed_centroids(embeddings: DataFrame) -> DataFrame:
@@ -161,8 +165,8 @@ def _seed_centroids(embeddings: DataFrame) -> DataFrame:
         _as_double(F.col("embedding")).alias("c"))
 
 
-def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS
-                    ) -> DataFrame:
+def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS,
+                    sample_rate_hex: str | None = None) -> DataFrame:
     """Trained IVF coarse quantizer: fixed-iteration Lloyd's k-means
     as DataFrame operations. Output: (centroid_id, c array<double>).
 
@@ -186,11 +190,27 @@ def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS
     member values of one centroid dimension as a list — fine for
     codebook training, which at 10^12 rows runs on a sample anyway
     (training a 16-entry codebook on the full corpus buys nothing).
+    That sampling contract is CODE, not prose: pass
+    ``sample_rate_hex`` (an md5-prefix Bernoulli bound, the same
+    engine-portable mechanism as ``textops.deterministic_sample``)
+    and both the training corpus and the seeds are drawn from the
+    sample — the fold's list length is rate·n/k, tunable to any
+    budget. Seeds under sampling are the first ``N_CENTROIDS``
+    *sampled* vectors by vec_id (TakeOrderedAndProject — no global
+    shuffle), so training never touches an unsampled row.
     """
     corpus = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"))
-    cents = _seed_centroids(embeddings)
+    if sample_rate_hex is not None:
+        corpus = corpus.where(
+            F.substring(F.md5(F.col("vec_id").cast("string")),
+                        1, len(sample_rate_hex)) < sample_rate_hex)
+        cents = (corpus.orderBy("vec_id").limit(N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("v").alias("c")))
+    else:
+        cents = _seed_centroids(embeddings)
     for _ in range(iters):
         assigned = _nearest_centroids(corpus, cents, "vec_id", "v", 1)
         dims = assigned.select(

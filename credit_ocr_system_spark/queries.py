@@ -435,20 +435,30 @@ _COS_CD = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(sample_hex: str | None = None) -> str:
     """Unrolled fixed-iteration Lloyd's k-means, mirroring
     ``similarity.kmeans_codebook`` statement-for-statement: seeded from
     the first N_CENTROIDS vectors, argmax-cosine assignment with the
     same tie-break, and ORDERED left-fold dimension sums (zipped
     unnest + ``list_reduce`` over vec_id order) so every float lands
-    bit-identically to the Spark side. Final codebook: ``cents``."""
+    bit-identically to the Spark side. With ``sample_hex`` both the
+    training corpus and the seeds come from the identical md5-prefix
+    Bernoulli sample the Spark side draws. Final codebook: ``cents``."""
     cos = _COS_CD.format(a="k.v", b="p.c")
-    parts = [
-        "kcorpus AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
-        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    sample = (
+        f" WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1,"
+        f" {len(sample_hex)}) < '{sample_hex}'" if sample_hex else "")
+    seeds0 = (
+        f"cents0 AS (SELECT vec_id AS centroid_id, v AS c FROM kcorpus"
+        f" ORDER BY vec_id LIMIT {S.N_CENTROIDS})"
+        if sample_hex else
         f"cents0 AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id,"
         f" CAST(embedding AS DOUBLE[]) AS c FROM embeddings"
-        f" WHERE vec_id < {S.N_CENTROIDS})",
+        f" WHERE vec_id < {S.N_CENTROIDS})")
+    parts = [
+        "kcorpus AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        f" CAST(embedding AS DOUBLE[]) AS v FROM embeddings{sample})",
+        seeds0,
     ]
     for t in range(1, S.KMEANS_ITERS + 1):
         prev = f"cents{t - 1}"
@@ -1184,8 +1194,11 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 5
 """,
+    # the registered query exercises the SAMPLED-training contract
+    # (scale path): corpus and seeds drawn from the same md5-prefix
+    # Bernoulli sample on both sides
     "kmeans_codebook": f"""
-WITH {_kmeans_ctes()}
+WITH {_kmeans_ctes(S.KMEANS_SAMPLE_HEX)}
 SELECT centroid_id, CAST(i - 1 AS INT) AS dim_idx, val AS value
 FROM (SELECT centroid_id,
        unnest(generate_series(1, len(c))) AS i, unnest(c) AS val
@@ -1526,7 +1539,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings"),
             n_bits=ND_BITS, n_tables=ND_TABLES),
         "kmeans_codebook": lambda s, d: S.kmeans_codebook(
-            R.load(s, d, "embeddings")).selectExpr(
+            R.load(s, d, "embeddings"),
+            sample_rate_hex=S.KMEANS_SAMPLE_HEX).selectExpr(
                 "centroid_id", "posexplode(c) AS (dim_idx, value)"),
         "ivf_assign": lambda s, d: S.ivf_assign(
             R.load(s, d, "embeddings")),

@@ -110,3 +110,29 @@ def test_recall_on_driver_corpus_stays_high(spark, sf_dir):
     codebook must still deliver usable nprobe=2 recall."""
     emb = _emb(spark, sf_dir)
     assert _recall(emb, kmeans_codebook(emb)) >= 0.8
+
+
+def test_sampled_training_contract(spark):
+    """The executable sampling contract (sample_rate_hex): training
+    draws corpus AND seeds from the md5-prefix Bernoulli sample, is
+    deterministic, and on clustered data still fixes the misaligned
+    seed codebook — recall unchanged vs full-corpus training."""
+    from credit_ocr_system_spark.operators.similarity import (
+        KMEANS_SAMPLE_HEX,
+        N_CENTROIDS,
+    )
+
+    emb = _clustered_embeddings(spark)
+    sampled = kmeans_codebook(emb, sample_rate_hex=KMEANS_SAMPLE_HEX)
+    cb1 = {r.centroid_id: r.c for r in sampled.collect()}
+    cb2 = {r.centroid_id: r.c
+           for r in kmeans_codebook(
+               emb, sample_rate_hex=KMEANS_SAMPLE_HEX).collect()}
+    assert cb1 == cb2  # bit-identical across runs
+    assert len(cb1) == N_CENTROIDS
+    # a ~3/4 sample of well-separated clusters keeps the training
+    # payoff: at least as good as the untrained seed codebook, and
+    # near the full-corpus 1.0 (measured: 0.96 — one borderline
+    # neighbor flips when a cluster edge vector is sampled out)
+    assert _recall(emb, sampled) >= _recall(emb, _seed_centroids(emb))
+    assert _recall(emb, sampled) >= 0.9
