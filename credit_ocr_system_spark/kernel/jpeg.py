@@ -164,7 +164,10 @@ class _BitReader:
                 raise ValueError(
                     f"unexpected marker 0xFF{marker:02X} in scan "
                     "(restart intervals are out of scope)")
-        self.acc = (self.acc << 8) | byte
+        # keep only the live bits before shifting — without the mask
+        # the accumulator grows into an unbounded bignum and decoding
+        # a large scan turns O(n²) in scan length
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | byte
         self.n += 8
 
     def read_bit(self) -> int:
@@ -385,6 +388,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         for block in _blocks_of(plane):
             coef = dct2(block - 128.0)
             zz = np.floor(coef / q + 0.5).astype(np.int64).ravel()[_ZZ]
+            # T.81 baseline caps AC size categories at 10 (|v| <=
+            # 1023); at quality 100 the quant step is 1 everywhere and
+            # an AC coefficient can reach ~1024 (category 11), which
+            # strict third-party decoders reject. DC diffs may use
+            # category 11 legitimately, so clamp AC only.
+            np.clip(zz[1:], -1023, 1023, out=zz[1:])
             blocks.append(zz)
         comp_blocks.append(blocks)
 
@@ -521,6 +530,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif tag == 0xDD:
             raise ValueError("restart intervals out of scope")
         elif tag == 0xDA:
+            if scan_comps is not None:
+                # a second SOS is valid T.81 (non-interleaved baseline)
+                # but out of scope here — overwriting the first scan
+                # would silently decode garbage from np.empty planes
+                raise ValueError(
+                    "multi-scan baseline out of scope — route to PIL "
+                    "at the decode seam")
             ns = body[0]
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                            body[2 + 2 * i] & 0xF) for i in range(ns)]
@@ -539,6 +555,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
+    # a stream may reference tables it never defined — fail with the
+    # problem named instead of a KeyError mid-scan
+    for _cid, _dt, _at in scan_comps:
+        if (0, _dt) not in huff or (1, _at) not in huff:
+            raise ValueError(
+                f"scan references undefined huffman table "
+                f"(dc {_dt}, ac {_at})")
+    for _cid, _tq in comps:
+        if _tq not in qtabs:
+            raise ValueError(
+                f"component references undefined quant table {_tq}")
     bw, bh = -(-w // 8), -(-h // 8)
     reader = _BitReader(scan_data)
     planes = [np.empty((bh * 8, bw * 8)) for _ in comps]

@@ -274,9 +274,15 @@ class SnapshotSink:
         view, and rewrites the manifest atomically (tmp file +
         ``os.replace``). The CURRENT view is never touched:
         ``keep_last`` is clamped so the suffix always includes the
-        visible view's snapshots (a replace boundary or the whole
-        log). Expired run_ids subsequently raise on ``as_of`` —
-        exactly Iceberg's contract. Single-writer, like the sink.
+        visible view's snapshots, and the cut is then ALIGNED to a
+        replace boundary (or the log start): a kept append snapshot's
+        time-travel view reaches back to the previous replace, so
+        expiring that ancestor chain while keeping the append would
+        make ``read_committed(as_of=...)`` silently return a partial
+        view — instead every kept snapshot stays self-contained
+        (Iceberg's ``retain_last`` keeps whole reachable views for the
+        same reason). Expired run_ids subsequently raise on ``as_of``
+        — exactly Iceberg's contract. Single-writer, like the sink.
 
         Returns {kept, expired, deleted_dirs}.
         """
@@ -287,7 +293,15 @@ class SnapshotSink:
         keep = max(keep_last, visible)
         if keep >= len(snaps):
             return {"kept": len(snaps), "expired": 0, "deleted_dirs": 0}
-        kept, expired = snaps[-keep:], snaps[:-keep]
+        cut = len(snaps) - keep
+        # align to a self-contained view: move the cut back to the
+        # last replace at-or-before it, so no kept snapshot references
+        # an expired ancestor
+        while cut > 0 and snaps[cut].get("op", "append") != "replace":
+            cut -= 1
+        if cut <= 0:
+            return {"kept": len(snaps), "expired": 0, "deleted_dirs": 0}
+        kept, expired = snaps[cut:], snaps[:cut]
         live = {s["dir"] for s in kept}
         deleted = 0
         for s in expired:

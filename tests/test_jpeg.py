@@ -225,6 +225,45 @@ def test_decoder_rejects_out_of_scope():
         decode_jpeg(bytes(enc))
 
 
+def test_decoder_rejects_multi_scan_and_undefined_tables():
+    # a second SOS (valid T.81 non-interleaved baseline) must raise,
+    # not silently decode only the last scan into np.empty planes
+    enc = encode_jpeg(_rng_img(16, 16), 85)
+    sos = enc.index(b"\xff\xda")
+    two_scans = enc[:-2] + enc[sos:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(two_scans)
+    # scan referencing a huffman table id that was never defined must
+    # name the problem instead of KeyError-ing mid-scan
+    enc2 = bytearray(enc)
+    # SOS body: len(2) ns(1) then (cid, dc<<4|ac) pairs
+    enc2[sos + 6] = 0x33
+    with pytest.raises(ValueError, match="huffman table"):
+        decode_jpeg(bytes(enc2))
+
+
+def test_quality_100_roundtrips_and_caps_ac_categories():
+    # at quality 100 the quant step is 1 everywhere; AC coefficients
+    # are clamped to category <= 10 so strict third-party decoders
+    # accept the stream — and the self round-trip stays near-lossless
+    img = _rng_img(24, 24, seed=3)
+    enc = encode_jpeg(img, 100)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(np.float64) - img.astype(np.float64))
+    assert err.mean() < 4.0
+
+
+def test_bitreader_accumulator_stays_bounded():
+    # the accumulator must be masked to live bits — on a long scan an
+    # unmasked accumulator grows into a bignum (O(n^2) decode)
+    data = bytes([0xAB] * 4096)
+    r = _BitReader(data)
+    for _ in range(4096 * 8):
+        r.read_bit()
+    assert r.acc.bit_length() <= 16
+
+
 def test_decode_reads_tables_only_from_the_stream():
     # Re-encode the decoded image with a different quality: tables in
     # the second stream differ, yet both decode — proof the decoder

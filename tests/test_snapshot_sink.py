@@ -276,3 +276,30 @@ def test_expire_never_truncates_into_visible_replace_view(spark, tmp_path):
     assert _by_url(sink.read_committed(spark)) == view
     # pre-compaction snapshots are gone from disk and time travel
     assert len(sink.committed_snapshots()) == 2
+
+
+def test_expire_aligns_cut_to_replace_boundary(spark, tmp_path):
+    # keep_last exceeding the visible suffix must not strand a kept
+    # append whose time-travel chain reaches an expired ancestor:
+    # the cut aligns back to the replace boundary, keeping whole
+    # self-contained views (Iceberg retain_last semantics)
+    sink = SnapshotSink(str(tmp_path / "z"))
+    sink.write_snapshot(_status_df(spark, [("u0", "s")]), "a0")
+    sink.write_snapshot(_status_df(spark, [("u1", "s")]), "a1")
+    sink.compact(spark, "cp")  # replace: view = {u0, u1}
+    sink.write_snapshot(_status_df(spark, [("u2", "s")]), "a2")
+    sink.write_snapshot(_status_df(spark, [("u3", "s")]), "a3")
+    before_a2 = _by_url(sink.read_committed(spark, as_of="a2"))
+    assert len(before_a2) == 3  # cp's 2 rows + a2
+
+    # visible = [a3] suffix? no: view = [cp, a2, a3]; keep_last=2
+    # would naively keep [a2, a3] — but a2's view needs cp
+    stats = sink.expire_snapshots(keep_last=2)
+    assert stats["kept"] == 3  # aligned back to cp
+    # every kept snapshot's time travel is still the FULL view
+    assert _by_url(sink.read_committed(spark, as_of="a2")) == before_a2
+    # and the pre-replace appends are really gone
+    assert stats["expired"] == 2
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        sink.read_committed(spark, as_of="a0")
