@@ -34,9 +34,12 @@ from pyspark.sql import functions as F
 
 from ..operators.metrics import portable_bucket
 from ..operators.textops import (
+    incremental_near_dup_clusters,
+    minhash_signatures,
     quality_filter,
     remove_duplicate_spans,
     temperature_mixture,
+    verified_near_dup_clusters,
 )
 from .pipeline import SnapshotSink
 
@@ -154,3 +157,75 @@ def run_curation_job(
                 "n_curated": n_curated, "corpus_fingerprint": fp}
     finally:
         curated.unpersist()
+
+
+def run_incremental_dedup_job(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_root: str,
+) -> dict:
+    """Append-mode dedup across crawl snapshots: maintain a committed
+    signature table and cluster assignment, folding each call's NEW
+    documents in at delta cost (``incremental_near_dup_clusters``) —
+    never re-clustering the committed corpus.
+
+    Unlike the curation statistics above, near-dup clustering is NOT
+    corpus-relative — signatures are per-document and components only
+    merge — so per-document resume is sound here and the incremental
+    answer provably equals the batch answer.
+
+    State (two SnapshotSink tables under ``output_root``):
+
+    * ``dedup_signatures`` — (doc_id, band, minhash); each run APPENDS
+      only the delta's signatures (delta-sized write);
+    * ``dedup_clusters`` — (doc_id, cluster_root); each run MERGEs the
+      recomputed touched-subgraph assignments on doc_id (Iceberg
+      ``MERGE INTO``; delta-sized source).
+
+    Returns {run_id, mode, n_docs, n_new}: mode "batch" on first run,
+    "noop" when every doc_id is already committed, else "incremental".
+    """
+    run_id = uuid.uuid4().hex[:12]
+    sig_sink = SnapshotSink(
+        os.path.join(output_root, "dedup_signatures"))
+    cl_sink = SnapshotSink(os.path.join(output_root, "dedup_clusters"))
+
+    committed_sigs = sig_sink.read_committed(spark)
+    n_docs = documents.count()
+    if committed_sigs is None:
+        sigs = minhash_signatures(documents)
+        clusters = verified_near_dup_clusters(documents)
+        sig_sink.write_snapshot(sigs, run_id, {"n_docs": n_docs})
+        cl_sink.write_snapshot(clusters, run_id, {"n_docs": n_docs})
+        return {"run_id": run_id, "mode": "batch",
+                "n_docs": n_docs, "n_new": n_docs}
+
+    committed_clusters = cl_sink.read_committed(spark)
+    committed_ids = committed_clusters.select("doc_id")
+    delta = documents.join(
+        committed_ids,
+        documents["doc_id"].cast("bigint") == committed_ids["doc_id"],
+        "left_anti")
+    n_new = delta.count()
+    if n_new == 0:
+        return {"run_id": run_id, "mode": "noop",
+                "n_docs": n_docs, "n_new": 0}
+
+    assignment = incremental_near_dup_clusters(
+        documents, committed_sigs, committed_clusters, delta)
+    # merge source: only rows the incremental pass recomputed (the
+    # touched subgraph + the delta) — committed untouched rows match
+    # their existing assignment, so restricting the MERGE to changed
+    # + new keys keeps the source delta-sized
+    changed = assignment.join(
+        committed_clusters.withColumnRenamed("cluster_root", "old_root"),
+        "doc_id", "left").where(
+            F.col("old_root").isNull()
+            | (F.col("old_root") != F.col("cluster_root"))
+        ).select("doc_id", "cluster_root")
+    sig_sink.write_snapshot(
+        minhash_signatures(delta), run_id, {"n_new": n_new})
+    cl_sink.merge_upsert(spark, changed, run_id, ["doc_id"],
+                         {"n_new": n_new})
+    return {"run_id": run_id, "mode": "incremental",
+            "n_docs": n_docs, "n_new": n_new}

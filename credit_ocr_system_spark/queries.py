@@ -1488,6 +1488,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "verified_dedup_clusters": lambda s, d: T.verified_near_dup_clusters(
             R.load(s, d, "documents")),
+        "incremental_dedup": lambda s, d: T.incremental_dedup(
+            R.load(s, d, "documents")),
         "sessionize_events": R.sessionize_events,
         "simhash": lambda s, d: T.simhash(R.load(s, d, "documents")),
         "simhash_candidates": lambda s, d: T.simhash_candidates(
@@ -1592,6 +1594,13 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
  CAST(COALESCE(r.cluster_root, d.doc_id) AS BIGINT) AS cluster_root
 FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 """
+
+# append-mode dedup folds a delta into a committed clustering; its
+# defining property is that the result EQUALS the batch clustering
+# over the full corpus (docs never leave, components only merge), so
+# the batch SQL above IS its oracle — the Spark side earns the row by
+# computing it the delta-restricted way
+ORACLES["incremental_dedup"] = ORACLES["verified_dedup_clusters"]
 
 # keep-best composes the verified-clusters and quality oracles
 # STRUCTURALLY (both CTEs are the exact oracle strings of their own
