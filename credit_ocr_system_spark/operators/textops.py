@@ -1369,6 +1369,68 @@ def corpus_percentiles(documents: DataFrame,
     )
 
 
+PERCENTILE_ACCURACY = 1000
+
+
+def approx_corpus_percentiles(documents: DataFrame,
+                              ps: tuple = PERCENTILE_PS,
+                              accuracy: int = PERCENTILE_ACCURACY
+                              ) -> DataFrame:
+    """The 10^12-row percentile path: ``percentile_approx`` (Spark's
+    Greenwald-Khanna sketch — mergeable, map-side combinable, one
+    aggregation pass, NO per-group global sort), plus an in-plan
+    audit of the sketch's rank-error guarantee.
+
+    The sketch guarantees the returned element's rank is within
+    ``n/accuracy`` of the target rank ``p·n``. That bound is checked
+    IN the plan: a second conditional-aggregation pass counts rows
+    strictly below / at-or-below the approximate value (the value's
+    exact rank interval), and ``within_bound`` states the interval
+    intersects ``[p·n − n/accuracy − 1, p·n + n/accuracy + 1]``
+    (±1 absorbs the rank-definition rounding). This is what makes the
+    operator driver-oracle-checkable — the oracle can't reproduce
+    Spark's sketch, but it CAN assert the bound must hold (a
+    literal TRUE per row: any violation hash-mismatches). The exact
+    :func:`corpus_percentiles` stays the auditor for samples/strata.
+
+    Output: (lang, p, n_docs, approx_value, within_bound). The
+    registered driver query drops ``approx_value`` (sketch-internal,
+    engine-specific); the error-bound test inspects it against the
+    exact auditor.
+    """
+    docs = documents.select(
+        "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    agg = docs.groupBy("lang").agg(
+        F.percentile_approx(
+            "n_chars", F.array(*[F.lit(float(p)) for p in ps]),
+            F.lit(accuracy)).alias("vals"),
+        F.count("*").alias("n_docs"))
+    ps_arr = F.array(*[F.lit(float(p)) for p in ps])
+    th = agg.select(
+        "lang", "n_docs",
+        F.posexplode("vals").alias("pos", "approx_value"),
+    ).withColumn("p", F.element_at(ps_arr, F.col("pos") + 1)
+                 ).drop("pos")
+    counts = (
+        docs.join(F.broadcast(th), "lang")
+        .groupBy("lang", "p", "n_docs", "approx_value")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("approx_value"))
+                  .cast("bigint")).alias("cnt_lt"),
+            F.sum((F.col("n_chars") <= F.col("approx_value"))
+                  .cast("bigint")).alias("cnt_le"))
+    )
+    eps = 1.0 / accuracy
+    return counts.select(
+        "lang", "p", "n_docs", "approx_value",
+        (
+            (F.col("cnt_le") + 1
+             >= (F.col("p") - eps) * F.col("n_docs"))
+            & (F.col("cnt_lt")
+               <= (F.col("p") + eps) * F.col("n_docs") + 1)
+        ).alias("within_bound"))
+
+
 # --- corpus-trained unigram LM quality score -----------------------------
 
 # Per-token −log p quantized to 9 decimals before the fold: ln() is the

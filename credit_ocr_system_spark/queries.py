@@ -951,6 +951,19 @@ FROM locs2 l
 JOIN ranked lo ON lo.lang = l.lang AND lo.rk = l.lo_rk
 JOIN ranked hi ON hi.lang = l.lang AND hi.rk = l.hi_rk
 """,
+    # the sketch value itself is engine-specific, so the CONTRACT is
+    # oracled instead: the rank-error bound must hold for every
+    # (lang, p) — the Spark side computes within_bound from the
+    # sketch's exact rank interval, the oracle asserts it TRUE (any
+    # violation hash-mismatches); textops.approx_corpus_percentiles
+    "approx_percentiles": f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+           GROUP BY lang),
+ ps(p) AS (VALUES {", ".join(f"(CAST({p} AS DOUBLE))"
+                             for p in T.PERCENTILE_PS)})
+SELECT lang, p, n_docs, TRUE AS within_bound
+FROM c CROSS JOIN ps
+""",
     # mirrors textops.unigram_lm_score: per-token −ln p quantized to
     # UNIGRAM_TERM_DIGITS before the ORDERED fold over token order
     "unigram_lm_score": f"""
@@ -1520,6 +1533,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "corpus_percentiles": lambda s, d: T.corpus_percentiles(
             R.load(s, d, "documents")),
+        "approx_percentiles": lambda s, d: T.approx_corpus_percentiles(
+            R.load(s, d, "documents")).drop("approx_value"),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
