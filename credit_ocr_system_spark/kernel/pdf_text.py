@@ -18,11 +18,18 @@ Supported (the text-bearing core of ISO 32000):
   with ``/MediaBox`` inheritance through ``/Parent``;
 * text operators ``BT/ET  Tf  Tm  Td  TD  TL  T*  Tj  TJ  '  "``,
   literal strings (nesting, escapes, octal, line continuation) and
-  hex strings, WinAnsi (cp1252) simple-font decoding.
+  hex strings, WinAnsi (cp1252) simple-font decoding;
+* composite (Type0) fonts with ``/Encoding /Identity-H``: per-page
+  ``/Resources → /Font`` resolution (inline dict or reference,
+  inherited through ``/Parent``), 2-byte CID codes decoded through
+  the font's ``/ToUnicode`` CMap (``bfchar``, ``bfrange`` in both the
+  increment and array forms) — the dominant post-2010 real-world PDF
+  text encoding.
 
 Not supported (returns whatever text the supported subset yields,
-never raises): CID/composite fonts, encrypted files, object streams
-(``/Type /ObjStm``), form XObjects, and non-Flate filters.
+never raises): CID encodings other than Identity-H (predefined CJK
+CMaps), encrypted files, object streams (``/Type /ObjStm``), form
+XObjects, and non-Flate filters.
 
 Geometry model: glyph metrics aren't parsed (no embedded font
 program), so advances use the classic average-width approximation
@@ -174,6 +181,134 @@ def _media_height(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
     return DEFAULT_MEDIABOX[3] - DEFAULT_MEDIABOX[1]
 
 
+# --- font resources (simple vs Identity-H composite) ----------------------
+
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The ``<< ... >>`` slice starting at ``start`` (nesting-aware)."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+def _dict_value(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                head: bytes, key: bytes) -> Optional[bytes]:
+    """Bytes of the dictionary under ``key`` — inline ``<< >>`` or a
+    dereferenced indirect object."""
+    m = re.search(key + rb"\s*(<<|\d+\s+\d+\s+R)", head)
+    if m is None:
+        return None
+    if m.group(1) == b"<<":
+        return _balanced_dict(head, m.start(1))
+    num = int(m.group(1).split()[0])
+    return objs.get(num, (None, None))[0]
+
+
+def _utf16be(hex_digits: bytes) -> str:
+    hex_digits = re.sub(rb"\s+", b"", hex_digits)
+    if len(hex_digits) % 4:
+        hex_digits = hex_digits[:len(hex_digits) - len(hex_digits) % 4]
+    try:
+        return bytes.fromhex(hex_digits.decode("ascii")).decode(
+            "utf-16-be", errors="replace")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """ToUnicode CMap → {CID code: unicode string}. Handles
+    ``bfchar`` pairs and ``bfrange`` in both destination forms
+    (incrementing base string, explicit array)."""
+    cmap: Dict[int, str] = {}
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for rm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(<[0-9A-Fa-f\s]+>|\[[^\]]*\])", m.group(1), re.S):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            hi = min(hi, lo + 0xFFFF)  # bound malformed ranges
+            tgt = rm.group(3)
+            if tgt.startswith(b"["):
+                # hex strings may carry internal whitespace (T.32000
+                # §7.3.4.3) — keep it here, _utf16be strips it
+                dsts = re.findall(rb"<([0-9A-Fa-f\s]+)>", tgt)
+                for k, d in enumerate(dsts[:hi - lo + 1]):
+                    cmap[lo + k] = _utf16be(d)
+            else:
+                digits = re.sub(rb"\s+", b"", tgt[1:-1])
+                if len(digits) % 4:
+                    continue
+                raw = bytes.fromhex(digits.decode("ascii"))
+                prefix, last = raw[:-2], int.from_bytes(raw[-2:], "big")
+                for k in range(hi - lo + 1):
+                    unit = (last + k) & 0xFFFF
+                    cmap[lo + k] = (prefix + unit.to_bytes(2, "big")
+                                    ).decode("utf-16-be",
+                                             errors="replace")
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pm in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            cmap[int(pm.group(1), 16)] = _utf16be(pm.group(2))
+    return cmap
+
+
+def _page_fonts(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                page_obj: int) -> Dict[str, Optional[Dict[int, str]]]:
+    """Font-name → decoder map for one page: ``None`` marks a simple
+    (1-byte, cp1252) font; a dict is an Identity-H composite font's
+    ToUnicode CID map. Resources inherit through ``/Parent`` like
+    MediaBox."""
+    res: Optional[bytes] = None
+    num: Optional[int] = page_obj
+    for _ in range(32):
+        if num is None or num not in objs:
+            break
+        head = objs[num][0]
+        res = _dict_value(objs, head, rb"/Resources")
+        if res is not None:
+            break
+        parents = _refs(rb"/Parent", head)
+        num = parents[0] if parents else None
+    if res is None:
+        return {}
+    fdict = _dict_value(objs, res, rb"/Font")
+    if fdict is None:
+        return {}
+    fonts: Dict[str, Optional[Dict[int, str]]] = {}
+    for m in _FONT_ENTRY_RE.finditer(fdict):
+        name = m.group(1).decode("latin-1")
+        fhead = objs.get(int(m.group(2)), (None, None))[0]
+        if fhead is None:
+            continue
+        if (re.search(rb"/Subtype\s*/Type0\b", fhead)
+                and re.search(rb"/Encoding\s*/Identity-H\b", fhead)):
+            cid_map: Dict[int, str] = {}
+            tu = _refs(rb"/ToUnicode", fhead)
+            if tu and tu[0] in objs:
+                thead, tstream = objs[tu[0]]
+                if tstream is not None:
+                    cid_map = _parse_tounicode(
+                        _decode_stream(thead, tstream))
+            fonts[name] = cid_map
+        else:
+            fonts[name] = None
+    return fonts
+
+
 # --- content-stream lexer -------------------------------------------------
 
 _DELIMS = b"()<>[]{}/%"
@@ -288,9 +423,14 @@ def _lex(data: bytes):
 # --- text-state interpreter ----------------------------------------------
 
 def _extract_page_elements(content: bytes, page_num: int,
-                           page_h: float) -> List[Dict[str, Any]]:
+                           page_h: float,
+                           fonts: Optional[Dict[str, Optional[
+                               Dict[int, str]]]] = None
+                           ) -> List[Dict[str, Any]]:
+    fonts = fonts or {}
     elements: List[Dict[str, Any]] = []
     base_fs = DEFAULT_FONT_SIZE  # set by Tf
+    cid_map: Optional[Dict[int, str]] = None  # current font's decoder
     tm_scale = 1.0               # vertical scale of the text matrix
     lx = ly = 0.0      # line-matrix origin (PDF user space)
     cx = cy = 0.0      # cursor
@@ -302,10 +442,24 @@ def _extract_page_elements(content: bytes, page_num: int,
         vals = [v for v in stack if isinstance(v, float)][-k:]
         return ([0.0] * (k - len(vals))) + vals
 
-    def show(s: bytes, width: float) -> None:
+    def decode(s: bytes) -> Tuple[str, int]:
+        """(text, glyph count): 2-byte Identity-H CIDs through the
+        font's ToUnicode map, else WinAnsi bytes. The width model is
+        per GLYPH, so composite and simple fonts land on the same
+        CHAR_W grid."""
+        if cid_map is None:
+            return s.decode("cp1252", errors="replace"), len(s)
+        n = len(s) - (len(s) % 2)
+        codes = [int.from_bytes(s[i:i + 2], "big")
+                 for i in range(0, n, 2)]
+        return ("".join(cid_map.get(c, "�") for c in codes),
+                len(codes))
+
+    def show(s: bytes, kern: float = 0.0) -> None:
         nonlocal cx
         fs = base_fs * tm_scale
-        text = s.decode("cp1252", errors="replace")
+        text, n_units = decode(s)
+        width = CHAR_W_FRAC * fs * n_units - kern
         if text.strip():
             # Coordinates round to 2 decimals: sub-centipoint float fuzz
             # (accumulated Td deltas, formatted-number round trips) is
@@ -352,6 +506,10 @@ def _extract_page_elements(content: bytes, page_num: int,
             stack.clear()
         elif op == "Tf":
             (base_fs,) = nums(1)
+            fname = next(
+                (v[1] for v in reversed(stack)
+                 if isinstance(v, tuple) and v[0] == "name"), None)
+            cid_map = fonts.get(fname) if fname is not None else None
             stack.clear()
         elif op == "Tm":
             a, b, c, d, e, f = nums(6)
@@ -383,18 +541,15 @@ def _extract_page_elements(content: bytes, page_num: int,
                 newline()
             s = next((v for v in reversed(stack)
                       if isinstance(v, bytes)), b"")
-            show(s, CHAR_W_FRAC * base_fs * tm_scale * len(s))
+            show(s)
             stack.clear()
         elif op == "TJ":
             items = next((v for v in reversed(stack)
                           if isinstance(v, list)), [])
             parts = [v for v in items if isinstance(v, bytes)]
             kerns = [v for v in items if isinstance(v, float)]
-            s = b"".join(parts)
-            fs_eff = base_fs * tm_scale
-            width = (CHAR_W_FRAC * fs_eff * len(s)
-                     - sum(kerns) / 1000.0 * fs_eff)
-            show(s, width)
+            show(b"".join(parts),
+                 kern=sum(kerns) / 1000.0 * base_fs * tm_scale)
             stack.clear()
         else:
             stack.clear()  # any other operator consumes its operands
@@ -412,13 +567,14 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)
+            fonts = _page_fonts(objs, page_obj)
             content = b""
             for ref in _refs(rb"/Contents", objs[page_obj][0]):
                 head, stream = objs.get(ref, (b"", None))
                 if stream is not None:
                     content += _decode_stream(head, stream) + b"\n"
             elements.extend(
-                _extract_page_elements(content, idx, page_h))
+                _extract_page_elements(content, idx, page_h, fonts))
         return elements
     except Exception:
         return []

@@ -16,7 +16,8 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
   on magic bytes, cf. the reference mime whitelist
   ``src/dms/service.py:79-80``): half genuine ``%PDF-1.4`` files with
   digital-text content streams (``.pdf_write`` — mixed
-  Flate/uncompressed, Tm/Td/TJ operator styles, exercising
+  Flate/uncompressed, Tm/Td/TJ operator styles, simple WinAnsi AND
+  composite Identity-H/ToUnicode CID fonts, exercising
   ``kernel/pdf_text.py``), half ``%PDF-GRAFT`` token layouts (the
   OCR-shaped path with per-token confidences);
 * credit-request forms embed a per-page subset of the 21 configured
@@ -232,6 +233,10 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         pages,
         compress=rng.random() < 0.5,
         style=rng.choice(("tm", "td", "tj")),
+        # post-2010 real-world PDFs are mostly CID-encoded; the
+        # corpus carries both so x_extract_pages exercises the
+        # Identity-H/ToUnicode path alongside WinAnsi simple fonts
+        font=rng.choice(("simple", "cid")),
     )
 
 

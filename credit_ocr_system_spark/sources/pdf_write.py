@@ -54,13 +54,62 @@ def _escape_literal(text: str) -> bytes:
     return bytes(out)
 
 
-def _content_stream(tokens: Sequence[Token], style: str) -> bytes:
+def _show_fragment(text: str, cid: bool) -> bytes:
+    """One show-string operand: literal for the simple font, a hex
+    string of 2-byte Identity-H CIDs (CID = BMP codepoint) for the
+    composite font."""
+    if not cid:
+        return b"(" + _escape_literal(text) + b")"
+    hexs = "".join(f"{min(ord(ch), 0xFFFD):04X}" for ch in text)
+    return b"<" + hexs.encode("ascii") + b">"
+
+
+def _tounicode_cmap(chars: set) -> bytes:
+    """Deterministic ToUnicode CMap for the identity CID assignment:
+    printable ASCII as one incrementing ``bfrange``, every other used
+    character as a ``bfchar`` entry — so the parser's range AND char
+    paths are both exercised by generated corpora."""
+    extra = sorted(c for c in chars
+                   if not 0x20 <= ord(c) <= 0x7E and ord(c) <= 0xFFFD)
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+        b" /Supplement 0 >> def",
+        b"/CMapName /GraftToUni def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+        b"1 beginbfrange",
+        b"<0020> <007E> <0020>",
+        b"endbfrange",
+    ]
+    for at in range(0, len(extra), 100):  # <=100 entries per block
+        block = extra[at:at + 100]
+        lines.append(b"%d beginbfchar" % len(block))
+        lines += [b"<%04X> <%04X>" % (ord(c), ord(c)) for c in block]
+        lines.append(b"endbfchar")
+    lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(lines)
+
+
+def _content_stream(tokens: Sequence[Token], style: str,
+                    cid: bool = False) -> bytes:
     """Text operators for one page.
 
     * ``tm``: absolute ``Tm`` placement per token, one ``Tj`` each;
     * ``td``: relative ``Td`` moves from the previous token;
     * ``tj``: absolute placement, strings split in half into a ``TJ``
       array with a 0-kern between the halves (exercises reassembly).
+
+    With ``cid``, show strings are hex-coded 2-byte Identity-H CIDs.
     """
     out: List[bytes] = [b"BT"]
     cur_fs = None
@@ -77,37 +126,66 @@ def _content_stream(tokens: Sequence[Token], style: str) -> bytes:
         else:
             out.append(b"1 0 0 1 " + _num(x) + b" " + _num(baseline)
                        + b" Tm")
-        esc = _escape_literal(text)
         if style == "tj" and len(text) >= 2:
             half = len(text) // 2
-            out.append(b"[(" + _escape_literal(text[:half]) + b") 0 ("
-                       + _escape_literal(text[half:]) + b")] TJ")
+            out.append(b"[" + _show_fragment(text[:half], cid) + b" 0 "
+                       + _show_fragment(text[half:], cid) + b"] TJ")
         else:
-            out.append(b"(" + esc + b") Tj")
+            out.append(_show_fragment(text, cid) + b" Tj")
     out.append(b"ET")
     return b"\n".join(out)
 
 
 def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
-              style: str = "tm") -> bytes:
-    """Assemble a complete one-font PDF from per-page token lists."""
+              style: str = "tm", font: str = "simple") -> bytes:
+    """Assemble a complete one-font PDF from per-page token lists.
+
+    ``font="cid"`` emits a composite (Type0 / Identity-H /
+    CIDFontType2) font with a ToUnicode CMap and hex-coded 2-byte
+    show strings — the post-2010 real-world PDF text shape — instead
+    of the WinAnsi simple font.
+    """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
-    # object numbering: 1 catalog, 2 pages, 3 font,
-    # then per page i (0-based): 4+2i page, 5+2i content
+    cid = font == "cid"
+    # object numbering: 1 catalog, 2 pages, 3 font, (cid: 4 descendant
+    # font, 5 ToUnicode stream,) then per page i (0-based): page obj +
+    # content obj pairs
     objs: List[bytes] = []
+    first_page_obj = 6 if cid else 4
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
+    kids = b" ".join(b"%d 0 R" % (first_page_obj + 2 * i)
+                     for i in range(n_pages))
     objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d"
                 b" /MediaBox [0 0 %s %s] >>"
                 % (n_pages, _num(PAGE_W), _num(PAGE_H)))
-    objs.append(b"<< /Type /Font /Subtype /Type1"
-                b" /BaseFont /Helvetica >>")
+    if cid:
+        objs.append(b"<< /Type /Font /Subtype /Type0"
+                    b" /BaseFont /GraftSans /Encoding /Identity-H"
+                    b" /DescendantFonts [4 0 R] /ToUnicode 5 0 R >>")
+        objs.append(b"<< /Type /Font /Subtype /CIDFontType2"
+                    b" /BaseFont /GraftSans /CIDSystemInfo"
+                    b" << /Registry (Adobe) /Ordering (Identity)"
+                    b" /Supplement 0 >> /DW 500 >>")
+        cmap = _tounicode_cmap(
+            {ch for toks in page_tokens for _, _, t, _ in toks
+             for ch in t})
+        if compress:
+            cmap = zlib.compress(cmap, 6)
+            objs.append(b"<< /Length %d /Filter /FlateDecode >>"
+                        b"\nstream\n" % len(cmap)
+                        + cmap + b"\nendstream")
+        else:
+            objs.append(b"<< /Length %d >>\nstream\n" % len(cmap)
+                        + cmap + b"\nendstream")
+    else:
+        objs.append(b"<< /Type /Font /Subtype /Type1"
+                    b" /BaseFont /Helvetica >>")
     for i, tokens in enumerate(page_tokens):
         objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R"
                     b" /Resources << /Font << /F1 3 0 R >> >> >>"
-                    % (5 + 2 * i))
-        data = _content_stream(tokens, style)
+                    % (first_page_obj + 1 + 2 * i))
+        data = _content_stream(tokens, style, cid)
         if compress:
             data = zlib.compress(data, 6)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)

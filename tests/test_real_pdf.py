@@ -52,6 +52,10 @@ FIXTURE_TOKENS = [
 ]
 
 
+FIXTURE_CID_PDF = os.path.join(FIXTURE_DIR, "cid_text.pdf")
+FIXTURE_CID_GOLDEN = os.path.join(FIXTURE_DIR, "cid_text_elements.json")
+
+
 def make_fixture() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     pdf = build_pdf(FIXTURE_TOKENS, compress=True, style="tm")
@@ -59,6 +63,12 @@ def make_fixture() -> None:
         fh.write(pdf)
     with open(FIXTURE_GOLDEN, "w", encoding="utf-8") as fh:
         json.dump(parse_real_pdf(pdf), fh, indent=2, ensure_ascii=False)
+    cid = build_pdf(FIXTURE_TOKENS, compress=True, style="tm",
+                    font="cid")
+    with open(FIXTURE_CID_PDF, "wb") as fh:
+        fh.write(cid)
+    with open(FIXTURE_CID_GOLDEN, "w", encoding="utf-8") as fh:
+        json.dump(parse_real_pdf(cid), fh, indent=2, ensure_ascii=False)
 
 
 def _fixture_bytes() -> bytes:
@@ -105,6 +115,82 @@ def test_all_writer_styles_round_trip():
                 (p + 1, t, x, y)
                 for p, toks in enumerate(FIXTURE_TOKENS)
                 for x, y, t, _ in toks]
+
+
+# --- composite (Identity-H + ToUnicode) fonts ------------------------------
+
+
+def _cid_fixture_bytes() -> bytes:
+    with open(FIXTURE_CID_PDF, "rb") as fh:
+        return fh.read()
+
+
+def test_cid_writer_is_byte_stable_vs_fixture():
+    assert build_pdf(FIXTURE_TOKENS, compress=True, style="tm",
+                     font="cid") == _cid_fixture_bytes()
+
+
+def test_cid_parser_matches_checked_in_golden():
+    with open(FIXTURE_CID_GOLDEN, encoding="utf-8") as fh:
+        want = json.load(fh)
+    got = parse_real_pdf(_cid_fixture_bytes())
+    assert got == want
+    texts = [e["text"] for e in got]
+    assert r"Grünbau & (Söhne) GmbH \ Co." in texts
+    assert "1.250.000 €" in texts and "m²" in texts
+
+
+def test_cid_elements_equal_simple_font_elements():
+    """The Identity-H path must land on the identical element records
+    as the WinAnsi path — same text, same CHAR_W geometry — so the
+    downstream kernel can't tell the encodings apart."""
+    assert parse_real_pdf(_cid_fixture_bytes()) == parse_real_pdf(
+        _fixture_bytes())
+
+
+def test_cid_fixture_through_full_kernel():
+    res = extract_document("u", _cid_fixture_bytes())
+    assert res["doc_kind"] == "pdf"
+    assert res["page_count"] == 2
+    assert "Loan / Amount" in {p["label"] for p in res["pairs"]}
+    assert res["extracted_text"].startswith(
+        "Grünbau & (Söhne) GmbH Application 1")
+
+
+def test_cid_all_styles_round_trip():
+    for style in ("tm", "td", "tj"):
+        for compress in (False, True):
+            pdf = build_pdf(FIXTURE_TOKENS, compress=compress,
+                            style=style, font="cid")
+            got = parse_real_pdf(pdf)
+            assert [(e["page_num"], e["text"],
+                     e["bbox"]["x1"], e["bbox"]["y1"]) for e in got] == [
+                (p + 1, t, x, y)
+                for p, toks in enumerate(FIXTURE_TOKENS)
+                for x, y, t, _ in toks]
+
+
+def test_tounicode_cmap_forms_and_unmapped_cids():
+    from credit_ocr_system_spark.kernel.pdf_text import (
+        _parse_tounicode,
+    )
+
+    cmap = _parse_tounicode(
+        b"2 beginbfchar\n<0041> <0058>\n<00FC> <00FC>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"            # increment form: a b c
+        b"<0020> <0022> [<0041> <0042 0043> <20AC>]\n"  # array form
+        b"endbfrange\n")
+    assert cmap[0x41] == "X" and cmap[0xFC] == "ü"
+    assert (cmap[0x10], cmap[0x11], cmap[0x12]) == ("a", "b", "c")
+    assert cmap[0x20] == "A" and cmap[0x21] == "BC"
+    assert cmap[0x22] == "€"
+    # a CID the CMap doesn't cover decodes to U+FFFD, never raises
+    pdf = build_pdf([[(40.0, 20.0, "AB", 12.0)]], style="tm",
+                    font="cid")
+    broken = pdf.replace(b"<00410042>", b"<F0F10042>")
+    els = parse_real_pdf(broken)
+    assert els[0]["text"] == "�B"
 
 
 def _wrap_stream(content: bytes, n_pages: int = 1,
