@@ -1583,7 +1583,50 @@ def build_queries() -> Dict[str, QueryFn]:
         # annotation overlay sink
         "x_annotations": x_annotations,
     }
-    return q
+    ordered = {name: q[name] for name in _DRIVER_PRIORITY}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    assert len(ordered) == len(q)
+    return ordered
+
+
+# Driver-coverage rotation (VERDICT r3 next-round item #2): the
+# per-round driver verifies the FIRST ~50 registry entries, so the
+# front of the registry carries (a) queries that have never had a
+# driver CORRECTNESS row (kmeans_codebook, x_media_real), (b) queries
+# new or changed this round (incremental_dedup, approx_percentiles,
+# the hyperplane-LSH family, sampled kmeans, the x_* extraction tail
+# whose corpus now carries CID-font PDFs), then (c) r2-verified rows
+# due a refresh. The tail queries pushed past the cap are all
+# unchanged since their green r3 rows (the stable relational family);
+# every registered query still runs in the pytest mini-driver
+# (tests/test_oracle_parity.py) each session regardless of position.
+_DRIVER_PRIORITY = [
+    # never driver-checked
+    "kmeans_codebook", "x_media_real",
+    # new in r4
+    "incremental_dedup", "approx_percentiles",
+    # changed in r4 (hyperplane LSH / sampled training / CID corpus)
+    "bucketed_near_dup", "media_near_dup", "bucketed_topk",
+    "cosine_near_dup", "cosine_topk", "ivf_assign", "ivf_topk",
+    "x_extract_pages", "x_extract_fields", "x_extract_lineage",
+    "x_processing_summary",
+    # r2-verified, due a driver refresh
+    "x_media_features", "x_media_frames", "x_media_resize",
+    "x_llm_prompts", "x_llm_extract", "x_confidence_stats",
+    "x_annotations",
+    # r3-verified compound/dedup/curation operators (keep fresh)
+    "minhash_signatures", "minhash_candidates",
+    "minhash_candidates_b4r2", "exact_dedup", "jaccard_pairs",
+    "shingle_jaccard_pairs", "dedup_clusters",
+    "verified_near_dup_pairs", "verified_dedup_clusters",
+    "dedup_keep_best", "duplicate_spans", "remove_duplicate_spans",
+    "decontaminate", "deterministic_sample", "quality_filter",
+    "unigram_lm_score", "temperature_mixture", "language_id",
+    "quality_score", "repetition_score", "token_counts",
+    "fingerprints", "tfidf_top_terms", "inverted_index",
+    "candidate_pagerank", "corpus_percentiles", "simhash",
+    "simhash_candidates",
+]
 
 
 # the salted two-phase decomposition must equal the plain aggregation
