@@ -19,6 +19,7 @@ from credit_ocr_system_spark.operators.fields_native import (
 )
 from credit_ocr_system_spark.operators import relational as R
 from credit_ocr_system_spark.sources.pages import pages_df
+from pyspark.sql import functions as F
 
 
 def plan_of(df) -> str:
@@ -153,6 +154,25 @@ def test_media_near_dup_is_bucket_local(spark):
     )
 
     plan = plan_of(media_near_dup(media_df(spark, 60)))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_incremental_dedup_is_equi_join_only(spark, sf_dir):
+    """Append-mode dedup: the delta probes the committed signature
+    table and pairs by (band, minhash) — equi-joins throughout, never
+    a nested loop or cartesian over the corpus."""
+    from credit_ocr_system_spark.operators.textops import (
+        incremental_candidates,
+        minhash_signatures,
+    )
+
+    docs = R.load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("bigint")
+    plan = plan_of(incremental_candidates(
+        minhash_signatures(docs.where(did % 4 != 0)),
+        minhash_signatures(docs.where(did % 4 == 0))))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
