@@ -18,10 +18,16 @@ genuinely handle:
 
 Baseline **JPEG** (sequential DCT, 4:4:4 / greyscale) decodes and
 encodes via ``kernel/jpeg.py`` (stdlib + numpy; data-derived huffman
-tables, generated zigzag/DCT). Out-of-scope JPEG variants
-(progressive, subsampled 4:2:0) and video (MP4/H.264) still raise —
-on a real cluster those route to PIL/pyav at the same seam
-(``operators/multimodal.py::decode_media``).
+tables, generated zigzag/DCT).
+
+**Video** is MJPEG-in-AVI (round-4): a RIFF/AVI container walker
+(``decode_avi_mjpeg`` — hdrl/strl headers, movi ``00dc`` chunks,
+idx1 index) whose per-frame payloads decode through the baseline
+JPEG decoder, plus a deterministic encoder (``encode_avi_mjpeg``) so
+the frame-sampling operator finally sees a REAL video byte-stream.
+Out-of-scope variants (progressive/4:2:0 JPEG, MP4/H.264, non-MJPEG
+AVI streams) still raise — on a real cluster those route to PIL/pyav
+at the same seam (``operators/multimodal.py::decode_media``).
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``, PIL page images
@@ -328,6 +334,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":                 # SOI + first marker
         return "jpeg"
     return None
@@ -352,3 +360,119 @@ def decode_image_rgb(payload: bytes) -> np.ndarray:
     if px.shape[2] in (1, 2):                          # grey / grey+alpha
         return np.repeat(px[:, :, :1], 3, axis=2)
     return np.ascontiguousarray(px[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# AVI (MJPEG) — the video container
+# ---------------------------------------------------------------------------
+
+# RIFF is little-endian chunks: fourcc + u32 size + body (padded to
+# even). An MJPEG AVI is hdrl (avih + one strl with 'vids'/'MJPG'),
+# movi ('00dc' chunks, each a complete baseline-JPEG frame), idx1.
+# No inter-frame state — exactly why MJPEG is the stdlib-feasible
+# video codec: every frame reuses kernel/jpeg.py unchanged.
+
+_AVI_FPS = 10
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = _AVI_FPS,
+                     quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 → deterministic MJPEG-in-AVI bytes."""
+    from .jpeg import encode_jpeg
+
+    if frames.ndim != 4 or frames.shape[3] != 3 \
+            or frames.dtype != np.uint8:
+        raise ValueError("encode_avi_mjpeg wants (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    max_size = max(len(j) for j in jpegs)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps,
+        0, n, max_size, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+        0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx_entries = []
+    for j in jpegs:
+        # idx1 offsets point at the chunk fourcc, relative to 'movi'
+        idx_entries.append((len(movi_body) - 4, len(j)))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)
+        for off, size in idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return chunk(b"RIFF", riff_body)
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        yield tag, body_start, body_end
+        pos = body_start + size + (size & 1)
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """MJPEG AVI bytes → (n, h, w, 3) uint8 frame stack.
+
+    Walks the RIFF tree from the bytes alone (headers are validated,
+    frame geometry comes from the decoded JPEGs themselves). Raises
+    ``ValueError`` with the problem named for non-MJPEG streams,
+    frame-size mismatches, or empty movi lists.
+    """
+    from .jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    end = min(12 + struct.unpack_from("<I", payload, 4)[0] - 4,
+              len(payload))
+    frames: list[np.ndarray] = []
+    for tag, b0, b1 in _riff_chunks(payload, 12, end):
+        if tag != b"LIST":
+            continue
+        kind = payload[b0:b0 + 4]
+        if kind == b"hdrl":
+            for t2, c0, c1 in _riff_chunks(payload, b0 + 4, b1):
+                if t2 == b"LIST" and payload[c0:c0 + 4] == b"strl":
+                    for t3, d0, d1 in _riff_chunks(
+                            payload, c0 + 4, c1):
+                        if t3 == b"strh":
+                            fcc_type = payload[d0:d0 + 4]
+                            handler = payload[d0 + 4:d0 + 8]
+                            if fcc_type == b"vids" \
+                                    and handler not in (b"MJPG",
+                                                        b"mjpg"):
+                                raise ValueError(
+                                    f"AVI video stream codec "
+                                    f"{handler!r} out of scope (only "
+                                    f"MJPG) — route to pyav at the "
+                                    f"decode seam")
+        elif kind == b"movi":
+            for t2, c0, c1 in _riff_chunks(payload, b0 + 4, b1):
+                if t2[2:4] in (b"dc", b"db"):
+                    frames.append(decode_jpeg(payload[c0:c1]))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    shape0 = frames[0].shape
+    if any(f.shape != shape0 for f in frames):
+        raise ValueError("AVI frames disagree on geometry")
+    return np.stack(frames)

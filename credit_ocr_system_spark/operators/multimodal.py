@@ -95,11 +95,12 @@ def media_df(spark, n: int, seed: int = 42,
 def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic media rows with REAL payloads: actual
     PNG (row filters cycling 0..4), BMP, baseline JPEG (huffman +
-    DCT, ``kernel/jpeg.py``), and 16-bit PCM WAV bytes, so the decode
-    path exercised is the real zlib-inflate/unfilter/entropy-decode/
-    PCM-scale one, not the stand-in. Pixel and sample content derives
-    purely from seed+id; the same ~18% duplicate structure as
-    ``gen_media_rows`` feeds the near-dup operators.
+    DCT, ``kernel/jpeg.py``), 16-bit PCM WAV, and MJPEG-in-AVI video
+    bytes, so the decode path exercised is the real
+    zlib-inflate/unfilter/entropy-decode/PCM-scale/RIFF-walk one, not
+    the stand-in. Pixel and sample content derives purely from
+    seed+id; the same ~18% duplicate structure as ``gen_media_rows``
+    feeds the near-dup operators.
     """
     from ..kernel import codecs
     from ..kernel.jpeg import encode_jpeg
@@ -113,8 +114,22 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
                          "payload": src["payload"],
                          "meta": dict(src["meta"])})
             continue
-        fmt = ("png", "bmp", "wav", "jpeg")[h[0] % 4]
-        if fmt in ("png", "bmp", "jpeg"):
+        fmt = ("png", "bmp", "wav", "jpeg", "avi")[h[0] % 5]
+        if fmt == "avi":
+            w, ht = 8 + h[2] % 9, 8 + h[3] % 9
+            n_frames = 3 + h[5] % 4
+            need = n_frames * ht * w * 3
+            body = np.frombuffer(
+                (h * (need // len(h) + 1))[:need], dtype=np.uint8)
+            frames = body.reshape(n_frames, ht, w, 3)
+            rows.append({
+                "media_id": i, "kind": "video",
+                "payload": codecs.encode_avi_mjpeg(
+                    frames, quality=85 + h[4] % 15),
+                "meta": {"width": w, "height": ht, "sample_rate": None,
+                         "n_frames": n_frames, "mime": "video/avi"},
+            })
+        elif fmt in ("png", "bmp", "jpeg"):
             w, ht = 8 + h[2] % 25, 8 + h[3] % 25
             need = ht * w * 3
             body = np.frombuffer(
@@ -154,16 +169,18 @@ def real_media_df(spark, n: int, seed: int = 42,
 def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
     """Real codec dispatch — honest decoders where they exist.
 
-    PNG / BMP / WAV / baseline-JPEG payloads (sniffed by magic bytes)
-    decode for real via ``kernel/codecs.py`` + ``kernel/jpeg.py`` —
-    zlib-inflated, unfiltered, huffman/IDCT-reconstructed, PCM-scaled
-    actual bytes, not a stand-in (the reference consumes media through
-    PIL, ``/root/reference/src/ocr/easyocr_client.py:17-58``; these
-    return the same ``(h, w, 3) uint8`` / float32-sample ndarrays).
-    Out-of-scope variants (progressive/subsampled JPEG, MP4/H.264)
-    still raise; a cluster with PIL/pyav swaps them in at this same
-    seam. ``fake_decode`` remains the deterministic stand-in for the
-    opaque synthetic payloads.
+    PNG / BMP / WAV / baseline-JPEG / MJPEG-AVI payloads (sniffed by
+    magic bytes) decode for real via ``kernel/codecs.py`` +
+    ``kernel/jpeg.py`` — zlib-inflated, unfiltered,
+    huffman/IDCT-reconstructed, PCM-scaled actual bytes, not a
+    stand-in (the reference consumes media through PIL,
+    ``/root/reference/src/ocr/easyocr_client.py:17-58``; these return
+    the same ``(h, w, 3) uint8`` / float32-sample /
+    ``(n, h, w, 3) uint8`` ndarrays). Out-of-scope variants
+    (progressive/subsampled JPEG, MP4/H.264, non-MJPEG AVI) still
+    raise; a cluster with PIL/pyav swaps them in at this same seam.
+    ``fake_decode`` remains the deterministic stand-in for the opaque
+    synthetic payloads.
     """
     from ..kernel import codecs
 
@@ -173,9 +190,11 @@ def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
     if fmt == "wav":
         samples, _rate = codecs.decode_wav(payload)
         return samples
+    if fmt == "avi":
+        return codecs.decode_avi_mjpeg(payload)
     raise NotImplementedError(
         f"real {kind} decode: no stdlib codec for this payload "
-        "(JPEG/MP4 need PIL/pyav); use fake_decode for the "
+        "(MP4/H.264 need PIL/pyav); use fake_decode for the "
         "deterministic test path")
 
 
@@ -292,38 +311,44 @@ _PA_FRAMES = pa.schema([
 ])
 
 
-def video_frame_rows(r: dict, every_n: int) -> list[dict]:
+def video_frame_rows(r: dict, every_n: int,
+                     decode=fake_decode) -> list[dict]:
     """Sampled frames for one media record — pure function, shared by
-    the Spark UDF and the golden materialization."""
+    the Spark UDF and the golden materialization. ``decode``
+    selects the codec (``decode_media`` for real MJPEG-AVI bytes).
+    Frame geometry comes from the DECODED array, not the metadata —
+    the bytes are the truth."""
     if r["kind"] != "video":
         return []
-    vid = fake_decode(r["payload"], "video", r["meta"])
+    vid = decode(r["payload"], "video", r["meta"])
     return [
         {
             "media_id": r["media_id"],
             "frame_idx": idx,
             "frame": vid[idx].tobytes(),
-            "width": r["meta"]["width"],
-            "height": r["meta"]["height"],
+            "width": int(vid.shape[2]),
+            "height": int(vid.shape[1]),
         }
         for idx in range(0, vid.shape[0], every_n)
     ]
 
 
-def _frame_batches(every_n: int):
+def _frame_batches(every_n: int, decode):
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             rows = []
             for r in batch.to_pylist():
-                rows.extend(video_frame_rows(r, every_n))
+                rows.extend(video_frame_rows(r, every_n, decode))
             yield pa.RecordBatch.from_pylist(rows, schema=_PA_FRAMES)
 
     return run
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+def sample_video_frames(media: DataFrame, every_n: int = 4,
+                        decode=fake_decode) -> DataFrame:
     """1→N frame sampling inside the UDF iterator (no giant arrays)."""
-    return media.mapInArrow(_frame_batches(every_n), schema=FRAMES_SCHEMA)
+    return media.mapInArrow(_frame_batches(every_n, decode),
+                            schema=FRAMES_SCHEMA)
 
 
 def resized_image_row(r: dict, out_w: int, out_h: int) -> dict | None:

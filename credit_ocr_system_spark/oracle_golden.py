@@ -172,6 +172,13 @@ def _media_goldens() -> None:
     _write("x_media_real.parquet",
            [media_feature_row(r, decode_media) for r in real],
            _PA_FEATURES)
+    # real video: MJPEG-AVI payloads frame-sampled through the actual
+    # RIFF walk + JPEG decode (not the stand-in)
+    real_frames: list[dict] = []
+    for r in real:
+        real_frames.extend(
+            video_frame_rows(r, X_FRAME_EVERY_N, decode_media))
+    _write("x_media_real_frames.parquet", real_frames, _PA_FRAMES)
 
 
 def materialize() -> str:

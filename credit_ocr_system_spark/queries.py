@@ -147,6 +147,27 @@ def x_media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("feat")
 
 
+def x_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: frame sampling over REAL MJPEG-in-AVI payloads
+    — the RIFF container walk + per-frame baseline-JPEG decode
+    (``kernel/codecs.py::decode_avi_mjpeg``), not the deterministic
+    stand-in. Frames travel as digests (see x_media_frames)."""
+    from .operators.multimodal import (
+        decode_media,
+        real_media_df,
+        sample_video_frames,
+    )
+
+    frames = sample_video_frames(
+        real_media_df(spark, G.X_N_MEDIA),
+        every_n=G.X_FRAME_EVERY_N, decode=decode_media)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.md5(F.hex("frame")).alias("frame_md5"),
+        F.octet_length("frame").alias("frame_bytes"),
+        "width", "height")
+
+
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the SVG overlays from the
     materialized kernel elements (integer-pixel coords + pinned
@@ -1371,6 +1392,11 @@ SELECT media_id, kind, n_bytes, feat_json, mean_val, std_val,
        width, height, n_frames
 FROM read_parquet('{real}')
 """,
+        "x_media_real_frames": f"""
+SELECT media_id, frame_idx, md5(hex(frame)) AS frame_md5,
+       CAST(octet_length(frame) AS INT) AS frame_bytes, width, height
+FROM read_parquet('{G.golden_path("x_media_real_frames.parquet")}')
+""",
         "x_annotations": f"""
 WITH shaped AS (
   SELECT url, page_num, elem_idx,
@@ -1573,6 +1599,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_media_frames": x_media_frames,
         "x_media_resize": x_media_resize,
         "x_media_real": x_media_real,
+        "x_media_real_frames": x_media_real_frames,
         "media_near_dup": media_near_dup,
         # U2 batched-inference orchestration (deterministic seam)
         "x_llm_prompts": x_llm_prompts,
@@ -1604,7 +1631,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4
-    "incremental_dedup", "approx_percentiles",
+    "incremental_dedup", "approx_percentiles", "x_media_real_frames",
     # changed in r4 (hyperplane LSH / sampled training / CID corpus)
     "bucketed_near_dup", "media_near_dup", "bucketed_topk",
     "cosine_near_dup", "cosine_topk", "ivf_assign", "ivf_topk",

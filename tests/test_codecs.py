@@ -273,3 +273,56 @@ def test_module_has_no_nonstdlib_imports():
             mod = line.split()[1].split(".")[0]
             # "" = in-package relative import (the jpeg sibling module)
             assert mod in ("struct", "zlib", "numpy", ""), mod
+
+
+# --- AVI (MJPEG) -----------------------------------------------------------
+
+
+def _frames(n=4, h=16, w=24, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+
+
+def test_avi_roundtrip_and_determinism():
+    frames = _frames()
+    avi = codecs.encode_avi_mjpeg(frames)
+    assert codecs.sniff_format(avi) == "avi"
+    assert codecs.encode_avi_mjpeg(frames) == avi  # byte-deterministic
+    dec = codecs.decode_avi_mjpeg(avi)
+    assert dec.shape == frames.shape and dec.dtype == np.uint8
+    # MJPEG is lossy; frames must still be close and frame-aligned
+    err = np.abs(dec.astype(np.float64) - frames.astype(np.float64))
+    assert err.mean() < 8.0
+    # frames decode independently (no inter-frame state)
+    one = codecs.decode_avi_mjpeg(codecs.encode_avi_mjpeg(frames[:1]))
+    np.testing.assert_array_equal(one[0], dec[0])
+
+
+def test_avi_header_fields_are_wellformed():
+    frames = _frames(n=3, h=8, w=8)
+    avi = codecs.encode_avi_mjpeg(frames, fps=10)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    # RIFF size covers the whole file
+    assert struct.unpack_from("<I", avi, 4)[0] == len(avi) - 8
+    # stream header advertises vids/MJPG; avih carries the frame count
+    assert b"vids" in avi and b"MJPG" in avi and b"idx1" in avi
+    at = avi.index(b"avih") + 8
+    us_per_frame, = struct.unpack_from("<I", avi, at)
+    total_frames, = struct.unpack_from("<I", avi, at + 16)
+    assert us_per_frame == 100000 and total_frames == 3
+
+
+def test_avi_rejects_out_of_scope_and_malformed():
+    frames = _frames(n=2, h=8, w=8)
+    avi = codecs.encode_avi_mjpeg(frames)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        codecs.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    # a non-MJPEG vids stream must name the codec, not mis-decode
+    other = avi.replace(b"vids" + b"MJPG", b"vids" + b"H264")
+    with pytest.raises(ValueError, match="H264"):
+        codecs.decode_avi_mjpeg(other)
+    # empty movi list
+    empty = codecs.encode_avi_mjpeg(frames)
+    empty = empty.replace(b"00dc", b"00xx")
+    with pytest.raises(ValueError, match="no video frames"):
+        codecs.decode_avi_mjpeg(empty)
