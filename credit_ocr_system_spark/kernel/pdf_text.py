@@ -26,10 +26,15 @@ Supported (the text-bearing core of ISO 32000):
   increment and array forms) — the dominant post-2010 real-world PDF
   text encoding.
 
+* object streams (``/Type /ObjStm``): contained objects (catalog,
+  page tree, font dicts — where PDF ≥1.5 writers put them) are
+  expanded from the decompressed stream via its ``/N``/``/First``
+  pair table; the document is scanned sequentially, so no xref
+  stream parse is needed.
+
 Not supported (returns whatever text the supported subset yields,
 never raises): CID encodings other than Identity-H (predefined CJK
-CMaps), encrypted files, object streams (``/Type /ObjStm``), form
-XObjects, and non-Flate filters.
+CMaps), encrypted files, form XObjects, and non-Flate filters.
 
 Geometry model: glyph metrics aren't parsed (no embedded font
 program), so advances use the classic average-width approximation
@@ -108,6 +113,33 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
             else len(payload)
         pos = max(resume, end_obj + len(b"endobj"))
     return objs
+
+
+def _expand_object_streams(
+        objs: Dict[int, Tuple[bytes, Optional[bytes]]]) -> None:
+    """Expand ``/Type /ObjStm`` containers in place: the stream is
+    ``N`` (objnum, offset) integer pairs up to ``/First``, then the
+    serialized objects back-to-back (dict objects only — T.32000
+    forbids streams inside an ObjStm). Top-level objects win on
+    number collisions (first-seen policy, same as the scanner)."""
+    for num in list(objs):
+        head, stream = objs[num]
+        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        data = _decode_stream(head, stream)
+        m_n = re.search(rb"/N\s+(\d+)", head)
+        m_f = re.search(rb"/First\s+(\d+)", head)
+        if not data or m_n is None or m_f is None:
+            continue
+        first = int(m_f.group(1))
+        pairs = re.findall(rb"(\d+)\s+(\d+)",
+                           data[:first])[:int(m_n.group(1))]
+        for k, (onum, off) in enumerate(pairs):
+            start = first + int(off)
+            end = (first + int(pairs[k + 1][1])
+                   if k + 1 < len(pairs) else len(data))
+            if int(onum) not in objs and 0 <= start <= end:
+                objs[int(onum)] = (data[start:end], None)
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
@@ -564,6 +596,7 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
     """
     try:
         objs = _scan_objects(payload)
+        _expand_object_streams(objs)
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)

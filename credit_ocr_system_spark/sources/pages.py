@@ -237,6 +237,9 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         # corpus carries both so x_extract_pages exercises the
         # Identity-H/ToUnicode path alongside WinAnsi simple fonts
         font=rng.choice(("simple", "cid")),
+        # PDF >=1.5 writers pack dict objects into object streams —
+        # a third of the genuine PDFs do here too
+        objstm=rng.random() < 0.34,
     )
 
 

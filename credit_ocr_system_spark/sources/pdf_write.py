@@ -137,13 +137,23 @@ def _content_stream(tokens: Sequence[Token], style: str,
 
 
 def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
-              style: str = "tm", font: str = "simple") -> bytes:
+              style: str = "tm", font: str = "simple",
+              objstm: bool = False) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
     CIDFontType2) font with a ToUnicode CMap and hex-coded 2-byte
     show strings — the post-2010 real-world PDF text shape — instead
     of the WinAnsi simple font.
+
+    ``objstm=True`` packs every dictionary-only object (catalog, page
+    tree, fonts, page dicts) into ONE ``/Type /ObjStm`` container —
+    where PDF ≥1.5 writers put them — leaving only stream objects and
+    the ObjStm itself at the top level. Object numbers (hence all
+    references) are unchanged. The trailing classic xref covers the
+    top-level objects via per-object subsections (a real 1.5 writer
+    would emit an xref stream; the parsers this writer exists to
+    exercise scan objects sequentially and never read the xref).
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -193,16 +203,51 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
             head = b"<< /Length %d >>" % len(data)
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: List[int] = []
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(buf))
+    if objstm:
+        dict_items = [(i, b) for i, b in enumerate(objs, start=1)
+                      if b"\nstream\n" not in b]
+        emit = [(i, b) for i, b in enumerate(objs, start=1)
+                if b"\nstream\n" in b]
+        blob = b""
+        pair_parts = []
+        for num, body in dict_items:
+            pair_parts.append(b"%d %d" % (num, len(blob)))
+            blob += body + b"\n"
+        header = b" ".join(pair_parts) + b"\n"
+        data = header + blob
+        first = len(header)
+        filt = b""
+        if compress:
+            data = zlib.compress(data, 6)
+            filt = b" /Filter /FlateDecode"
+        stm_num = len(objs) + 1
+        emit.append((stm_num, b"<< /Type /ObjStm /N %d /First %d"
+                     b" /Length %d%s >>\nstream\n" %
+                     (len(dict_items), first, len(data), filt)
+                     + data + b"\nendstream"))
+        total = stm_num + 1
+        version = b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
+    else:
+        emit = list(enumerate(objs, start=1))
+        total = len(objs) + 1
+        version = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+
+    buf = bytearray(version)
+    offsets: List[Tuple[int, int]] = []
+    for num, body in emit:
+        offsets.append((num, len(buf)))
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     xref_at = len(buf)
-    buf += b"xref\n0 %d\n" % (len(objs) + 1)
-    buf += b"0000000000 65535 f \n"
-    for off in offsets:
-        buf += b"%010d 00000 n \n" % off
+    if objstm:
+        # sparse top-level numbering: one xref subsection per object
+        buf += b"xref\n0 1\n0000000000 65535 f \n"
+        for num, off in offsets:
+            buf += b"%d 1\n%010d 00000 n \n" % (num, off)
+    else:
+        buf += b"xref\n0 %d\n" % (len(objs) + 1)
+        buf += b"0000000000 65535 f \n"
+        for _onum, off in offsets:
+            buf += b"%010d 00000 n \n" % off
     buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_at))
+            % (total, xref_at))
     return bytes(buf)

@@ -117,6 +117,67 @@ def test_all_writer_styles_round_trip():
                 for x, y, t, _ in toks]
 
 
+# --- object streams (/ObjStm, PDF >=1.5) ------------------------------------
+
+
+def test_objstm_round_trips_identically():
+    """Packing the dict objects (catalog, page tree, fonts, pages)
+    into a /Type /ObjStm container must parse to the identical
+    elements as the flat layout — for both fonts, compressed and
+    not."""
+    for font in ("simple", "cid"):
+        for compress in (False, True):
+            packed = build_pdf(FIXTURE_TOKENS, compress=compress,
+                               style="tm", font=font, objstm=True)
+            flat = build_pdf(FIXTURE_TOKENS, compress=compress,
+                             style="tm", font=font)
+            assert packed.startswith(b"%PDF-1.5")
+            assert b"/ObjStm" in packed
+            assert b"<< /Type /Catalog" not in packed.split(
+                b"stream", 1)[0]  # catalog lives inside the container
+            assert parse_real_pdf(packed) == parse_real_pdf(flat)
+
+
+def test_objstm_handcrafted_minimal():
+    """A hand-written ObjStm document (independent of our writer):
+    catalog + pages + page dicts in the container, content stream at
+    top level."""
+    objects = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            b" /MediaBox [0 0 612 792] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    blob, pairs = b"", []
+    for num, body in objects:
+        pairs.append(b"%d %d" % (num, len(blob)))
+        blob += body + b"\n"
+    header = b" ".join(pairs) + b"\n"
+    data = header + blob
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (packed text) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        b"4 0 obj\n<< /Type /ObjStm /N 3 /First "
+        + str(len(header)).encode() + b" /Length "
+        + str(len(data)).encode() + b" >>\nstream\n" + data
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    els = parse_real_pdf(pdf)
+    assert [e["text"] for e in els] == ["packed text"]
+    assert els[0]["page_num"] == 1
+
+
+def test_objstm_malformed_contributes_nothing():
+    # junk Flate bytes / missing /N — parser must not raise
+    pdf = (b"%PDF-1.5\n"
+           b"4 0 obj\n<< /Type /ObjStm /N 2 /First 10 /Length 5"
+           b" /Filter /FlateDecode >>\nstream\njunk!\nendstream\n"
+           b"endobj\n%%EOF\n")
+    assert parse_real_pdf(pdf) == []
+
+
 # --- composite (Identity-H + ToUnicode) fonts ------------------------------
 
 
