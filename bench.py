@@ -39,7 +39,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000"))
-PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}"
+
+
+def _gen_version() -> str:
+    """Content hash of the page generator sources — keying the cached
+    bench corpora so a generator change (new payload kinds, font or
+    container mix) can never silently benchmark stale pages."""
+    import hashlib
+
+    h = hashlib.sha256()
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "credit_ocr_system_spark", "sources")
+    for name in ("pages.py", "pdf_write.py"):
+        with open(os.path.join(base, name), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}_{_gen_version()}"
 
 # Scaling-gate corpus: sized so kernel compute dominates the fixed
 # per-job floor (scan + shuffle setup + scheduling, ~3 s/level) at the
@@ -48,7 +65,7 @@ PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}"
 # kernel speedup shrinks compute relative to that floor, so the corpus
 # has grown with the kernel (262k -> 786k at ~0.65 ms/doc).
 N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "786432"))
-SCALE_PAGES_PATH = f"/tmp/cos_bench_pages_{N_SCALE_PAGES}"
+SCALE_PAGES_PATH = f"/tmp/cos_bench_pages_{N_SCALE_PAGES}_{_gen_version()}"
 
 MASTER_PORT = 7077
 MASTER_URL = f"spark://127.0.0.1:{MASTER_PORT}"
