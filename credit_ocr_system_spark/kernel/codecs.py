@@ -25,9 +25,10 @@ tables, generated zigzag/DCT).
 idx1 index) whose per-frame payloads decode through the baseline
 JPEG decoder, plus a deterministic encoder (``encode_avi_mjpeg``) so
 the frame-sampling operator finally sees a REAL video byte-stream.
-Out-of-scope variants (progressive/4:2:0 JPEG, MP4/H.264, non-MJPEG
-AVI streams) still raise — on a real cluster those route to PIL/pyav
-at the same seam (``operators/multimodal.py::decode_media``).
+Out-of-scope variants (progressive JPEG, sampling factors >2,
+MP4/H.264, non-MJPEG AVI streams) still raise — on a real cluster
+those route to PIL/pyav at the same seam
+(``operators/multimodal.py::decode_media``).
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``, PIL page images

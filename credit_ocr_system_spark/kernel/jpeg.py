@@ -19,10 +19,13 @@ Design rule: **no memorized spec constants are load-bearing.**
   matrix), verified by an inversion test, not copied.
 
 Scope (raise with a clear message outside it): baseline SOF0, 8-bit,
-1x1 sampling (4:4:4) or single-component greyscale, no restart
-markers, no progressive/arithmetic modes. The encoder only emits
-in-scope streams, so decode(encode(x)) always works; foreign
-baseline 4:2:0 files route to PIL at the same seam as before.
+sampling factors 1–2 per axis — 4:4:4, the dominant real-world 4:2:0
+(generic interleaved-MCU walk; encoder emits it via
+``subsampling="420"``: quarter-resolution box-mean chroma,
+4 Y + Cb + Cr per MCU), 4:2:2, or single-component greyscale. No
+restart markers, no progressive/arithmetic modes, single scan. The
+encoder only emits in-scope streams, so decode(encode(x)) always
+works; out-of-scope files route to PIL at the same seam as before.
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``); this decoder
@@ -360,23 +363,47 @@ def _blocks_of(plane: np.ndarray):
             yield padded[by:by + 8, bx:bx + 8]
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "444") -> bytes:
     """Baseline JFIF bytes for an (h, w, 3) uint8 RGB array (or
-    (h, w) greyscale). 4:4:4, one scan, data-derived huffman tables.
+    (h, w) greyscale). One scan, data-derived huffman tables.
+
+    ``subsampling="420"`` (color only) emits the dominant real-world
+    chroma layout: Y at 2x2 sampling, Cb/Cr quarter-resolution (2x2
+    box mean), MCU-interleaved 4 Y + Cb + Cr.
     """
     grey = img.ndim == 2
     if grey:
         img = img[..., None]
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg wants (h, w[, 3]) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = img.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dimensions out of JPEG range")
     luma_q, chroma_q = quant_tables(quality)
+    sub420 = subsampling == "420" and img.shape[2] == 3
     if img.shape[2] == 3:
-        planes = [ _rgb_to_ycbcr(img)[..., i] for i in range(3)]
+        ycc = _rgb_to_ycbcr(img)
+        if sub420:
+            h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
+            pad = np.pad(ycc, ((0, h16 - h), (0, w16 - w), (0, 0)),
+                         mode="edge")
+            planes = [
+                pad[..., 0],
+                pad[..., 1].reshape(h16 // 2, 2, w16 // 2, 2
+                                    ).mean(axis=(1, 3)),
+                pad[..., 2].reshape(h16 // 2, 2, w16 // 2, 2
+                                    ).mean(axis=(1, 3)),
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ycc[..., i] for i in range(3)]
+            samp = [(1, 1)] * 3
     else:
         planes = [img[..., 0].astype(np.float64)]
+        samp = [(1, 1)]
     qtabs = [luma_q] + ([chroma_q] if len(planes) == 3 else [])
     plane_q = [0] + [1, 1][:len(planes) - 1]
 
@@ -397,8 +424,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
             blocks.append(zz)
         comp_blocks.append(blocks)
 
-    n_blocks = {len(b) for b in comp_blocks}
-    assert len(n_blocks) == 1  # 4:4:4 — same grid for all components
+    if sub420:
+        # reorder the Y blocks from raster into MCU-visit order (2x2
+        # per MCU) so per-component sequential DC prediction below
+        # matches the interleaved scan emission exactly
+        ybw = w16 // 8
+        order = [(2 * my + dy) * ybw + (2 * mx + dx)
+                 for my in range(h16 // 16)
+                 for mx in range(w16 // 16)
+                 for dy in (0, 1) for dx in (0, 1)]
+        comp_blocks[0] = [comp_blocks[0][i] for i in order]
+    else:
+        n_blocks = {len(b) for b in comp_blocks}
+        assert len(n_blocks) == 1  # 4:4:4 — same grid everywhere
 
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
@@ -426,7 +464,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
                        + bytes(int(x) for x in q.ravel()[_ZZ]))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for ci in range(len(planes)):
-        sof += bytes([ci + 1, 0x11, plane_q[ci]])          # 1x1 sampling
+        sof += bytes([ci + 1,
+                      (samp[ci][0] << 4) | samp[ci][1],
+                      plane_q[ci]])
     out += _marker(0xC0, sof)                              # SOF0 baseline
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, (bits, huffval, _cb) in enumerate(tabs):
@@ -439,21 +479,30 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     sos += bytes([0, 63, 0])                               # Ss, Se, Ah/Al
     out += _marker(0xDA, sos)                              # SOS
 
-    # pass 2: entropy-coded interleaved MCUs (1x1 → one block each)
+    # pass 2: entropy-coded interleaved MCUs (4:4:4 → one block per
+    # component; 4:2:0 → 4 Y + Cb + Cr per MCU, Y pre-reordered)
+    if sub420:
+        n_mcus = (h16 // 16) * (w16 // 16)
+        sched = [(ci, m * k + j)
+                 for m in range(n_mcus)
+                 for ci, k in ((0, 4), (1, 1), (2, 1))
+                 for j in range(k)]
+    else:
+        sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
+                 for ci in range(len(planes))]
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for bi in range(n_blocks.pop()):
-        for ci in range(len(planes)):
-            t = 0 if ci == 0 else 1
-            _bits, _hv, dc_cb = dc_tabs[t]
-            _bits, _hv, ac_cb = ac_tabs[t]
-            events, preds[ci] = _block_symbols(
-                comp_blocks[ci][bi], preds[ci])
-            for is_dc, sym, cat, v in events:
-                code, l = (dc_cb if is_dc else ac_cb)[sym]
-                writer.write(code, l)
-                if cat:
-                    writer.write(_amplitude_bits(v, cat), cat)
+    for ci, bi in sched:
+        t = 0 if ci == 0 else 1
+        _bits, _hv, dc_cb = dc_tabs[t]
+        _bits, _hv, ac_cb = ac_tabs[t]
+        events, preds[ci] = _block_symbols(
+            comp_blocks[ci][bi], preds[ci])
+        for is_dc, sym, cat, v in events:
+            code, l = (dc_cb if is_dc else ac_cb)[sym]
+            writer.write(code, l)
+            if cat:
+                writer.write(_amplitude_bits(v, cat), cat)
     out += writer.flush()
     out += _marker(0xD9)                                   # EOI
     return bytes(out)
@@ -465,11 +514,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from baseline 4:4:4 / greyscale JFIF bytes.
+    """(h, w, 3) uint8 RGB from baseline JFIF bytes — 4:4:4, 4:2:0 /
+    4:2:2 (sampling factors 1–2, generic interleaved-MCU walk, chroma
+    upsampled by replication), or greyscale.
 
-    Out-of-scope streams (progressive, subsampled, restart-marker)
-    raise ValueError with the feature named — they route to PIL at the
-    ``decode_media`` seam, same as before.
+    Out-of-scope streams (progressive, multi-scan, sampling factors
+    >2, restart-marker) raise ValueError with the feature named —
+    they route to PIL at the ``decode_media`` seam, same as before.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -517,11 +568,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hh, vv = hv >> 4, hv & 0xF
+                if hh not in (1, 2) or vv not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG (not 4:4:4) out of scope — "
-                        "route to PIL at the decode seam")
-                comps.append((cid, tq))
+                        f"sampling factors {hh}x{vv} out of scope "
+                        "(1x1/2x1/1x2/2x2) — route to PIL at the "
+                        "decode seam")
+                comps.append((cid, hh, vv, tq))
             frame = (h, w, comps)
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -562,48 +615,68 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"scan references undefined huffman table "
                 f"(dc {_dt}, ac {_at})")
-    for _cid, _tq in comps:
+    for _cid, _hh, _vv, _tq in comps:
         if _tq not in qtabs:
             raise ValueError(
                 f"component references undefined quant table {_tq}")
-    bw, bh = -(-w // 8), -(-h // 8)
+    # generic interleaved-MCU loop: an MCU carries h×v blocks per
+    # component (T.81 A.2.3); 4:4:4 degenerates to one block each
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    sampling = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
+    comp_q = {cid: tq for cid, _hh, _vv, tq in comps}
     reader = _BitReader(scan_data)
-    planes = [np.empty((bh * 8, bw * 8)) for _ in comps]
-    preds = [0] * len(comps)
-    comp_q = {cid: tq for cid, tq in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, dt, at) in enumerate(scan_comps):
-                dc_tab, ac_tab = huff[(0, dt)], huff[(1, at)]
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _decode_symbol(reader, dc_tab)
-                diff = _extend(reader.read_bits(cat), cat)
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(reader, ac_tab)
-                    if sym == 0x00:                       # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0xF
-                    if cat == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16                            # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64)
-                coef[_ZZ] = zz
-                q = qtabs[comp_q[cid]]
-                block = idct2(coef.reshape(8, 8) * q) + 128.0
-                planes[ci][by * 8:by * 8 + 8,
-                           bx * 8:bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    planes = {cid: np.empty((mcuy * 8 * vv, mcux * 8 * hh))
+              for cid, hh, vv, _tq in comps}
+    preds = {cid: 0 for cid, *_ in comps}
+
+    def decode_block(cid: int, dt: int, at: int) -> np.ndarray:
+        dc_tab, ac_tab = huff[(0, dt)], huff[(1, at)]
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _decode_symbol(reader, dc_tab)
+        diff = _extend(reader.read_bits(cat), cat)
+        preds[cid] += diff
+        zz[0] = preds[cid]
+        k = 1
+        while k < 64:
+            sym = _decode_symbol(reader, ac_tab)
+            if sym == 0x00:                       # EOB
+                break
+            run, cat = sym >> 4, sym & 0xF
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16                            # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _extend(reader.read_bits(cat), cat)
+            k += 1
+        coef = np.zeros(64)
+        coef[_ZZ] = zz
+        return idct2(coef.reshape(8, 8) * qtabs[comp_q[cid]]) + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, dt, at in scan_comps:
+                hh, vv = sampling[cid]
+                for dy in range(vv):
+                    for dx in range(hh):
+                        block = decode_block(cid, dt, at)
+                        y0 = (my * vv + dy) * 8
+                        x0 = (mx * hh + dx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+    out_planes = []
+    for cid, hh, vv, _tq in comps:
+        p = planes[cid]
+        if hh != hmax or vv != vmax:
+            # chroma upsample by sample replication
+            p = np.repeat(np.repeat(p, vmax // vv, axis=0),
+                          hmax // hh, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))

@@ -8,11 +8,12 @@ synthetic media source, feature extraction, image resize, video frame
 sampling (1→N explode) — with the *codec* behind a seam:
 
 * ``decode_media`` really decodes PNG / BMP / WAV / baseline-JPEG
-  payloads via the codecs in ``kernel/codecs.py`` + ``kernel/jpeg.py``
-  (zlib inflate + scanline unfilter, DIB row handling, PCM scaling,
-  huffman + IDCT); out-of-scope variants (progressive/4:2:0 JPEG,
-  MP4) raise ``NotImplementedError`` — no PIL/pyav in this
-  container, by design, and they swap in at this same seam;
+  (4:4:4 and 4:2:0/4:2:2) / MJPEG-AVI payloads via the codecs in
+  ``kernel/codecs.py`` + ``kernel/jpeg.py`` (zlib inflate + scanline
+  unfilter, DIB row handling, PCM scaling, huffman + IDCT, RIFF
+  walk); out-of-scope variants (progressive JPEG, MP4/H.264) raise
+  ``NotImplementedError`` — no PIL/pyav in this container, by
+  design, and they swap in at this same seam;
 * ``fake_decode`` is the deterministic stand-in used by default for
   the opaque synthetic payloads: it derives a numpy array purely from
   the payload bytes + metadata, so every downstream
@@ -137,7 +138,11 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
             px = body.reshape(ht, w, 3)
             payload = (codecs.encode_png(px) if fmt == "png"
                        else codecs.encode_bmp(px) if fmt == "bmp"
-                       else encode_jpeg(px, quality=85 + h[4] % 15))
+                       else encode_jpeg(
+                           px, quality=85 + h[4] % 15,
+                           # half the real JPEGs use the dominant
+                           # real-world 4:2:0 chroma layout
+                           subsampling="420" if h[1] % 2 else "444"))
             rows.append({
                 "media_id": i, "kind": "image", "payload": payload,
                 "meta": {"width": w, "height": ht, "sample_rate": None,

@@ -123,6 +123,14 @@ def bucketed_near_dup(embeddings: DataFrame, threshold: float = 0.35,
     10^12 rows the bucket-local verify stays linear in n instead of
     quadratic-per-bucket. No nested-loop or cartesian join appears in
     the plan (guarded in ``tests/test_plan_properties.py``).
+
+    Hot-bucket note: byte-identical vectors always share every
+    bucket, so a giant exact-duplicate class makes its bucket's pair
+    *output* quadratic in the class size — inherent to enumerating
+    near-dup PAIRS, not to this plan. At corpus scale run
+    ``textops.exact_dedup`` first (hash groupBy collapses identical
+    mass to one representative) and near-dup only the survivors —
+    the same order the composed curation pipeline uses.
     """
     base = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),

@@ -217,11 +217,11 @@ def test_decoder_rejects_out_of_scope():
     enc[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(enc))
-    # 4:2:0 sampling factors in SOF0
+    # sampling factors beyond 2 in SOF0 (4:2:0/4:2:2 are in scope now)
     enc = bytearray(encode_jpeg(_rng_img(16, 16), 85))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 11] = 0x22                  # first component h/v = 2x2
-    with pytest.raises(ValueError, match="4:4:4"):
+    enc[sof + 11] = 0x31                  # first component h/v = 3x1
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(enc))
 
 
@@ -283,3 +283,53 @@ def test_module_has_no_nonstdlib_imports_beyond_numpy():
         if line.startswith(("import ", "from ")) and "__future__" not in line:
             mod = line.split()[1].split(".")[0]
             assert mod in {"heapq", "struct", "numpy"}, line
+
+
+# --- 4:2:0 chroma subsampling ------------------------------------------------
+
+
+def test_420_roundtrip_shapes_and_luma():
+    """4:2:0 round-trips at every geometry (odd sizes pad to the
+    16x16 MCU grid and crop back); luma stays near-lossless while
+    chroma carries the quarter-resolution loss by design."""
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16), (24, 40), (17, 19), (8, 8), (33, 47)]:
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 85, subsampling="420"))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+
+
+def test_420_near_lossless_on_chroma_constant_content():
+    # an image whose chroma is constant per 2x2 block loses almost
+    # nothing to subsampling — the correctness probe for the MCU walk
+    rng = np.random.default_rng(6)
+    half = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(half, 2, axis=0), 2, axis=1)
+    dec = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+    err = np.abs(dec.astype(np.float64) - img.astype(np.float64))
+    assert err.mean() < 5.0
+
+
+def test_420_stream_is_smaller_and_declares_sampling():
+    img = _smooth_img(64, 64)
+    e420 = encode_jpeg(img, 85, subsampling="420")
+    e444 = encode_jpeg(img, 85)
+    assert len(e420) < len(e444)
+    sof = e420.index(b"\xff\xc0")
+    assert e420[sof + 11] == 0x22          # Y sampled 2x2
+    assert e420[sof + 14] == 0x11          # Cb 1x1
+    # and the smooth image survives subsampling nearly untouched
+    err = np.abs(decode_jpeg(e420).astype(np.float64)
+                 - img.astype(np.float64))
+    assert err.mean() < 3.0
+
+
+def test_420_is_deterministic_and_444_unchanged():
+    img = _rng_img(24, 24, seed=9)
+    assert encode_jpeg(img, 85, subsampling="420") == \
+        encode_jpeg(img, 85, subsampling="420")
+    # the 4:4:4 path emits the identical bytes it did before the
+    # subsampling feature existed (fixture-protected elsewhere too)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85, subsampling="444")
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, 85, subsampling="422x")
