@@ -145,6 +145,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
         return bytes(self.out)
 
+    def emit_restart(self, idx: int) -> None:
+        """1-pad to a byte boundary, then the raw RSTn marker (markers
+        are not byte-stuffed — the padding 0xFF case is, correctly,
+        since it is entropy data)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -165,8 +174,8 @@ class _BitReader:
             self.pos += 1
             if marker != 0x00:
                 raise ValueError(
-                    f"unexpected marker 0xFF{marker:02X} in scan "
-                    "(restart intervals are out of scope)")
+                    f"unexpected marker 0xFF{marker:02X} mid-entropy "
+                    "(RSTn only valid at declared MCU boundaries)")
         # keep only the live bits before shifting — without the mask
         # the accumulator grows into an unbounded bignum and decoding
         # a large scan turns O(n²) in scan length
@@ -178,6 +187,20 @@ class _BitReader:
             self._fill()
         self.n -= 1
         return (self.acc >> self.n) & 1
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume an RSTn marker at an MCU-restart boundary: drop
+        the partial byte (encoders pad with 1-bits), then expect
+        ``0xFF 0xD<expect>``."""
+        self.acc = 0
+        self.n = 0
+        if (self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + expect):
+            got = self.data[self.pos:self.pos + 2].hex()
+            raise ValueError(
+                f"expected restart marker RST{expect}, got 0x{got}")
+        self.pos += 2
 
     def read_bits(self, nbits: int) -> int:
         v = 0
@@ -364,13 +387,18 @@ def _blocks_of(plane: np.ndarray):
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for an (h, w, 3) uint8 RGB array (or
     (h, w) greyscale). One scan, data-derived huffman tables.
 
     ``subsampling="420"`` (color only) emits the dominant real-world
     chroma layout: Y at 2x2 sampling, Cb/Cr quarter-resolution (2x2
     box mean), MCU-interleaved 4 Y + Cb + Cr.
+
+    ``restart_interval=k`` emits a DRI marker and an RSTn every ``k``
+    MCUs (DC predictors reset, stream re-byte-aligned) — the
+    error-resilience feature virtually every camera writes.
     """
     grey = img.ndim == 2
     if grey:
@@ -438,16 +466,45 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         n_blocks = {len(b) for b in comp_blocks}
         assert len(n_blocks) == 1  # 4:4:4 — same grid everywhere
 
+    # emission schedule (4:4:4 → one block per component per MCU;
+    # 4:2:0 → 4 Y + Cb + Cr, Y pre-reordered above) — built BEFORE
+    # the frequency pass because restart intervals reset the DC
+    # predictors, so the symbol stream (hence the derived tables)
+    # depends on the exact emission order
+    if sub420:
+        n_mcus = (h16 // 16) * (w16 // 16)
+        sched = [(ci, m * k + j)
+                 for m in range(n_mcus)
+                 for ci, k in ((0, 4), (1, 1), (2, 1))
+                 for j in range(k)]
+        per_mcu = 6
+    else:
+        sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
+                 for ci in range(len(planes))]
+        per_mcu = len(planes)
+
+    RESTART = None  # sentinel between MCU groups in the event stream
+    stream: list = []
+    preds = [0] * len(planes)
+    for m in range(len(sched) // per_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            stream.append(RESTART)
+            preds = [0] * len(planes)
+        for ci, bi in sched[m * per_mcu:(m + 1) * per_mcu]:
+            t = 0 if ci == 0 else 1
+            events, preds[ci] = _block_symbols(
+                comp_blocks[ci][bi], preds[ci])
+            stream.append((t, events))
+
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
-    for ci, blocks in enumerate(comp_blocks):
-        t = 0 if ci == 0 else 1
-        pred = 0
-        for zz in blocks:
-            events, pred = _block_symbols(zz, pred)
-            for is_dc, sym, _cat, _v in events:
-                f = dc_freq[t] if is_dc else ac_freq[t]
-                f[sym] = f.get(sym, 0) + 1
+    for item in stream:
+        if item is RESTART:
+            continue
+        t, events = item
+        for is_dc, sym, _cat, _v in events:
+            f = dc_freq[t] if is_dc else ac_freq[t]
+            f[sym] = f.get(sym, 0) + 1
 
     n_tables = 1 if len(planes) == 1 else 2
     dc_tabs = [_canonical(_code_lengths(dc_freq[t]))
@@ -472,6 +529,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         for ti, (bits, huffval, _cb) in enumerate(tabs):
             out += _marker(0xC4, bytes([(cls << 4) | ti])
                            + bytes(bits[1:]) + bytes(huffval))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         t = 0 if ci == 0 else 1
@@ -479,25 +538,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sos += bytes([0, 63, 0])                               # Ss, Se, Ah/Al
     out += _marker(0xDA, sos)                              # SOS
 
-    # pass 2: entropy-coded interleaved MCUs (4:4:4 → one block per
-    # component; 4:2:0 → 4 Y + Cb + Cr per MCU, Y pre-reordered)
-    if sub420:
-        n_mcus = (h16 // 16) * (w16 // 16)
-        sched = [(ci, m * k + j)
-                 for m in range(n_mcus)
-                 for ci, k in ((0, 4), (1, 1), (2, 1))
-                 for j in range(k)]
-    else:
-        sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
-                 for ci in range(len(planes))]
+    # pass 2: the pre-computed event stream, RESTART sentinels
+    # becoming byte-aligned RSTn markers
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    for ci, bi in sched:
-        t = 0 if ci == 0 else 1
+    rst = 0
+    for item in stream:
+        if item is RESTART:
+            writer.emit_restart(rst % 8)
+            rst += 1
+            continue
+        t, events = item
         _bits, _hv, dc_cb = dc_tabs[t]
         _bits, _hv, ac_cb = ac_tabs[t]
-        events, preds[ci] = _block_symbols(
-            comp_blocks[ci][bi], preds[ci])
         for is_dc, sym, cat, v in events:
             code, l = (dc_cb if is_dc else ac_cb)[sym]
             writer.write(code, l)
@@ -529,6 +581,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     scan_comps = None
+    restart_interval = 0
     data_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -581,7 +634,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"non-baseline SOF 0xFF{tag:02X} out of scope")
         elif tag == 0xDD:
-            raise ValueError("restart intervals out of scope")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:
             if scan_comps is not None:
                 # a second SOS is valid T.81 (non-interleaved baseline)
@@ -658,8 +711,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         coef[_ZZ] = zz
         return idct2(coef.reshape(8, 8) * qtabs[comp_q[cid]]) + 128.0
 
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (restart_interval and mcu_idx
+                    and mcu_idx % restart_interval == 0):
+                reader.sync_restart(
+                    (mcu_idx // restart_interval - 1) % 8)
+                for cid in preds:       # RST resets DC prediction
+                    preds[cid] = 0
             for cid, dt, at in scan_comps:
                 hh, vv = sampling[cid]
                 for dy in range(vv):
@@ -668,6 +728,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         y0 = (my * vv + dy) * 8
                         x0 = (mx * hh + dx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_idx += 1
     out_planes = []
     for cid, hh, vv, _tq in comps:
         p = planes[cid]

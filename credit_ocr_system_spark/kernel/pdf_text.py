@@ -72,6 +72,14 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     Sequential scan so byte patterns *inside* stream data (compressed
     bytes can contain ``N 0 obj`` or ``endobj``) never spawn phantom
     objects: after a stream, scanning resumes past its ``endstream``.
+
+    Duplicate object numbers resolve by FILE ORDER, last wins — the
+    incremental-update convention: an updated PDF appends the new
+    revision of an object (top-level or inside a later ``/ObjStm``,
+    expanded inline here at its scan position) after the original,
+    and readers must see the newest. (Exact semantics would need the
+    xref chain; file-order last-wins is the standard tolerant-scanner
+    approximation.)
     """
     objs: Dict[int, Tuple[bytes, Optional[bytes]]] = {}
     pos = 0
@@ -86,8 +94,7 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
             end_obj = len(payload)
         sm = _STREAM_RE.search(payload, start, end_obj)
         if sm is None:
-            if num not in objs:
-                objs[num] = (payload[start:end_obj], None)
+            objs[num] = (payload[start:end_obj], None)
             pos = end_obj + len(b"endobj")
             continue
         head = payload[start:sm.start()]
@@ -107,39 +114,37 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
                 stream = stream[:-2]
             elif stream.endswith(b"\n") or stream.endswith(b"\r"):
                 stream = stream[:-1]
-        if num not in objs:
-            objs[num] = (head, stream)
+        objs[num] = (head, stream)
+        if re.search(rb"/Type\s*/ObjStm\b", head):
+            _expand_objstm(objs, head, stream)
         resume = end_stream + len(b"endstream") if end_stream >= 0 \
             else len(payload)
         pos = max(resume, end_obj + len(b"endobj"))
     return objs
 
 
-def _expand_object_streams(
-        objs: Dict[int, Tuple[bytes, Optional[bytes]]]) -> None:
-    """Expand ``/Type /ObjStm`` containers in place: the stream is
-    ``N`` (objnum, offset) integer pairs up to ``/First``, then the
-    serialized objects back-to-back (dict objects only — T.32000
-    forbids streams inside an ObjStm). Top-level objects win on
-    number collisions (first-seen policy, same as the scanner)."""
-    for num in list(objs):
-        head, stream = objs[num]
-        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", head):
-            continue
-        data = _decode_stream(head, stream)
-        m_n = re.search(rb"/N\s+(\d+)", head)
-        m_f = re.search(rb"/First\s+(\d+)", head)
-        if not data or m_n is None or m_f is None:
-            continue
-        first = int(m_f.group(1))
-        pairs = re.findall(rb"(\d+)\s+(\d+)",
-                           data[:first])[:int(m_n.group(1))]
-        for k, (onum, off) in enumerate(pairs):
-            start = first + int(off)
-            end = (first + int(pairs[k + 1][1])
-                   if k + 1 < len(pairs) else len(data))
-            if int(onum) not in objs and 0 <= start <= end:
-                objs[int(onum)] = (data[start:end], None)
+def _expand_objstm(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                   head: bytes, stream: bytes) -> None:
+    """Expand one ``/Type /ObjStm`` container into ``objs``: the
+    stream is ``N`` (objnum, offset) integer pairs up to ``/First``,
+    then the serialized objects back-to-back (dict objects only —
+    T.32000 forbids streams inside an ObjStm). Called at the
+    container's scan position, so contained objects participate in
+    the same file-order last-wins resolution as top-level ones."""
+    data = _decode_stream(head, stream)
+    m_n = re.search(rb"/N\s+(\d+)", head)
+    m_f = re.search(rb"/First\s+(\d+)", head)
+    if not data or m_n is None or m_f is None:
+        return
+    first = int(m_f.group(1))
+    pairs = re.findall(rb"(\d+)\s+(\d+)",
+                       data[:first])[:int(m_n.group(1))]
+    for k, (onum, off) in enumerate(pairs):
+        start = first + int(off)
+        end = (first + int(pairs[k + 1][1])
+               if k + 1 < len(pairs) else len(data))
+        if 0 <= start <= end:
+            objs[int(onum)] = (data[start:end], None)
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
@@ -596,7 +601,6 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
     """
     try:
         objs = _scan_objects(payload)
-        _expand_object_streams(objs)
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)

@@ -333,3 +333,54 @@ def test_420_is_deterministic_and_444_unchanged():
     assert encode_jpeg(img, 85) == encode_jpeg(img, 85, subsampling="444")
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, 85, subsampling="422x")
+
+
+# --- restart intervals (DRI / RSTn) -----------------------------------------
+
+
+def test_restart_markers_roundtrip_bitexact_vs_plain():
+    """RSTn resets DC prediction and re-byte-aligns; the decoded
+    pixels must equal the non-RST stream's decode exactly, for both
+    chroma layouts and greyscale."""
+    img = _rng_img(33, 47, seed=11)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        for ri in (1, 2, 5, 100):
+            enc = encode_jpeg(img, 85, subsampling=sub,
+                              restart_interval=ri)
+            assert b"\xff\xdd" in enc          # DRI present
+            np.testing.assert_array_equal(decode_jpeg(enc), base)
+    g = _rng_img(20, 28, c=0, seed=12)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(g, 85, restart_interval=3)),
+        decode_jpeg(encode_jpeg(g, 85)))
+
+
+def test_restart_marker_indices_cycle_mod_8():
+    img = _rng_img(80, 80, seed=13)        # 100 MCUs at 4:4:4
+    enc = encode_jpeg(img, 85, restart_interval=1)
+    scan = enc[enc.index(b"\xff\xda"):]
+    idxs = []
+    i = 0
+    while True:
+        j = scan.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(scan):
+            break
+        m = scan[j + 1]
+        if 0xD0 <= m <= 0xD7:
+            idxs.append(m - 0xD0)
+        i = j + 2 if m != 0x00 else j + 2
+    assert len(idxs) == 99                 # one between each MCU pair
+    assert idxs[:10] == [0, 1, 2, 3, 4, 5, 6, 7, 0, 1]
+
+
+def test_missing_restart_marker_is_a_named_error():
+    img = _rng_img(32, 32, seed=14)
+    enc = bytearray(encode_jpeg(img, 85, restart_interval=1))
+    # corrupt the first RST marker's index
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            enc[i + 1] = 0xD7  # wrong sequence position
+            break
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(enc))

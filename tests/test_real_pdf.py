@@ -397,3 +397,22 @@ def test_graft_payloads_unaffected():
 if __name__ == "__main__":
     make_fixture()
     print(f"wrote {FIXTURE_PDF} and {FIXTURE_GOLDEN}")
+
+
+def test_incremental_update_newest_revision_wins():
+    """A PDF incremental update appends the new revision of an object
+    after the original; the scanner resolves duplicate numbers by
+    file order (last wins), so the UPDATED content extracts."""
+    base = _wrap_stream(
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (original text) Tj ET")
+    new_content = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm "
+                   b"(updated text) Tj ET")
+    updated = (base
+               + b"5 0 obj\n<< /Length "
+               + str(len(new_content)).encode()
+               + b" >>\nstream\n" + new_content
+               + b"\nendstream\nendobj\n"
+               b"trailer\n<< /Size 6 /Root 1 0 R /Prev 9 >>\n%%EOF\n")
+    assert [e["text"] for e in parse_real_pdf(base)] == ["original text"]
+    assert [e["text"] for e in parse_real_pdf(updated)] == [
+        "updated text"]
