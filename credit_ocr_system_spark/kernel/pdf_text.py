@@ -13,7 +13,11 @@ instead of silently yielding zero elements.
 Supported (the text-bearing core of ISO 32000):
 
 * object scan with direct-``/Length`` streams (fallback: scan to
-  ``endstream``), ``FlateDecode`` via ``zlib``;
+  ``endstream``); full ``/Filter`` chains over Flate (``zlib``), LZW
+  (from scratch, EarlyChange honored), ASCIIHex, ASCII85, RunLength,
+  with PNG row predictors (Sub/Up/Average/Paeth) via
+  ``/DecodeParms`` — image-only filters (DCT/JPX/CCITT) carry no
+  text and contribute nothing;
 * page tree walk (``/Catalog → /Pages → /Kids``, nested, cycle-safe)
   with ``/MediaBox`` inheritance through ``/Parent``;
 * text operators ``BT/ET  Tf  Tm  Td  TD  TL  T*  Tj  TJ  '  "``,
@@ -26,6 +30,12 @@ Supported (the text-bearing core of ISO 32000):
   increment and array forms) — the dominant post-2010 real-world PDF
   text encoding.
 
+* encrypted files under the standard security handler with RC4
+  (``/V`` 1–2, ``/R`` 2–3) and an empty user password — the common
+  "owner locked printing, anyone can read" web PDF: Algorithm-2 key
+  derivation + per-object RC4 over stream bytes (AES variants
+  contribute nothing rather than garbage);
+
 * object streams (``/Type /ObjStm``): contained objects (catalog,
   page tree, font dicts — where PDF ≥1.5 writers put them) are
   expanded from the decompressed stream via its ``/N``/``/First``
@@ -34,7 +44,8 @@ Supported (the text-bearing core of ISO 32000):
 
 Not supported (returns whatever text the supported subset yields,
 never raises): CID encodings other than Identity-H (predefined CJK
-CMaps), encrypted files, form XObjects, and non-Flate filters.
+CMaps), AES-encrypted or password-protected files, and form
+XObjects.
 
 Geometry model: glyph metrics aren't parsed (no embedded font
 program), so advances use the classic average-width approximation
@@ -57,7 +68,7 @@ DEFAULT_FONT_SIZE = 12.0
 DEFAULT_MEDIABOX = (0.0, 0.0, 612.0, 792.0)
 _MAX_PAGES = 10_000
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
@@ -66,8 +77,14 @@ _MEDIABOX_RE = re.compile(
     rb"([\d.+-]+)\s+([\d.+-]+)\s*\]")
 
 
-def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
+def _scan_objects(payload: bytes, decrypt=None
+                  ) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     """obj number → (dict bytes, raw stream bytes or None).
+
+    ``decrypt`` (from :func:`_make_decryptor`) is applied to stream
+    bytes — the only encrypted material this parser reads — before
+    storage and ObjStm expansion; XRef streams are never encrypted
+    (T.32000 §7.5.8.2) and are passed through.
 
     Sequential scan so byte patterns *inside* stream data (compressed
     bytes can contain ``N 0 obj`` or ``endobj``) never spawn phantom
@@ -88,6 +105,7 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
         if m is None:
             break
         num = int(m.group(1))
+        gen = int(m.group(2))
         start = m.end()
         end_obj = payload.find(b"endobj", start)
         if end_obj < 0:
@@ -114,6 +132,9 @@ def _scan_objects(payload: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
                 stream = stream[:-2]
             elif stream.endswith(b"\n") or stream.endswith(b"\r"):
                 stream = stream[:-1]
+        if decrypt is not None \
+                and not re.search(rb"/Type\s*/XRef\b", head):
+            stream = decrypt(num, gen, stream)
         objs[num] = (head, stream)
         if re.search(rb"/Type\s*/ObjStm\b", head):
             _expand_objstm(objs, head, stream)
@@ -147,15 +168,308 @@ def _expand_objstm(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
             objs[int(onum)] = (data[start:end], None)
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"",
+                    data[:end] if end >= 0 else data)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii_85_decode(data: bytes) -> bytes:
+    import base64
+    data = re.sub(rb"\s+", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    return base64.a85decode(data, adobe=False)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i + 1:i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 < n:
+                out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (T.32000 §7.4.4): variable 9–12-bit codes,
+    CLEAR=256, EOD=257; ``EarlyChange`` (default 1) widens the code
+    one entry before the table fills."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return bytes(out)  # corrupt
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return bytes(out)  # corrupt
+            out += entry
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) \
+                    and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int,
+                   bpc: int) -> bytes:
+    """Reverse PNG row predictors (type tag per row) — /Predictor
+    >= 10 on Flate/LZW streams (xref streams, some ObjStms)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prior = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i + 1 <= n:
+        ftype = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        row += bytes(rowlen - len(row))
+        i += 1 + rowlen
+        if ftype == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prior[k]) & 0xFF
+        elif ftype == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + (left + prior[k]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prior[k]
+                c = prior[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        out += row
+        prior = row
+    return bytes(out)
+
+
+_FILTER_LIST_RE = re.compile(rb"/Filter\s*(?:\[((?:[^\]])*)\]|/([A-Za-z0-9]+))")
+_PARMS_INT = {b"Predictor": 1, b"Columns": 1, b"Colors": 1,
+              b"BitsPerComponent": 8, b"EarlyChange": 1}
+
+
+def _decode_parms(head: bytes, count: int) -> List[Dict[bytes, int]]:
+    """One params dict per filter in the chain (missing → defaults).
+    Handles a single inline ``<< >>`` or an array of dict/null."""
+    defaults = dict(_PARMS_INT)
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", head)
+    if m is None:
+        return [dict(defaults) for _ in range(count)]
+    parms: List[Dict[bytes, int]] = []
+    if m.group(1) == b"<<":
+        blobs = [_balanced_dict(head, m.start(1))]
+    else:
+        seg = head[m.start(1):]
+        close = seg.find(b"]")
+        seg = seg[:close if close >= 0 else None]
+        # top-level entries only (a nested dict inside an entry must
+        # not spawn a phantom chain slot); ``null`` keeps its slot so
+        # the chain stays aligned — depth scan
+        depth = 0
+        blobs = []
+        for dm in re.finditer(rb"<<|>>|\bnull\b", seg):
+            tok = dm.group(0)
+            if tok == b"<<":
+                if depth == 0:
+                    blobs.append(_balanced_dict(seg, dm.start()))
+                depth += 1
+            elif tok == b">>":
+                depth -= 1
+            elif depth == 0:  # null placeholder
+                blobs.append(b"")
+    for blob in blobs:
+        d = dict(defaults)
+        for key, default in _PARMS_INT.items():
+            km = re.search(rb"/" + key + rb"\s+(\d+)", blob)
+            if km is not None:
+                d[key] = int(km.group(1))
+        parms.append(d)
+    while len(parms) < count:
+        parms.append(dict(defaults))
+    return parms
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    if b"/FlateDecode" in head:
-        try:
-            return zlib.decompress(stream)
-        except zlib.error:
-            return b""
-    if b"/Filter" in head:
-        return b""  # unsupported filter — contribute nothing
-    return stream
+    """Run the stream through its full ``/Filter`` chain. Supported:
+    Flate, LZW (+ PNG predictors via /DecodeParms), ASCIIHex,
+    ASCII85, RunLength. An unsupported filter in the chain
+    (DCTDecode, JPXDecode, CCITTFaxDecode, Crypt) contributes
+    nothing — tolerant-by-contract, like the rest of the parser."""
+    m = _FILTER_LIST_RE.search(head)
+    if m is None:
+        return stream
+    if m.group(1) is not None:
+        names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    else:
+        names = [m.group(2)]
+    parms = _decode_parms(head, len(names))
+    data = stream
+    try:
+        for name, parm in zip(names, parms):
+            if name in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif name in (b"LZWDecode", b"LZW"):
+                data = _lzw_decode(data, parm[b"EarlyChange"])
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                data = _ascii_hex_decode(data)
+            elif name in (b"ASCII85Decode", b"A85"):
+                data = _ascii_85_decode(data)
+            elif name in (b"RunLengthDecode", b"RL"):
+                data = _run_length_decode(data)
+            else:
+                return b""  # unsupported filter — contribute nothing
+            if name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW") \
+                    and parm[b"Predictor"] >= 10:
+                data = _png_unpredict(data, parm[b"Columns"],
+                                      parm[b"Colors"],
+                                      parm[b"BitsPerComponent"])
+    except Exception:
+        return b""
+    return data
+
+
+# --- standard security handler (RC4) --------------------------------------
+
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = byte ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _enc_string(data: bytes, key: bytes) -> Optional[bytes]:
+    """The string value under ``key`` in an encrypt dict — literal or
+    hex form."""
+    m = re.search(key + rb"\s*(\(|<)", data)
+    if m is None:
+        return None
+    if m.group(1) == b"(":
+        s, _ = _parse_literal_string(data, m.start(1))
+    else:
+        s, _ = _parse_hex_string(data, m.start(1))
+    return s
+
+
+def _make_decryptor(payload: bytes):
+    """``fn(objnum, gennum, stream_bytes) -> bytes`` for a file using
+    the standard security handler with RC4 (``/V`` 1–2, ``/R`` 2–3)
+    and an EMPTY user password — the overwhelmingly common "owner
+    locked printing, anyone can read" web PDF. AES (``/V`` 4–5) needs
+    a cipher the stdlib doesn't ship: returns a constant ``b""``
+    mapper so such files contribute nothing instead of garbage.
+    Returns ``None`` when the file is not encrypted.
+
+    Key derivation is T.32000 §7.6.3.3 Algorithm 2 (md5 over pad +
+    /O + /P little-endian + first /ID element, 50 re-hash rounds at
+    R3); the per-object key is Algorithm 1 (md5 of key + objnum(3 LE)
+    + gen(2 LE), truncated to min(n+5, 16)).
+    """
+    import hashlib
+    m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
+    if m is None:
+        return None
+    enc_num, enc_gen = int(m.group(1)), int(m.group(2))
+    om = re.search(rb"(?<![0-9])%d\s+%d\s+obj\b" % (enc_num, enc_gen),
+                   payload)
+    if om is None:
+        return lambda n, g, b: b""
+    head = payload[om.end():payload.find(b"endobj", om.end())]
+    if not re.search(rb"/Filter\s*/Standard\b", head):
+        return lambda n, g, b: b""
+    vm = re.search(rb"/V\s+(\d+)", head)
+    rm = re.search(rb"/R\s+(\d+)", head)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        return lambda n, g, b: b""  # AES / R4+: out of stdlib scope
+    o_entry = _enc_string(head, rb"/O")
+    pm = re.search(rb"/P\s+(-?\d+)", head)
+    if o_entry is None or pm is None:
+        return lambda n, g, b: b""
+    lm = re.search(rb"/Length\s+(\d+)", head)
+    nkey = 5 if r == 2 else (int(lm.group(1)) // 8 if lm else 5)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", payload)
+    id0 = bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode(
+        "ascii")) if idm else b""
+    p_le = (int(pm.group(1)) & 0xFFFFFFFF).to_bytes(4, "little")
+    key = hashlib.md5(
+        _ENC_PAD + o_entry[:32].ljust(32, b"\x00") + p_le + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nkey]).digest()
+    key = key[:nkey]
+
+    def decrypt(num: int, gen: int, data: bytes) -> bytes:
+        if num == enc_num:  # the encrypt dict itself is never encrypted
+            return data
+        okey = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[:min(nkey + 5, 16)]
+        return _rc4(okey, data)
+
+    return decrypt
 
 
 def _refs(pattern: bytes, head: bytes) -> List[int]:
@@ -600,7 +914,7 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
     recognizable subset produced (possibly none) and never raises.
     """
     try:
-        objs = _scan_objects(payload)
+        objs = _scan_objects(payload, _make_decryptor(payload))
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)
