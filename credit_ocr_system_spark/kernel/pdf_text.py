@@ -36,6 +36,12 @@ Supported (the text-bearing core of ISO 32000):
   derivation + per-object RC4 over stream bytes (AES variants
   contribute nothing rather than garbage);
 
+* form XObjects: ``Do`` executes a ``/Subtype /Form`` stream with its
+  own ``/Resources`` fonts merged over the caller's, under the
+  graphics state (``q``/``Q``/``cm``) and the form ``/Matrix``
+  reduced to axis-aligned scale + translate (rotated text is out of
+  the geometry model); nesting bounded;
+
 * object streams (``/Type /ObjStm``): contained objects (catalog,
   page tree, font dicts — where PDF ≥1.5 writers put them) are
   expanded from the decompressed stream via its ``/N``/``/First``
@@ -44,8 +50,8 @@ Supported (the text-bearing core of ISO 32000):
 
 Not supported (returns whatever text the supported subset yields,
 never raises): CID encodings other than Identity-H (predefined CJK
-CMaps), AES-encrypted or password-protected files, and form
-XObjects.
+CMaps), AES-encrypted or password-protected files, and rotated or
+skewed text frames.
 
 Geometry model: glyph metrics aren't parsed (no embedded font
 program), so advances use the classic average-width approximation
@@ -617,13 +623,10 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
     return cmap
 
 
-def _page_fonts(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
-                page_obj: int) -> Dict[str, Optional[Dict[int, str]]]:
-    """Font-name → decoder map for one page: ``None`` marks a simple
-    (1-byte, cp1252) font; a dict is an Identity-H composite font's
-    ToUnicode CID map. Resources inherit through ``/Parent`` like
-    MediaBox."""
-    res: Optional[bytes] = None
+def _page_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                    page_obj: int) -> Optional[bytes]:
+    """The page's ``/Resources`` dict bytes, inherited through
+    ``/Parent`` like MediaBox."""
     num: Optional[int] = page_obj
     for _ in range(32):
         if num is None or num not in objs:
@@ -631,9 +634,18 @@ def _page_fonts(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         head = objs[num][0]
         res = _dict_value(objs, head, rb"/Resources")
         if res is not None:
-            break
+            return res
         parents = _refs(rb"/Parent", head)
         num = parents[0] if parents else None
+    return None
+
+
+def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                          res: Optional[bytes]
+                          ) -> Dict[str, Optional[Dict[int, str]]]:
+    """Font-name → decoder map: ``None`` marks a simple (1-byte,
+    cp1252) font; a dict is an Identity-H composite font's ToUnicode
+    CID map."""
     if res is None:
         return {}
     fdict = _dict_value(objs, res, rb"/Font")
@@ -658,6 +670,57 @@ def _page_fonts(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         else:
             fonts[name] = None
     return fonts
+
+
+_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+"
+    rb"([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+
+
+def _xobjects_from_resources(
+        objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+        res: Optional[bytes],
+        parent_fonts: Dict[str, Optional[Dict[int, str]]],
+        depth: int = 0) -> Dict[str, Tuple[bytes, dict, dict,
+                                           Tuple[float, float,
+                                                 float, float]]]:
+    """XObject-name → (content, fonts, nested xobjects, matrix) for
+    every ``/Subtype /Form`` entry under ``/XObject``. Image XObjects
+    carry no text and are skipped. A form's own ``/Resources`` merge
+    OVER the caller's fonts (T.32000 §7.8.3: missing resources
+    inherit from the invoking context); its ``/Matrix`` reduces to
+    (sx, sy, tx, ty) — rotation/skew components are dropped, matching
+    the parser's axis-aligned geometry model."""
+    out: Dict[str, Tuple[bytes, dict, dict,
+                         Tuple[float, float, float, float]]] = {}
+    if res is None or depth > 4:
+        return out
+    xdict = _dict_value(objs, res, rb"/XObject")
+    if xdict is None:
+        return out
+    for m in _FONT_ENTRY_RE.finditer(xdict):
+        name = m.group(1).decode("latin-1")
+        num = int(m.group(2))
+        head, stream = objs.get(num, (None, None))
+        if head is None or stream is None \
+                or not re.search(rb"/Subtype\s*/Form\b", head):
+            continue
+        content = _decode_stream(head, stream)
+        fres = _dict_value(objs, head, rb"/Resources")
+        fonts = dict(parent_fonts)
+        fonts.update(_fonts_from_resources(objs, fres))
+        nested = _xobjects_from_resources(objs, fres, fonts, depth + 1)
+        mm = _MATRIX_RE.search(head)
+        if mm is not None:
+            try:
+                a, _b, _c, d, e, f = (float(mm.group(k))
+                                      for k in range(1, 7))
+            except ValueError:
+                a, d, e, f = 1.0, 1.0, 0.0, 0.0
+        else:
+            a, d, e, f = 1.0, 1.0, 0.0, 0.0
+        out[name] = (content, fonts, nested, (a or 1.0, d or 1.0, e, f))
+    return out
 
 
 # --- content-stream lexer -------------------------------------------------
@@ -776,9 +839,19 @@ def _lex(data: bytes):
 def _extract_page_elements(content: bytes, page_num: int,
                            page_h: float,
                            fonts: Optional[Dict[str, Optional[
-                               Dict[int, str]]]] = None
-                           ) -> List[Dict[str, Any]]:
+                               Dict[int, str]]]] = None,
+                           xobjects: Optional[Dict[str, Any]] = None,
+                           ctm: Tuple[float, float, float, float]
+                           = (1.0, 1.0, 0.0, 0.0),
+                           depth: int = 0) -> List[Dict[str, Any]]:
+    """Interpret one content stream. ``ctm`` is the inherited
+    device transform reduced to (sx, sy, tx, ty) — axis-aligned
+    scale + translate, the subset the geometry model can express;
+    ``cm`` composes onto it under ``q``/``Q`` save/restore, and a
+    form XObject's ``Do`` recurses with the form matrix composed
+    (bounded by ``depth``)."""
     fonts = fonts or {}
+    xobjects = xobjects or {}
     elements: List[Dict[str, Any]] = []
     base_fs = DEFAULT_FONT_SIZE  # set by Tf
     cid_map: Optional[Dict[int, str]] = None  # current font's decoder
@@ -786,6 +859,8 @@ def _extract_page_elements(content: bytes, page_num: int,
     lx = ly = 0.0      # line-matrix origin (PDF user space)
     cx = cy = 0.0      # cursor
     leading = 0.0
+    ctm_cur = list(ctm)          # [sx, sy, tx, ty]
+    gstack: List[Tuple[float, float, float, float]] = []
     stack: List[Any] = []
     arr: Optional[List[Any]] = None
 
@@ -816,10 +891,13 @@ def _extract_page_elements(content: bytes, page_num: int,
             # (accumulated Td deltas, formatted-number round trips) is
             # noise the approximate width model can't justify, and tidy
             # values keep goldens readable and stable.
-            x1 = round(cx, 2)
-            x2 = round(cx + width, 2)
-            y1 = round(page_h - cy - ASCENT_FRAC * fs, 2)
-            y2 = round(y1 + fs, 2)
+            sx, sy, tx, ty = ctm_cur
+            ux, uy = cx * sx + tx, cy * sy + ty
+            fs_dev = fs * sy
+            x1 = round(ux, 2)
+            x2 = round(ux + width * sx, 2)
+            y1 = round(page_h - uy - ASCENT_FRAC * fs_dev, 2)
+            y2 = round(y1 + fs_dev, 2)
             elements.append({
                 "page_num": page_num,
                 "text": text,
@@ -902,6 +980,38 @@ def _extract_page_elements(content: bytes, page_num: int,
             show(b"".join(parts),
                  kern=sum(kerns) / 1000.0 * base_fs * tm_scale)
             stack.clear()
+        elif op == "q":
+            gstack.append(tuple(ctm_cur))
+            stack.clear()
+        elif op == "Q":
+            if gstack:
+                ctm_cur[:] = gstack.pop()
+            stack.clear()
+        elif op == "cm":
+            a, b, c, d, e, f = nums(6)
+            sx, sy, tx, ty = ctm_cur
+            # axis-aligned reduction: a/d scale, e/f translate; a
+            # rotated frame (a or d == 0) keeps the prior scale so
+            # text stays measurable rather than degenerate
+            ctm_cur[:] = [sx * (a or 1.0), sy * (d or 1.0),
+                          sx * e + tx, sy * f + ty]
+            stack.clear()
+        elif op == "Do":
+            fname = next(
+                (v[1] for v in reversed(stack)
+                 if isinstance(v, tuple) and v[0] == "name"), None)
+            form = xobjects.get(fname) if fname is not None else None
+            if form is not None and depth < 8:
+                fcontent, ffonts, fnested, (ma, md, me, mf) = form
+                sx, sy, tx, ty = ctm_cur
+                child_ctm = (sx * ma, sy * md,
+                             sx * me + tx, sy * mf + ty)
+                merged = dict(xobjects)
+                merged.update(fnested)
+                elements.extend(_extract_page_elements(
+                    fcontent, page_num, page_h, ffonts, merged,
+                    child_ctm, depth + 1))
+            stack.clear()
         else:
             stack.clear()  # any other operator consumes its operands
     return elements
@@ -918,14 +1028,17 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)
-            fonts = _page_fonts(objs, page_obj)
+            res = _page_resources(objs, page_obj)
+            fonts = _fonts_from_resources(objs, res)
+            xobjects = _xobjects_from_resources(objs, res, fonts)
             content = b""
             for ref in _refs(rb"/Contents", objs[page_obj][0]):
                 head, stream = objs.get(ref, (b"", None))
                 if stream is not None:
                     content += _decode_stream(head, stream) + b"\n"
             elements.extend(
-                _extract_page_elements(content, idx, page_h, fonts))
+                _extract_page_elements(content, idx, page_h, fonts,
+                                       xobjects))
         return elements
     except Exception:
         return []
