@@ -25,8 +25,8 @@ tables, generated zigzag/DCT).
 idx1 index) whose per-frame payloads decode through the baseline
 JPEG decoder, plus a deterministic encoder (``encode_avi_mjpeg``) so
 the frame-sampling operator finally sees a REAL video byte-stream.
-Out-of-scope variants (progressive JPEG, sampling factors >2,
-MP4/H.264, non-MJPEG AVI streams) still raise — on a real cluster
+Out-of-scope variants (sampling factors >2, arithmetic-coded
+JPEG, MP4/H.264, non-MJPEG AVI streams) still raise — on a real cluster
 those route to PIL/pyav at the same seam
 (``operators/multimodal.py::decode_media``).
 

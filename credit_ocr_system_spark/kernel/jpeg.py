@@ -18,14 +18,16 @@ Design rule: **no memorized spec constants are load-bearing.**
 * the DCT basis is computed from its definition (orthonormal cosine
   matrix), verified by an inversion test, not copied.
 
-Scope (raise with a clear message outside it): baseline SOF0, 8-bit,
-sampling factors 1–2 per axis — 4:4:4, the dominant real-world 4:2:0
-(generic interleaved-MCU walk; encoder emits it via
+Scope (raise with a clear message outside it): baseline SOF0 and
+progressive SOF2 (spectral selection + successive approximation, EOB
+runs), 8-bit, sampling factors 1–2 per axis — 4:4:4, the dominant
+real-world 4:2:0 (generic interleaved-MCU walk; encoder emits it via
 ``subsampling="420"``: quarter-resolution box-mean chroma,
-4 Y + Cb + Cr per MCU), 4:2:2, or single-component greyscale. No
-restart markers, no progressive/arithmetic modes, single scan. The
-encoder only emits in-scope streams, so decode(encode(x)) always
-works; out-of-scope files route to PIL at the same seam as before.
+4 Y + Cb + Cr per MCU), 4:2:2, or single-component greyscale;
+restart markers in both modes. No arithmetic coding, no hierarchical
+or lossless modes, no multi-scan *baseline*. The encoder only emits
+in-scope streams, so decode(encode(x)) always works; out-of-scope
+files route to PIL at the same seam as before.
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``); this decoder
@@ -388,9 +390,10 @@ def _blocks_of(plane: np.ndarray):
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF bytes for an (h, w, 3) uint8 RGB array (or
-    (h, w) greyscale). One scan, data-derived huffman tables.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF bytes for an (h, w, 3) uint8 RGB array (or (h, w)
+    greyscale). Baseline: one scan, data-derived huffman tables.
 
     ``subsampling="420"`` (color only) emits the dominant real-world
     chroma layout: Y at 2x2 sampling, Cb/Cr quarter-resolution (2x2
@@ -399,6 +402,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     ``restart_interval=k`` emits a DRI marker and an RSTn every ``k``
     MCUs (DC predictors reset, stream re-byte-aligned) — the
     error-resilience feature virtually every camera writes.
+
+    ``progressive=True`` emits SOF2 with the standard web scan
+    script shape: interleaved DC first (Al=1), per-component AC
+    first scans (Ss=1..63, Al=1), per-component AC refinement
+    (Ah=1→Al=0), interleaved DC refinement. The coefficients are
+    identical to the baseline path's, so decode() of the two
+    encodings is bit-identical.
     """
     grey = img.ndim == 2
     if grey:
@@ -451,6 +461,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
             np.clip(zz[1:], -1023, 1023, out=zz[1:])
             blocks.append(zz)
         comp_blocks.append(blocks)
+
+    if progressive:
+        return _encode_progressive(
+            comp_blocks, planes, samp, qtabs, plane_q, h, w,
+            restart_interval, (h16, w16) if sub420 else None)
 
     if sub420:
         # reorder the Y blocks from raster into MCU-visit order (2x2
@@ -566,13 +581,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from baseline JFIF bytes — 4:4:4, 4:2:0 /
-    4:2:2 (sampling factors 1–2, generic interleaved-MCU walk, chroma
-    upsampled by replication), or greyscale.
+    """(h, w, 3) uint8 RGB from JFIF bytes — baseline (SOF0) or
+    progressive (SOF2, spectral selection + successive approximation,
+    EOB runs, restart markers); 4:4:4, 4:2:0 / 4:2:2 (sampling
+    factors 1–2, generic interleaved-MCU walk, chroma upsampled by
+    replication), or greyscale.
 
-    Out-of-scope streams (progressive, multi-scan, sampling factors
-    >2, restart-marker) raise ValueError with the feature named —
-    they route to PIL at the ``decode_media`` seam, same as before.
+    Out-of-scope streams (non-baseline/progressive SOFs, multi-scan
+    baseline, sampling factors >2) raise ValueError with the feature
+    named — they route to PIL at the ``decode_media`` seam, same as
+    before.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -580,6 +598,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    scans: list[dict] = []
     scan_comps = None
     restart_interval = 0
     data_start = None
@@ -614,10 +634,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huffval = list(body[at + 17:at + 17 + n])
                 huff[(cls, ti)] = _codebook_from_dht(bits, huffval)
                 at += 17 + n
-        elif tag == 0xC0:
+        elif tag in (0xC0, 0xC2):
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
+            progressive = tag == 0xC2
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -629,14 +650,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         "decode seam")
                 comps.append((cid, hh, vv, tq))
             frame = (h, w, comps)
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline SOF 0xFF{tag:02X} out of scope")
+                f"SOF 0xFF{tag:02X} out of scope "
+                "(baseline SOF0 / progressive SOF2 only)")
         elif tag == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:
-            if scan_comps is not None:
+            if scan_comps is not None and not progressive:
                 # a second SOS is valid T.81 (non-interleaved baseline)
                 # but out of scope here — overwriting the first scan
                 # would silently decode garbage from np.empty planes
@@ -656,11 +678,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 end += 1
             scan_data = payload[data_start:end]
             pos = end
+            if progressive:
+                scans.append({
+                    "comps": scan_comps,
+                    "ss": body[1 + 2 * ns], "se": body[2 + 2 * ns],
+                    "ah": body[3 + 2 * ns] >> 4,
+                    "al": body[3 + 2 * ns] & 0xF,
+                    "data": scan_data,
+                    # tables may be redefined between scans: snapshot
+                    "huff": dict(huff),
+                    "dri": restart_interval,
+                })
         # APPn/COM and anything else: skipped via the length field
 
     if frame is None or scan_comps is None:
-        raise ValueError("missing SOF0/SOS")
+        raise ValueError("missing SOF/SOS")
     h, w, comps = frame
+    if progressive:
+        for _cid, _hh, _vv, _tq in comps:
+            if _tq not in qtabs:
+                raise ValueError(
+                    f"component references undefined quant table {_tq}")
+        return _finish_planes(
+            h, w, comps,
+            _progressive_coefficients(h, w, comps, scans), qtabs)
     # a stream may reference tables it never defined — fail with the
     # problem named instead of a KeyError mid-scan
     for _cid, _dt, _at in scan_comps:
@@ -741,3 +782,460 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (SOF2): T.81 Annex G, huffman variant
+# ---------------------------------------------------------------------------
+#
+# A progressive frame splits the coefficient data across scans two
+# ways: SPECTRAL SELECTION (a scan carries only zigzag band Ss..Se;
+# DC and AC bands must be separate scans) and SUCCESSIVE APPROXIMATION
+# (a first scan carries the point-transformed coefficients >> Al, and
+# refinement scans each append one lower bit, Ah = Al+1 of the prior
+# pass). Entropy decoding therefore targets a per-component
+# COEFFICIENT store, and the IDCT runs once at the end.
+
+
+def _comp_block_dims(h: int, w: int, hh: int, vv: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """True (block rows, block cols) of one component — T.81 A.1.1:
+    ceil of the component's sample dims over 8. Non-interleaved scans
+    cover exactly these blocks; interleaved scans also code the
+    MCU-padding blocks beyond them."""
+    cw = -(-(w * hh) // hmax)
+    ch = -(-(h * vv) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_coefficients(h: int, w: int, comps: list,
+                              scans: list[dict]) -> dict:
+    """Run every scan's entropy data into per-component zigzag
+    coefficient grids ``{cid: (grid_h, grid_w, 64) int64}`` (grids are
+    MCU-padded so interleaved DC scans fit)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    samp = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
+    coefs = {cid: np.zeros((mcuy * vv, mcux * hh, 64), dtype=np.int64)
+             for cid, hh, vv, _tq in comps}
+    bdims = {cid: _comp_block_dims(h, w, hh, vv, hmax, vmax)
+             for cid, hh, vv, _tq in comps}
+
+    for scan in scans:
+        sc = scan["comps"]
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        huff, dri = scan["huff"], scan["dri"]
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("progressive AC scan must be "
+                             "single-component (T.81 B.2.3)")
+        if ss == 0 and ah == 0:
+            for _cid, dt, _at in sc:
+                if (0, dt) not in huff:
+                    raise ValueError(
+                        f"scan references undefined DC table {dt}")
+        if ss > 0:
+            at0 = sc[0][2]
+            if (1, at0) not in huff:
+                raise ValueError(
+                    f"scan references undefined AC table {at0}")
+        reader = _BitReader(scan["data"])
+        preds = {cid: 0 for cid, _dt, _at in sc}
+        eobrun = 0
+
+        def dc_first(zz, cid, dt):
+            cat = _decode_symbol(reader, huff[(0, dt)])
+            preds[cid] += _extend(reader.read_bits(cat), cat)
+            zz[0] = preds[cid] << al
+
+        def dc_refine(zz):
+            if reader.read_bit():
+                # two's complement: the low Al+ bits of the stored
+                # value are zero, so OR appends the bit for either sign
+                zz[0] |= 1 << al
+
+        def ac_first(zz, at):
+            nonlocal eobrun
+            if eobrun > 0:          # inside an end-of-band run
+                eobrun -= 1
+                return
+            tab = huff[(1, at)]
+            k = ss
+            while k <= se:
+                sym = _decode_symbol(reader, tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:     # ZRL: 16 zero coefficients
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1   # current block is the 1st
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+        def ac_refine(zz, at):
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            tab = huff[(1, at)]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _decode_symbol(reader, tab)
+                    r, s = sym >> 4, sym & 0xF
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            # run counts current block too: consume it
+                            # via the correction tail below
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15, s == 0: ZRL — skip 16 zero-history
+                        # positions (corrections read in passing)
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement size category != 1")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # end-of-band: correction bits only for the rest of
+                # this block's band
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        interleaved = len(sc) > 1
+        if interleaved:
+            units = mcuy * mcux
+        else:
+            bh, bw = bdims[sc[0][0]]
+            units = bh * bw
+        rst_idx = 0
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                reader.sync_restart(rst_idx % 8)
+                rst_idx += 1
+                preds = {cid: 0 for cid, _dt, _at in sc}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for cid, dt, _at in sc:
+                    hh, vv = samp[cid]
+                    for dy in range(vv):
+                        for dx in range(hh):
+                            zz = coefs[cid][my * vv + dy, mx * hh + dx]
+                            if ah == 0:
+                                dc_first(zz, cid, dt)
+                            else:
+                                dc_refine(zz)
+            else:
+                cid, dt, at = sc[0]
+                bh, bw = bdims[cid]
+                by, bx = divmod(u, bw)
+                zz = coefs[cid][by, bx]
+                if ss == 0 and ah == 0:
+                    dc_first(zz, cid, dt)
+                elif ss == 0:
+                    dc_refine(zz)
+                elif ah == 0:
+                    ac_first(zz, at)
+                else:
+                    ac_refine(zz, at)
+    return coefs
+
+
+def _finish_planes(h: int, w: int, comps: list, coefs: dict,
+                   qtabs: dict) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient grids and
+    assemble the final image (same upsample/color tail as baseline)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for cid, hh, vv, tq in comps:
+        q = qtabs[tq]
+        grid = coefs[cid]
+        gh, gw = grid.shape[:2]
+        plane = np.empty((gh * 8, gw * 8))
+        for by in range(gh):
+            for bx in range(gw):
+                coef = np.zeros(64)
+                coef[_ZZ] = grid[by, bx]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    idct2(coef.reshape(8, 8) * q) + 128.0
+        if hh != hmax or vv != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vv, axis=0),
+                              hmax // hh, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — the round-trip twin of the decoder above
+# ---------------------------------------------------------------------------
+#
+# Event model per scan: ("s", table_key, symbol) huffman symbols,
+# ("b", value, nbits) raw appended bits, ("R",) restart boundaries.
+# Two passes per scan — count symbols, derive canonical tables, emit —
+# exactly like the baseline encoder, but per scan since each scan may
+# define its own tables.
+
+
+def _dc_first_events(comp_blocks, sched, per_mcu, al, dri):
+    events: list = []
+    preds = [0] * 16
+    for m in range(len(sched) // per_mcu):
+        if dri and m and m % dri == 0:
+            events.append(("R",))
+            preds = [0] * 16
+        for ci, bi in sched[m * per_mcu:(m + 1) * per_mcu]:
+            v = int(comp_blocks[ci][bi][0]) >> al  # DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = _category(diff)
+            events.append(("s", (0, 0 if ci == 0 else 1), cat))
+            if cat:
+                events.append(("b", _amplitude_bits(diff, cat), cat))
+    return events
+
+
+def _dc_refine_events(comp_blocks, sched, per_mcu, al, dri):
+    events: list = []
+    for m in range(len(sched) // per_mcu):
+        if dri and m and m % dri == 0:
+            events.append(("R",))
+        for ci, bi in sched[m * per_mcu:(m + 1) * per_mcu]:
+            events.append(
+                ("b", (int(comp_blocks[ci][bi][0]) >> al) & 1, 1))
+    return events
+
+
+def _ac_first_events(blocks, t, al, dri):
+    events: list = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        nb = eobrun.bit_length() - 1
+        events.append(("s", (1, t), nb << 4))
+        if nb:
+            events.append(("b", eobrun - (1 << nb), nb))
+        eobrun = 0
+
+    for i, zz in enumerate(blocks):
+        if dri and i and i % dri == 0:
+            flush()
+            events.append(("R",))
+        r = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            av = abs(v) >> al      # AC point transform: magnitude
+            if av == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                events.append(("s", (1, t), 0xF0))     # ZRL
+                r -= 16
+            sv = av if v > 0 else -av
+            cat = _category(sv)
+            events.append(("s", (1, t), (r << 4) | cat))
+            events.append(("b", _amplitude_bits(sv, cat), cat))
+            r = 0
+        if r:                      # band ends in zeros → EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:   # EOB14 is the largest encodable run
+                flush()
+    flush()
+    return events
+
+
+def _ac_refine_events(blocks, t, al, dri):
+    events: list = []
+    eobrun = 0
+    br: list = []                  # correction bits riding the EOB run
+
+    def flush():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        nb = eobrun.bit_length() - 1
+        events.append(("s", (1, t), nb << 4))
+        if nb:
+            events.append(("b", eobrun - (1 << nb), nb))
+        for bit in br:
+            events.append(("b", bit, 1))
+        br.clear()
+        eobrun = 0
+
+    for i, zz in enumerate(blocks):
+        if dri and i and i % dri == 0:
+            flush()
+            events.append(("R",))
+        vals = [int(zz[k]) for k in range(64)]
+        absv = [abs(v) >> al for v in vals]
+        eob = 0                    # last newly-significant position
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        brblk: list = []           # corrections since the last symbol
+        for k in range(1, 64):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                events.append(("s", (1, t), 0xF0))
+                r -= 16
+                events.extend(("b", bit, 1) for bit in brblk)
+                brblk = []
+            if temp > 1:           # history-nonzero: correction bit
+                brblk.append(temp & 1)
+                continue
+            flush()                # newly significant: (r, 1) + sign
+            events.append(("s", (1, t), (r << 4) | 1))
+            events.append(("b", 1 if vals[k] > 0 else 0, 1))
+            r = 0
+            events.extend(("b", bit, 1) for bit in brblk)
+            brblk = []
+        if r > 0 or brblk:         # tail rides the EOB run
+            eobrun += 1
+            br.extend(brblk)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return events
+
+
+def _emit_scan(out: bytearray, events: list, sos_comps: list,
+               ss: int, se: int, ah: int, al: int) -> None:
+    """DHT (from this scan's symbol frequencies) + SOS + entropy data."""
+    freqs: dict = {}
+    for ev in events:
+        if ev[0] == "s":
+            freqs.setdefault(ev[1], {})
+            freqs[ev[1]][ev[2]] = freqs[ev[1]].get(ev[2], 0) + 1
+    tabs = {key: _canonical(_code_lengths(f))
+            for key, f in freqs.items()}
+    for (cls, ti), (bits, huffval, _cb) in sorted(tabs.items()):
+        out += _marker(0xC4, bytes([(cls << 4) | ti])
+                       + bytes(bits[1:]) + bytes(huffval))
+    sos = bytes([len(sos_comps)])
+    for cid, dt, at in sos_comps:
+        sos += bytes([cid, (dt << 4) | at])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += _marker(0xDA, sos)
+    writer = _BitWriter()
+    rst = 0
+    for ev in events:
+        if ev[0] == "R":
+            writer.emit_restart(rst % 8)
+            rst += 1
+        elif ev[0] == "s":
+            code, length = tabs[ev[1]][2][ev[2]]
+            writer.write(code, length)
+        else:
+            writer.write(ev[1], ev[2])
+    out += writer.flush()
+
+
+def _encode_progressive(comp_blocks, planes, samp, qtabs, plane_q,
+                        h, w, dri, pad420) -> bytes:
+    """SOF2 emission with the standard web scan script (DC first →
+    per-component AC first → per-component AC refine → DC refine),
+    successive approximation depth 1. ``comp_blocks`` are in raster
+    order; interleaved scans index them through the MCU schedule."""
+    ncomp = len(planes)
+    if pad420:
+        h16, w16 = pad420
+        ybw, cbw = w16 // 8, w16 // 16
+        sched = []
+        for my in range(h16 // 16):
+            for mx in range(w16 // 16):
+                sched.extend((0, (2 * my + dy) * ybw + (2 * mx + dx))
+                             for dy in (0, 1) for dx in (0, 1))
+                sched.append((1, my * cbw + mx))
+                sched.append((2, my * cbw + mx))
+        per_mcu = 6
+    else:
+        sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
+                 for ci in range(ncomp)]
+        per_mcu = ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def comp_ac_blocks(ci):
+        # non-interleaved scans cover the component's TRUE block grid
+        # (T.81 A.1.1) — strip the MCU-padding columns/rows the padded
+        # plane carries (420 Y can have one extra block per row)
+        hh, vv = samp[ci]
+        bh, bw = _comp_block_dims(h, w, hh, vv, hmax, vmax)
+        pbw = -(-planes[ci].shape[1] // 8)
+        blocks = comp_blocks[ci]
+        return [blocks[by * pbw + bx]
+                for by in range(bh) for bx in range(bw)]
+
+    out = bytearray()
+    out += _marker(0xD8)
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += _marker(0xDB, bytes([ti])
+                       + bytes(int(x) for x in q.ravel()[_ZZ]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      plane_q[ci]])
+    out += _marker(0xC2, sof)                              # SOF2
+    if dri:
+        out += _marker(0xDD, struct.pack(">H", dri))
+    AL = 1
+    dc_comps = [(ci + 1, 0 if ci == 0 else 1, 0)
+                for ci in range(ncomp)]
+    _emit_scan(out, _dc_first_events(comp_blocks, sched, per_mcu,
+                                     AL, dri),
+               dc_comps, 0, 0, 0, AL)
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        _emit_scan(out, _ac_first_events(comp_ac_blocks(ci), t,
+                                         AL, dri),
+                   [(ci + 1, 0, t)], 1, 63, 0, AL)
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        _emit_scan(out, _ac_refine_events(comp_ac_blocks(ci), t,
+                                          AL - 1, dri),
+                   [(ci + 1, 0, t)], 1, 63, AL, AL - 1)
+    _emit_scan(out, _dc_refine_events(comp_blocks, sched, per_mcu,
+                                      AL - 1, dri),
+               dc_comps, 0, 0, AL, AL - 1)
+    out += _marker(0xD9)                                   # EOI
+    return bytes(out)

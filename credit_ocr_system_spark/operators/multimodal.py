@@ -7,11 +7,11 @@ provides the full Spark-side plumbing — schemas, deterministic
 synthetic media source, feature extraction, image resize, video frame
 sampling (1→N explode) — with the *codec* behind a seam:
 
-* ``decode_media`` really decodes PNG / BMP / WAV / baseline-JPEG
-  (4:4:4 and 4:2:0/4:2:2) / MJPEG-AVI payloads via the codecs in
-  ``kernel/codecs.py`` + ``kernel/jpeg.py`` (zlib inflate + scanline
-  unfilter, DIB row handling, PCM scaling, huffman + IDCT, RIFF
-  walk); out-of-scope variants (progressive JPEG, MP4/H.264) raise
+* ``decode_media`` really decodes PNG / BMP / WAV / JPEG (baseline
+  and progressive, 4:4:4 and 4:2:0/4:2:2) / MJPEG-AVI payloads via
+  the codecs in ``kernel/codecs.py`` + ``kernel/jpeg.py`` (zlib
+  inflate + scanline unfilter, DIB row handling, PCM scaling,
+  huffman + IDCT, RIFF walk); out-of-scope variants (MP4/H.264) raise
   ``NotImplementedError`` — no PIL/pyav in this container, by
   design, and they swap in at this same seam;
 * ``fake_decode`` is the deterministic stand-in used by default for
@@ -182,8 +182,8 @@ def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
     ``/root/reference/src/ocr/easyocr_client.py:17-58``; these return
     the same ``(h, w, 3) uint8`` / float32-sample /
     ``(n, h, w, 3) uint8`` ndarrays). Out-of-scope variants
-    (progressive/subsampled JPEG, MP4/H.264, non-MJPEG AVI) still
-    raise; a cluster with PIL/pyav swaps them in at this same seam.
+    (arithmetic-coded JPEG, MP4/H.264, non-MJPEG AVI) still raise;
+    a cluster with PIL/pyav swaps them in at this same seam.
     ``fake_decode`` remains the deterministic stand-in for the opaque
     synthetic payloads.
     """

@@ -212,10 +212,16 @@ def test_decoder_rejects_out_of_scope():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
     enc = bytearray(encode_jpeg(_rng_img(16, 16), 85))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF1 (extended sequential — still out of scope)
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2
+    enc[sof + 1] = 0xC1
     with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(enc))
+    # SOF2 is in scope now, but a baseline stream relabeled SOF2 is
+    # MALFORMED progressive (its one scan spans Ss=0..Se=63): the
+    # decoder must name that, not decode garbage
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(bytes(enc))
     # sampling factors beyond 2 in SOF0 (4:2:0/4:2:2 are in scope now)
     enc = bytearray(encode_jpeg(_rng_img(16, 16), 85))
