@@ -14,12 +14,15 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
   the salted repartitioning must defuse;
 * ~8% of rows carry a PDF payload instead of HTML (payload dispatch
   on magic bytes, cf. the reference mime whitelist
-  ``src/dms/service.py:79-80``): half genuine ``%PDF-1.4`` files with
-  digital-text content streams (``.pdf_write`` — mixed
-  Flate/uncompressed, Tm/Td/TJ operator styles, simple WinAnsi AND
-  composite Identity-H/ToUnicode CID fonts, exercising
-  ``kernel/pdf_text.py``), half ``%PDF-GRAFT`` token layouts (the
-  OCR-shaped path with per-token confidences);
+  ``src/dms/service.py:79-80``): half genuine ``%PDF-1.x`` files with
+  digital-text content streams (``.pdf_write`` — mixed filter chains
+  (Flate / LZW / ASCIIHex / RunLength / ASCII85+Flate / raw),
+  Tm/Td/TJ operator styles, simple WinAnsi AND composite
+  Identity-H/ToUnicode CID fonts, object streams, RC4-encrypted
+  standard-security files (40- and 128-bit), and form-XObject
+  letterhead shapes — every path ``kernel/pdf_text.py`` decodes),
+  half ``%PDF-GRAFT`` token layouts (the OCR-shaped path with
+  per-token confidences);
 * credit-request forms embed a per-page subset of the 21 configured
   fields with value variants that fire every cleaning/validation rule
   (German numbers, bad dates, out-of-range years, OCR'd ``m?`` areas,
@@ -240,6 +243,17 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         # PDF >=1.5 writers pack dict objects into object streams —
         # a third of the genuine PDFs do here too
         objstm=rng.random() < 0.34,
+        # real-world filter spread: mostly Flate (None → the compress
+        # draw above), with a legacy/wrapper tail
+        stream_filter=rng.choices(
+            (None, "lzw", "ahx", "rl", "a85+flate"),
+            weights=(70, 10, 6, 6, 8))[0],
+        # "owner-locked, anyone can read" web PDFs: RC4 standard
+        # security handler, both key lengths
+        encrypt=rng.choices((None, "rc4-40", "rc4-128"),
+                            weights=(80, 8, 12))[0],
+        # letterhead/stamp shape: text inside a form XObject
+        form_xobject=rng.random() < 0.25,
     )
 
 

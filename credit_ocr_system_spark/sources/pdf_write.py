@@ -22,10 +22,11 @@ width model.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
-from ..kernel.pdf_text import ASCENT_FRAC, CHAR_W_FRAC
+from ..kernel.pdf_text import _ENC_PAD, _rc4, ASCENT_FRAC, CHAR_W_FRAC
 
 PAGE_W = 612.0
 PAGE_H = 792.0
@@ -136,9 +137,142 @@ def _content_stream(tokens: Sequence[Token], style: str,
     return b"\n".join(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible compressor (EarlyChange=1, variable
+    9–12-bit codes, CLEAR/EOD framing) — lets the generated corpus
+    carry the legacy-writer filter the parser must read."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wc] = next_code
+            next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# content-stream /Filter variants a generated corpus can carry;
+# each returns (encoded bytes, dict entry)
+_STREAM_FILTERS = {
+    "flate": lambda d: (zlib.compress(d, 6), b" /Filter /FlateDecode"),
+    "lzw": lambda d: (_lzw_encode(d), b" /Filter /LZWDecode"),
+    "ahx": lambda d: (d.hex().encode("ascii") + b">",
+                      b" /Filter /ASCIIHexDecode"),
+    "rl": lambda d: (_rl_encode(d), b" /Filter /RunLengthDecode"),
+    "a85+flate": lambda d: (
+        __import__("base64").a85encode(zlib.compress(d, 6)) + b"~>",
+        b" /Filter [/ASCII85Decode /FlateDecode]"),
+}
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible: literal runs only (always valid,
+    never smaller — fine, the point is exercising the decoder)."""
+    out = bytearray()
+    for at in range(0, len(data), 128):
+        chunk = data[at:at + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _encrypt_objects(emit: List[Tuple[int, bytes]], nkey: int,
+                     r: int, v: int, id0: bytes
+                     ) -> Tuple[List[Tuple[int, bytes]], bytes, int]:
+    """RC4-encrypt every stream's bytes in place (standard security
+    handler, empty user AND owner passwords) and return the rewritten
+    objects, the trailer additions, and the /Encrypt object number.
+
+    /O is Algorithm 3, /U Algorithm 4 (R2) / 5 (R3); the file key is
+    Algorithm 2 — the same derivation ``kernel/pdf_text`` runs, but
+    implemented here from the writer's side of the contract.
+    """
+    # Algorithm 3: /O from the (empty→pad) owner password
+    h = hashlib.md5(_ENC_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:nkey]
+    o_entry = _rc4(okey, _ENC_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+    p = -44  # permissions: print only — any value, it feeds the key
+    key = hashlib.md5(
+        _ENC_PAD + o_entry + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nkey]).digest()
+    key = key[:nkey]
+    if r == 2:  # Algorithm 4
+        u_entry = _rc4(key, _ENC_PAD)
+    else:       # Algorithm 5
+        u = hashlib.md5(_ENC_PAD + id0).digest()
+        u = _rc4(key, u)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u_entry = u + b"\x00" * 16
+
+    def obj_key(num: int) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[:min(nkey + 5, 16)]
+
+    out: List[Tuple[int, bytes]] = []
+    for num, body in emit:
+        at = body.find(b"\nstream\n")
+        if at >= 0:
+            head = body[:at]
+            end = body.rfind(b"\nendstream")
+            data = _rc4(obj_key(num), body[at + 8:end])
+            body = head + b"\nstream\n" + data + b"\nendstream"
+        out.append((num, body))
+    enc_num = max(n for n, _ in out) + 1
+    out.append((enc_num,
+                b"<< /Filter /Standard /V %d /R %d /Length %d"
+                b" /O <%s> /U <%s> /P %d >>"
+                % (v, r, nkey * 8, o_entry.hex().encode("ascii"),
+                   u_entry.hex().encode("ascii"), p)))
+    trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                     % (enc_num, id0.hex().encode("ascii"),
+                        id0.hex().encode("ascii")))
+    return out, trailer_extra, enc_num
+
+
 def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               style: str = "tm", font: str = "simple",
-              objstm: bool = False) -> bytes:
+              objstm: bool = False,
+              stream_filter: Optional[str] = None,
+              encrypt: Optional[str] = None,
+              form_xobject: bool = False) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -154,10 +288,28 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     top-level objects via per-object subsections (a real 1.5 writer
     would emit an xref stream; the parsers this writer exists to
     exercise scan objects sequentially and never read the xref).
+
+    ``stream_filter`` overrides ``compress`` for the page content
+    streams: ``"flate"``, ``"lzw"``, ``"ahx"`` (ASCIIHex), ``"rl"``
+    (RunLength), or the chain ``"a85+flate"`` — the filter spread of
+    real-world writers.
+
+    ``encrypt="rc4-40"`` / ``"rc4-128"`` emits a standard-security-
+    handler file (empty user password): every stream RC4-encrypted
+    under the Algorithm-2 file key, /O and /U computed per
+    Algorithms 3–5, /Encrypt + /ID in the trailer.
+
+    ``form_xobject=True`` moves each page's text into a
+    ``/Subtype /Form`` XObject invoked from a tiny ``q /Fm1 Do Q``
+    content stream — the letterhead/stamp/OCR-layer document shape.
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
     cid = font == "cid"
+    if stream_filter is None:
+        stream_filter = "flate" if compress else None
+    elif stream_filter not in _STREAM_FILTERS:
+        raise ValueError(f"unknown stream_filter {stream_filter!r}")
     # object numbering: 1 catalog, 2 pages, 3 font, (cid: 4 descendant
     # font, 5 ToUnicode stream,) then per page i (0-based): page obj +
     # content obj pairs
@@ -191,17 +343,39 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     else:
         objs.append(b"<< /Type /Font /Subtype /Type1"
                     b" /BaseFont /Helvetica >>")
+    form_base = first_page_obj + 2 * n_pages  # form objs come after
+    form_objs: List[bytes] = []
     for i, tokens in enumerate(page_tokens):
-        objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R"
-                    b" /Resources << /Font << /F1 3 0 R >> >> >>"
-                    % (first_page_obj + 1 + 2 * i))
-        data = _content_stream(tokens, style, cid)
-        if compress:
-            data = zlib.compress(data, 6)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        if form_xobject:
+            res = (b" /Resources << /Font << /F1 3 0 R >>"
+                   b" /XObject << /Fm1 %d 0 R >> >>" % (form_base + i))
         else:
-            head = b"<< /Length %d >>" % len(data)
-        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+            res = b" /Resources << /Font << /F1 3 0 R >> >>"
+        objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R%s >>"
+                    % (first_page_obj + 1 + 2 * i, res))
+        data = _content_stream(tokens, style, cid)
+        if form_xobject:
+            form_data = data
+            data = b"q /Fm1 Do Q"
+        if stream_filter is not None:
+            data, filt = _STREAM_FILTERS[stream_filter](data)
+        else:
+            filt = b""
+        objs.append(b"<< /Length %d%s >>" % (len(data), filt)
+                    + b"\nstream\n" + data + b"\nendstream")
+        if form_xobject:
+            if stream_filter is not None:
+                form_data, ffilt = _STREAM_FILTERS[stream_filter](
+                    form_data)
+            else:
+                ffilt = b""
+            form_objs.append(
+                b"<< /Type /XObject /Subtype /Form"
+                b" /BBox [0 0 %s %s] /Matrix [1 0 0 1 0 0]"
+                b" /Length %d%s >>\nstream\n"
+                % (_num(PAGE_W), _num(PAGE_H), len(form_data), ffilt)
+                + form_data + b"\nendstream")
+    objs.extend(form_objs)
 
     if objstm:
         dict_items = [(i, b) for i, b in enumerate(objs, start=1)
@@ -232,13 +406,24 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         total = len(objs) + 1
         version = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
 
+    trailer_extra = b""
+    if encrypt is not None:
+        if encrypt not in ("rc4-40", "rc4-128"):
+            raise ValueError(f"unknown encrypt mode {encrypt!r}")
+        nkey, r, v = (5, 2, 1) if encrypt == "rc4-40" else (16, 3, 2)
+        # deterministic /ID: digest of the plaintext objects
+        id0 = hashlib.md5(b"".join(b for _n, b in emit)).digest()
+        emit, trailer_extra, enc_num = _encrypt_objects(
+            emit, nkey, r, v, id0)
+        total = enc_num + 1
+
     buf = bytearray(version)
     offsets: List[Tuple[int, int]] = []
     for num, body in emit:
         offsets.append((num, len(buf)))
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     xref_at = len(buf)
-    if objstm:
+    if objstm or encrypt is not None:
         # sparse top-level numbering: one xref subsection per object
         buf += b"xref\n0 1\n0000000000 65535 f \n"
         for num, off in offsets:
@@ -248,6 +433,6 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         buf += b"0000000000 65535 f \n"
         for _onum, off in offsets:
             buf += b"%010d 00000 n \n" % off
-    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (total, xref_at))
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (total, trailer_extra, xref_at))
     return bytes(buf)
