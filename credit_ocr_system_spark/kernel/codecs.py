@@ -161,12 +161,57 @@ def encode_png(img: np.ndarray, row_filter: int | None = None) -> bytes:
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG → (h, w, channels) uint8.
+def _scanline_block(raw: bytes, off: int, w: int, h: int,
+                    channels: int, depth: int
+                    ) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image of ``h`` scanlines starting
+    at ``off`` in the inflated IDAT stream. Returns ((h, w, channels)
+    samples, next offset). Sub-byte depths come back as raw sample
+    values (caller scales greyscale / looks up palette); 16-bit is
+    down-converted to its high byte (the spec's 8-bit reduction)."""
+    if w == 0 or h == 0:
+        return np.zeros((h, w, channels), np.uint8), off
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    rows = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        if off + 1 + stride > len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        line = np.frombuffer(raw, np.uint8, stride, off + 1)
+        prev = _unfilter_row(raw[off], line, prev, bpp)
+        rows[y] = prev
+        off += 1 + stride
+    if depth == 8:
+        samples = rows[:, :w * channels]
+    elif depth == 16:
+        samples = rows.reshape(h, stride // 2, 2)[:, :w * channels, 0]
+    else:  # 1 / 2 / 4: big-endian bit packing within each byte
+        bits = np.unpackbits(rows, axis=1)
+        per = bits[:, :stride * 8].reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (per * weights).sum(axis=2).astype(np.uint8)
+        samples = samples[:, :w * channels]
+    return samples.reshape(h, w, channels), off
 
-    Greyscale returns (h, w, 1); palette is expanded to (h, w, 3);
-    alpha channels are preserved (callers normalize — see
-    ``decode_image_rgb``). Chunk CRCs are verified.
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+# spec-valid (color type → bit depths)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG → (h, w, channels) uint8: every spec bit depth
+    (1/2/4/8/16 — sub-byte unpacked, 16-bit reduced to the high
+    byte), all five color types, sequential or Adam7-interlaced.
+
+    Greyscale returns (h, w, 1) scaled to full range; palette is
+    expanded to (h, w, 3); alpha channels are preserved (callers
+    normalize — see ``decode_image_rgb``). Chunk CRCs are verified.
     """
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
@@ -192,31 +237,37 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"PNG bit depth {depth} invalid for color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG (Adam7) not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[color_type]
-    stride = w * channels
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        px, off = _scanline_block(raw, 0, w, h, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            block, off = _scanline_block(raw, off, pw, ph,
+                                         channels, depth)
+            px[y0::dy, x0::dx] = block
+    if off != len(raw):
         raise ValueError("PNG IDAT length mismatch")
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
-        ftype = raw[y * (stride + 1)]
-        prev = _unfilter_row(ftype, line, prev, channels)
-        out[y] = prev
-    px = out.reshape(h, w, channels)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         px = plte[px[:, :, 0]]
+    elif depth < 8:  # greyscale sub-byte: scale to full range
+        px = (px.astype(np.int64) * (255 // ((1 << depth) - 1))
+              ).astype(np.uint8)
     del trns  # tRNS transparency ignored: downstream is RGB-only
     return px
 

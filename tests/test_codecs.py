@@ -107,20 +107,29 @@ def test_png_crc_mismatch_raises():
 def test_png_bad_signature_and_depth():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"NOPE" + b"\x00" * 32)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+    # 16-bit RGB is in scope now (reduced to the high byte)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
                + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
                + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="depth"):
+    assert decode_png(payload).shape == (2, 2, 3)
+    # spec-invalid depth/color combos still raise
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)   # RGB @ 4
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="invalid for color type"):
         decode_png(payload)
 
 
-def test_png_interlaced_rejected():
+def test_png_interlaced_wrong_length_rejected():
+    # Adam7 decodes now (tests/test_png_full.py); a sequential-sized
+    # IDAT under the interlace flag must fail loudly, not misdecode
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)   # Adam7 flag
     payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
                + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
                + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_png(payload)
 
 
