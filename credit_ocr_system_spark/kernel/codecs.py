@@ -5,16 +5,19 @@ entirely on ``fake_decode`` — "no image ever actually decodes". This
 module closes that for the formats a pure-stdlib container can
 genuinely handle:
 
-* **PNG** — full decoder for 8-bit greyscale / RGB / palette /
-  grey+alpha / RGBA, all five scanline filters (None, Sub, Up,
-  Average, Paeth), non-interlaced; encoder with a selectable per-row
-  filter so every unfilter path is exercised by round-trips. zlib +
-  struct only.
-* **BMP** — 24-bit and 32-bit uncompressed DIBs, bottom-up and
-  top-down row order, 4-byte row padding, BGR(A) channel order.
-* **WAV** — PCM 16-bit and 8-bit mono/stereo; decode returns float32
-  in [-1, 1]. Cross-validated in tests against the stdlib ``wave``
-  module as an independent implementation.
+* **PNG** — full decoder: every spec bit depth (1/2/4/8/16),
+  greyscale / RGB / palette / grey+alpha / RGBA, all five scanline
+  filters (None, Sub, Up, Average, Paeth), sequential AND Adam7
+  interlaced; encoder with a selectable per-row filter so every
+  unfilter path is exercised by round-trips. zlib + struct only.
+* **BMP** — 24/32-bit truecolor and paletted 1/4/8-bit DIBs (raw or
+  RLE8-compressed), bottom-up and top-down row order, 4-byte row
+  padding, BGR(A) channel order, biClrUsed-truncated color tables.
+* **WAV** — integer PCM at 8/16/24/32 bits, IEEE float 32/64
+  (format 3), WAVE_FORMAT_EXTENSIBLE resolved through the SubFormat
+  GUID; decode returns float32 in [-1, 1]. Cross-validated in tests
+  against the stdlib ``wave`` module as an independent
+  implementation.
 
 Baseline **JPEG** (sequential DCT, 4:4:4 / greyscale) decodes and
 encodes via ``kernel/jpeg.py`` (stdlib + numpy; data-derived huffman
@@ -294,8 +297,54 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + dib + body
 
 
+def _bmp_palette(payload: bytes, hdr_size: int, bpp: int,
+                 clr_used: int, offset: int) -> np.ndarray:
+    """(n, 3) RGB palette from the BGRA color table after the DIB
+    header; the table can never extend past the pixel-data offset
+    (writers with short tables rely on biClrUsed, but tolerate
+    files that leave it zero)."""
+    at = 14 + hdr_size
+    n = clr_used or (1 << bpp)
+    n = max(1, min(n, (offset - at) // 4))
+    table = np.frombuffer(payload, np.uint8, n * 4, at).reshape(-1, 4)
+    return np.ascontiguousarray(table[:, 2::-1])       # BGRA → RGB
+
+
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode BI_RLE8 → (h, w) palette indices, bottom-up row order
+    (caller flips). Escapes: 0=EOL, 1=EOD, 2=delta; absolute runs
+    pad to word boundaries."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:                                    # encoded run
+            end = min(x + cnt, w)
+            out[y, x:end] = val
+            x = end
+        elif val == 0:                                 # end of line
+            x, y = 0, y + 1
+        elif val == 1:                                 # end of data
+            break
+        elif val == 2:                                 # delta
+            if i + 1 < n:
+                x = min(x + data[i], w)
+                y += data[i + 1]
+                i += 2
+        else:                                          # absolute mode
+            end = min(x + val, w)
+            take = end - x
+            out[y, x:end] = np.frombuffer(data, np.uint8, take, i)
+            x = end
+            i += val + (val & 1)                       # word-aligned
+    return out
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Decode 24/32-bit uncompressed BMP → (h, w, 3) uint8 RGB.
+    """Decode BMP → (h, w, 3) uint8 RGB: 24/32-bit truecolor, and
+    paletted 1/4/8-bit (raw or RLE8-compressed).
 
     Handles bottom-up (positive height) and top-down (negative)
     row order and the 4-byte row padding; 32-bit alpha is dropped.
@@ -305,12 +354,37 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (offset,) = struct.unpack_from("<I", payload, 10)
     (hdr_size, w, h_signed, planes, bpp, compression) = struct.unpack_from(
         "<IiiHHI", payload, 14)
+    clr_used = struct.unpack_from("<I", payload, 14 + 32)[0] \
+        if hdr_size >= 36 else 0
+    del planes
+    h = abs(h_signed)
+    if compression == 1 and bpp == 8:                  # BI_RLE8
+        idx = _bmp_rle8(payload[offset:], w, h)
+        if h_signed > 0:
+            idx = idx[::-1]
+        pal = _bmp_palette(payload, hdr_size, bpp, clr_used, offset)
+        return np.ascontiguousarray(
+            pal[np.minimum(idx, len(pal) - 1)])
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression}")
+    if bpp in (1, 4, 8):                               # paletted raw
+        stride = ((w * bpp + 7) // 8 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, h * stride,
+                             offset).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            per = bits.reshape(h, -1, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (per * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        if h_signed > 0:
+            idx = idx[::-1]
+        pal = _bmp_palette(payload, hdr_size, bpp, clr_used, offset)
+        return np.ascontiguousarray(
+            pal[np.minimum(idx, len(pal) - 1)])
     if bpp not in (24, 32):
-        raise NotImplementedError(f"BMP bpp {bpp} (only 24/32)")
-    del hdr_size, planes
-    h = abs(h_signed)
+        raise NotImplementedError(f"BMP bpp {bpp} (1/4/8/24/32 only)")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     px = np.frombuffer(payload, np.uint8, h * stride, offset)
@@ -339,38 +413,63 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM WAV → (float32 samples in [-1, 1], sample_rate).
+    """Decode WAV → (float32 samples in [-1, 1], sample_rate).
 
     Walks RIFF chunks (tolerates extra chunks like LIST before data);
-    supports 16-bit signed and 8-bit unsigned PCM, any channel count
-    (channels are interleaved in the returned 1-D array, matching the
-    ``fake_decode`` audio contract of a flat sample stream).
+    supports integer PCM at 8 (unsigned) / 16 / 24 / 32 bits, IEEE
+    float (format 3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE
+    (format 0xFFFE, resolved through the SubFormat GUID), any channel
+    count (channels are interleaved in the returned 1-D array,
+    matching the ``fake_decode`` audio contract of a flat stream).
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + length]
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body)
+            fmt_body = body
         elif tag == b"data":
             data = body
         pos += 8 + length + (length & 1)               # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1:
-        raise NotImplementedError(f"WAV format {audio_fmt} (only PCM)")
     del channels
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 40:
+        # EXTENSIBLE: the real format is the GUID's leading uint16
+        audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
+    if audio_fmt == 3:                                 # IEEE float
+        if bits == 32:
+            pcm = np.frombuffer(data, "<f4").astype(np.float32)
+        elif bits == 64:
+            pcm = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise NotImplementedError(f"WAV float{bits}")
+        return np.clip(pcm, -1.0, 1.0), rate
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_fmt} (PCM/float only)")
     if bits == 16:
         pcm = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
     elif bits == 8:
         pcm = (np.frombuffer(data, np.uint8).astype(np.float32)
                - 128.0) / 128.0
+    elif bits == 24:
+        raw = np.frombuffer(data[:len(data) - len(data) % 3], np.uint8)
+        b3 = raw.reshape(-1, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v -= (v & 0x800000) << 1                       # sign-extend
+        pcm = (v / 8388608.0).astype(np.float32)
+    elif bits == 32:
+        pcm = (np.frombuffer(data, "<i4").astype(np.float64)
+               / 2147483648.0).astype(np.float32)
     else:
-        raise NotImplementedError(f"WAV {bits}-bit PCM (only 8/16)")
+        raise NotImplementedError(
+            f"WAV {bits}-bit PCM (8/16/24/32 only)")
     return pcm, rate
 
 

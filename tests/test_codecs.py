@@ -231,11 +231,13 @@ def test_wav_stereo_interleaved_flat():
 
 
 def test_wav_non_pcm_rejected():
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    # IEEE float decodes now (tests/test_wav_bmp_full.py); compressed
+    # formats like ADPCM must still raise with the format named
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # MS ADPCM
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
-    with pytest.raises(NotImplementedError, match="PCM"):
+    with pytest.raises(NotImplementedError, match="format 2"):
         decode_wav(payload)
 
 
