@@ -132,12 +132,15 @@ def _unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray,
     return out
 
 
-def encode_png(img: np.ndarray, row_filter: int | None = None) -> bytes:
+def encode_png(img: np.ndarray, row_filter: int | None = None,
+               interlace: bool = False) -> bytes:
     """Encode (h, w) grey, (h, w, 3) RGB, or (h, w, 4) RGBA uint8.
 
     ``row_filter`` forces one filter type for every row (tests use
     this to exercise each unfilter path); default cycles 0..4 by row
-    so a single fixture covers all five.
+    so a single fixture covers all five. ``interlace`` emits Adam7:
+    seven independently-filtered passes, empty passes carrying no
+    scanlines.
     """
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
@@ -150,15 +153,22 @@ def encode_png(img: np.ndarray, row_filter: int | None = None) -> bytes:
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = img.reshape(h, w * channels)
-    prev = np.zeros(w * channels, np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    passes = ([img[y0::dy, x0::dx] for x0, y0, dx, dy in _ADAM7]
+              if interlace else [img])
     lines = []
-    for y in range(h):
-        ftype = row_filter if row_filter is not None else y % 5
-        lines.append(bytes([ftype])
-                     + _filter_row(ftype, raw[y], prev, channels).tobytes())
-        prev = raw[y]
+    for sub in passes:
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        raw = np.ascontiguousarray(sub).reshape(ph, pw * channels)
+        prev = np.zeros(pw * channels, np.uint8)
+        for y in range(ph):
+            ftype = row_filter if row_filter is not None else y % 5
+            lines.append(bytes([ftype]) + _filter_row(
+                ftype, raw[y], prev, channels).tobytes())
+            prev = raw[y]
     idat = zlib.compress(b"".join(lines), 6)
     return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
@@ -399,13 +409,35 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_wav(samples: np.ndarray, sample_rate: int,
-               channels: int = 1) -> bytes:
-    """Encode float32 samples in [-1, 1] → 16-bit PCM WAV."""
+               channels: int = 1, sample_format: str = "pcm16") -> bytes:
+    """Encode float32 samples in [-1, 1] → WAV.
+
+    ``sample_format``: ``"pcm16"`` (default), ``"pcm24"``, or
+    ``"float32"`` (IEEE format 3) — the encodings real recorders and
+    DAW exports actually emit.
+    """
     flat = np.asarray(samples, dtype=np.float64).ravel()
-    pcm = np.clip(np.rint(flat * 32767.0), -32768, 32767).astype("<i2")
-    data = pcm.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
-                      sample_rate * channels * 2, channels * 2, 16)
+    if sample_format == "pcm16":
+        tag, bits = 1, 16
+        data = np.clip(np.rint(flat * 32767.0), -32768,
+                       32767).astype("<i2").tobytes()
+    elif sample_format == "pcm24":
+        tag, bits = 1, 24
+        v = np.clip(np.rint(flat * 8388607.0), -8388608,
+                    8388607).astype(np.int64) & 0xFFFFFF
+        b = np.empty((len(v), 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif sample_format == "float32":
+        tag, bits = 3, 32
+        data = flat.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unknown sample_format {sample_format!r}")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                      sample_rate * block, block, bits)
     return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
             + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt

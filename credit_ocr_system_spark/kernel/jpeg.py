@@ -1,11 +1,11 @@
-"""Baseline JPEG codec, stdlib + numpy only.
+"""JPEG codec (baseline + progressive), stdlib + numpy only.
 
 Closes the last image seam: round 2 shipped real PNG/BMP/WAV decoders
 (``codecs.py``) and left JPEG as a PIL seam on the claim that
 entropy-coded formats have "no honest stdlib decode". This module
-retires that claim for baseline JPEG: sequential DCT, 8-bit, YCbCr
-4:4:4, one huffman-coded scan — a complete, self-contained JFIF
-encoder/decoder pair (ITU-T T.81 baseline process).
+retires that claim: a complete, self-contained JFIF encoder/decoder
+pair (ITU-T T.81) covering the sequential baseline process (single-
+and multi-scan) and the progressive huffman process.
 
 Design rule: **no memorized spec constants are load-bearing.**
 
@@ -24,10 +24,11 @@ runs), 8-bit, sampling factors 1–2 per axis — 4:4:4, the dominant
 real-world 4:2:0 (generic interleaved-MCU walk; encoder emits it via
 ``subsampling="420"``: quarter-resolution box-mean chroma,
 4 Y + Cb + Cr per MCU), 4:2:2, or single-component greyscale;
-restart markers in both modes. No arithmetic coding, no hierarchical
-or lossless modes, no multi-scan *baseline*. The encoder only emits
-in-scope streams, so decode(encode(x)) always works; out-of-scope
-files route to PIL at the same seam as before.
+restart markers in both modes; multi-scan non-interleaved baseline
+(one full-band scan per component). No arithmetic coding, no
+hierarchical or lossless modes. The encoder only emits in-scope
+streams, so decode(encode(x)) always works; out-of-scope files route
+to PIL at the same seam as before.
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``); this decoder
@@ -391,7 +392,8 @@ def _blocks_of(plane: np.ndarray):
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                scan_split: str = "interleaved") -> bytes:
     """JFIF bytes for an (h, w, 3) uint8 RGB array (or (h, w)
     greyscale). Baseline: one scan, data-derived huffman tables.
 
@@ -409,7 +411,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     (Ah=1→Al=0), interleaved DC refinement. The coefficients are
     identical to the baseline path's, so decode() of the two
     encodings is bit-identical.
+
+    ``scan_split="per_component"`` (baseline only) emits one
+    full-band scan per component — T.81 non-interleaved sequential,
+    the multi-scan layout some scanners write. Same coefficients,
+    bit-identical decode.
     """
+    if scan_split not in ("interleaved", "per_component"):
+        raise ValueError(f"unknown scan_split {scan_split!r}")
+    if progressive and scan_split != "interleaved":
+        raise ValueError("scan_split applies to baseline only")
     grey = img.ndim == 2
     if grey:
         img = img[..., None]
@@ -466,6 +477,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         return _encode_progressive(
             comp_blocks, planes, samp, qtabs, plane_q, h, w,
             restart_interval, (h16, w16) if sub420 else None)
+    if scan_split == "per_component":
+        return _encode_baseline_multiscan(
+            comp_blocks, planes, samp, qtabs, plane_q, h, w,
+            restart_interval)
 
     if sub420:
         # reorder the Y blocks from raster into MCU-visit order (2x2
@@ -587,10 +602,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     factors 1–2, generic interleaved-MCU walk, chroma upsampled by
     replication), or greyscale.
 
-    Out-of-scope streams (non-baseline/progressive SOFs, multi-scan
-    baseline, sampling factors >2) raise ValueError with the feature
-    named — they route to PIL at the ``decode_media`` seam, same as
-    before.
+    Multi-scan baseline (non-interleaved sequential) decodes through
+    the same coefficient-store path as progressive. Out-of-scope
+    streams (other SOFs, sampling factors >2) raise ValueError with
+    the feature named — they route to PIL at the ``decode_media``
+    seam, same as before.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -658,13 +674,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif tag == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:
-            if scan_comps is not None and not progressive:
-                # a second SOS is valid T.81 (non-interleaved baseline)
-                # but out of scope here — overwriting the first scan
-                # would silently decode garbage from np.empty planes
-                raise ValueError(
-                    "multi-scan baseline out of scope — route to PIL "
-                    "at the decode seam")
             ns = body[0]
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                            body[2 + 2 * i] & 0xF) for i in range(ns)]
@@ -678,30 +687,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 end += 1
             scan_data = payload[data_start:end]
             pos = end
-            if progressive:
-                scans.append({
-                    "comps": scan_comps,
-                    "ss": body[1 + 2 * ns], "se": body[2 + 2 * ns],
-                    "ah": body[3 + 2 * ns] >> 4,
-                    "al": body[3 + 2 * ns] & 0xF,
-                    "data": scan_data,
-                    # tables may be redefined between scans: snapshot
-                    "huff": dict(huff),
-                    "dri": restart_interval,
-                })
+            scans.append({
+                "comps": scan_comps,
+                "ss": body[1 + 2 * ns], "se": body[2 + 2 * ns],
+                "ah": body[3 + 2 * ns] >> 4,
+                "al": body[3 + 2 * ns] & 0xF,
+                "data": scan_data,
+                # tables may be redefined between scans: snapshot
+                "huff": dict(huff),
+                "dri": restart_interval,
+            })
         # APPn/COM and anything else: skipped via the length field
 
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
-    if progressive:
+    if progressive or len(scans) > 1:
+        # progressive (SOF2) or multi-scan non-interleaved baseline
+        # (valid T.81: one full-band scan per component): both decode
+        # into per-component coefficient stores, IDCT once at the end
         for _cid, _hh, _vv, _tq in comps:
             if _tq not in qtabs:
                 raise ValueError(
                     f"component references undefined quant table {_tq}")
         return _finish_planes(
             h, w, comps,
-            _progressive_coefficients(h, w, comps, scans), qtabs)
+            _progressive_coefficients(h, w, comps, scans,
+                                      baseline=not progressive),
+            qtabs)
     # a stream may reference tables it never defined — fail with the
     # problem named instead of a KeyError mid-scan
     for _cid, _dt, _at in scan_comps:
@@ -809,10 +822,15 @@ def _comp_block_dims(h: int, w: int, hh: int, vv: int,
 
 
 def _progressive_coefficients(h: int, w: int, comps: list,
-                              scans: list[dict]) -> dict:
+                              scans: list[dict],
+                              baseline: bool = False) -> dict:
     """Run every scan's entropy data into per-component zigzag
     coefficient grids ``{cid: (grid_h, grid_w, 64) int64}`` (grids are
-    MCU-padded so interleaved DC scans fit)."""
+    MCU-padded so interleaved DC scans fit).
+
+    ``baseline=True`` decodes multi-scan *sequential* files (T.81
+    non-interleaved baseline: each scan carries complete DC+AC blocks
+    for its components) through the same store-then-IDCT path."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -827,17 +845,23 @@ def _progressive_coefficients(h: int, w: int, comps: list,
         ss, se = scan["ss"], scan["se"]
         ah, al = scan["ah"], scan["al"]
         huff, dri = scan["huff"], scan["dri"]
-        if ss == 0 and se != 0:
+        if baseline:
+            for _cid, dt, at in sc:
+                if (0, dt) not in huff or (1, at) not in huff:
+                    raise ValueError(
+                        f"scan references undefined huffman table "
+                        f"(dc {dt}, ac {at})")
+        elif ss == 0 and se != 0:
             raise ValueError("progressive scan mixes DC and AC bands")
-        if ss > 0 and len(sc) != 1:
+        elif ss > 0 and len(sc) != 1:
             raise ValueError("progressive AC scan must be "
                              "single-component (T.81 B.2.3)")
-        if ss == 0 and ah == 0:
+        elif ss == 0 and ah == 0:
             for _cid, dt, _at in sc:
                 if (0, dt) not in huff:
                     raise ValueError(
                         f"scan references undefined DC table {dt}")
-        if ss > 0:
+        if not baseline and ss > 0:
             at0 = sc[0][2]
             if (1, at0) not in huff:
                 raise ValueError(
@@ -845,6 +869,28 @@ def _progressive_coefficients(h: int, w: int, comps: list,
         reader = _BitReader(scan["data"])
         preds = {cid: 0 for cid, _dt, _at in sc}
         eobrun = 0
+
+        def full_block(zz, cid, dt, at):
+            """Complete baseline block: DC diff + AC run-lengths."""
+            cat = _decode_symbol(reader, huff[(0, dt)])
+            preds[cid] += _extend(reader.read_bits(cat), cat)
+            zz[0] = preds[cid]
+            k = 1
+            while k < 64:
+                sym = _decode_symbol(reader, huff[(1, at)])
+                if sym == 0x00:                       # EOB
+                    break
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16                            # ZRL
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(reader.read_bits(s), s)
+                k += 1
 
         def dc_first(zz, cid, dt):
             cat = _decode_symbol(reader, huff[(0, dt)])
@@ -943,12 +989,14 @@ def _progressive_coefficients(h: int, w: int, comps: list,
                 eobrun = 0
             if interleaved:
                 my, mx = divmod(u, mcux)
-                for cid, dt, _at in sc:
+                for cid, dt, at in sc:
                     hh, vv = samp[cid]
                     for dy in range(vv):
                         for dx in range(hh):
                             zz = coefs[cid][my * vv + dy, mx * hh + dx]
-                            if ah == 0:
+                            if baseline:
+                                full_block(zz, cid, dt, at)
+                            elif ah == 0:
                                 dc_first(zz, cid, dt)
                             else:
                                 dc_refine(zz)
@@ -957,7 +1005,9 @@ def _progressive_coefficients(h: int, w: int, comps: list,
                 bh, bw = bdims[cid]
                 by, bx = divmod(u, bw)
                 zz = coefs[cid][by, bx]
-                if ss == 0 and ah == 0:
+                if baseline:
+                    full_block(zz, cid, dt, at)
+                elif ss == 0 and ah == 0:
                     dc_first(zz, cid, dt)
                 elif ss == 0:
                     dc_refine(zz)
@@ -1169,6 +1219,57 @@ def _emit_scan(out: bytearray, events: list, sos_comps: list,
     out += writer.flush()
 
 
+def _comp_raster_blocks(comp_blocks, planes, samp, h, w, ci):
+    """The component's TRUE block grid in raster order (T.81 A.1.1) —
+    strips the MCU-padding blocks a padded plane carries."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    hh, vv = samp[ci]
+    bh, bw = _comp_block_dims(h, w, hh, vv, hmax, vmax)
+    pbw = -(-planes[ci].shape[1] // 8)
+    blocks = comp_blocks[ci]
+    return [blocks[by * pbw + bx]
+            for by in range(bh) for bx in range(bw)]
+
+
+def _encode_baseline_multiscan(comp_blocks, planes, samp, qtabs,
+                               plane_q, h, w, dri) -> bytes:
+    """SOF0 with one full-band scan per component (T.81
+    non-interleaved sequential) — the multi-scan baseline layout some
+    scanners emit; per-scan data-derived huffman tables."""
+    ncomp = len(planes)
+    out = bytearray()
+    out += _marker(0xD8)
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += _marker(0xDB, bytes([ti])
+                       + bytes(int(x) for x in q.ravel()[_ZZ]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      plane_q[ci]])
+    out += _marker(0xC0, sof)                              # SOF0
+    if dri:
+        out += _marker(0xDD, struct.pack(">H", dri))
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        events: list = []
+        pred = 0
+        for i, zz in enumerate(_comp_raster_blocks(
+                comp_blocks, planes, samp, h, w, ci)):
+            if dri and i and i % dri == 0:   # MCU = 1 block here
+                events.append(("R",))
+                pred = 0
+            blk, pred = _block_symbols(zz, pred)
+            for is_dc, sym, cat, v in blk:
+                events.append(("s", (0 if is_dc else 1, t), sym))
+                if cat:
+                    events.append(("b", _amplitude_bits(v, cat), cat))
+        _emit_scan(out, events, [(ci + 1, t, t)], 0, 63, 0, 0)
+    out += _marker(0xD9)                                   # EOI
+    return bytes(out)
+
+
 def _encode_progressive(comp_blocks, planes, samp, qtabs, plane_q,
                         h, w, dri, pad420) -> bytes:
     """SOF2 emission with the standard web scan script (DC first →
@@ -1191,19 +1292,10 @@ def _encode_progressive(comp_blocks, planes, samp, qtabs, plane_q,
         sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
                  for ci in range(ncomp)]
         per_mcu = ncomp
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-
     def comp_ac_blocks(ci):
         # non-interleaved scans cover the component's TRUE block grid
-        # (T.81 A.1.1) — strip the MCU-padding columns/rows the padded
-        # plane carries (420 Y can have one extra block per row)
-        hh, vv = samp[ci]
-        bh, bw = _comp_block_dims(h, w, hh, vv, hmax, vmax)
-        pbw = -(-planes[ci].shape[1] // 8)
-        blocks = comp_blocks[ci]
-        return [blocks[by * pbw + bx]
-                for by in range(bh) for bx in range(bw)]
+        # (420 Y can have one extra MCU-padding block per row)
+        return _comp_raster_blocks(comp_blocks, planes, samp, h, w, ci)
 
     out = bytearray()
     out += _marker(0xD8)

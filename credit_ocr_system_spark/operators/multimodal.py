@@ -95,13 +95,14 @@ def media_df(spark, n: int, seed: int = 42,
 
 def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
     """Deterministic synthetic media rows with REAL payloads: actual
-    PNG (row filters cycling 0..4), BMP, baseline JPEG (huffman +
-    DCT, ``kernel/jpeg.py``), 16-bit PCM WAV, and MJPEG-in-AVI video
-    bytes, so the decode path exercised is the real
-    zlib-inflate/unfilter/entropy-decode/PCM-scale/RIFF-walk one, not
-    the stand-in. Pixel and sample content derives purely from
-    seed+id; the same ~18% duplicate structure as ``gen_media_rows``
-    feeds the near-dup operators.
+    PNG (row filters cycling 0..4, a third Adam7-interlaced), BMP,
+    JPEG (baseline and progressive, 4:4:4/4:2:0, restart intervals —
+    ``kernel/jpeg.py``), WAV (16/24-bit PCM and IEEE float32), and
+    MJPEG-in-AVI video bytes, so the decode path exercised is the
+    real zlib-inflate/unfilter/entropy-decode/PCM-scale/RIFF-walk
+    one, not the stand-in. Pixel and sample content derives purely
+    from seed+id; the same ~18% duplicate structure as
+    ``gen_media_rows`` feeds the near-dup operators.
     """
     from ..kernel import codecs
     from ..kernel.jpeg import encode_jpeg
@@ -136,13 +137,24 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
             body = np.frombuffer(
                 (h * (need // len(h) + 1))[:need], dtype=np.uint8)
             px = body.reshape(ht, w, 3)
-            payload = (codecs.encode_png(px) if fmt == "png"
-                       else codecs.encode_bmp(px) if fmt == "bmp"
-                       else encode_jpeg(
-                           px, quality=85 + h[4] % 15,
-                           # half the real JPEGs use the dominant
-                           # real-world 4:2:0 chroma layout
-                           subsampling="420" if h[1] % 2 else "444"))
+            payload = (
+                # a third of the PNGs interlace (Adam7)
+                codecs.encode_png(px, interlace=h[8] % 3 == 0)
+                if fmt == "png"
+                else codecs.encode_bmp(px) if fmt == "bmp"
+                else encode_jpeg(
+                    px, quality=85 + h[4] % 15,
+                    # half the real JPEGs use the dominant
+                    # real-world 4:2:0 chroma layout
+                    subsampling="420" if h[1] % 2 else "444",
+                    # and most web JPEGs are progressive
+                    progressive=h[9] % 2 == 0,
+                    restart_interval=(h[10] % 3) or 0,
+                    # a slice of the baseline ones use the scanner-
+                    # style one-scan-per-component layout
+                    scan_split="per_component"
+                    if h[9] % 2 and h[11] % 4 == 0
+                    else "interleaved"))
             rows.append({
                 "media_id": i, "kind": "image", "payload": payload,
                 "meta": {"width": w, "height": ht, "sample_rate": None,
@@ -156,7 +168,10 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
             samples = (body.astype(np.float32) - 127.5) / 127.5
             rows.append({
                 "media_id": i, "kind": "audio",
-                "payload": codecs.encode_wav(samples, rate),
+                "payload": codecs.encode_wav(
+                    samples, rate,
+                    sample_format=("pcm16", "pcm24",
+                                   "float32")[h[8] % 3]),
                 "meta": {"width": None, "height": None,
                          "sample_rate": rate, "n_frames": None,
                          "mime": "audio/wav"},

@@ -231,14 +231,32 @@ def test_decoder_rejects_out_of_scope():
         decode_jpeg(bytes(enc))
 
 
-def test_decoder_rejects_multi_scan_and_undefined_tables():
-    # a second SOS (valid T.81 non-interleaved baseline) must raise,
-    # not silently decode only the last scan into np.empty planes
+def test_multi_scan_baseline_decodes_via_coefficient_store():
+    # multi-scan baseline decodes now (the coefficient-store path) —
+    # a duplicated full scan re-codes the same coefficients, so the
+    # decode must equal the single-scan decode, never garbage
     enc = encode_jpeg(_rng_img(16, 16), 85)
     sos = enc.index(b"\xff\xda")
     two_scans = enc[:-2] + enc[sos:]
-    with pytest.raises(ValueError, match="multi-scan"):
-        decode_jpeg(two_scans)
+    np.testing.assert_array_equal(decode_jpeg(two_scans),
+                                  decode_jpeg(enc))
+
+
+def test_baseline_per_component_scan_split():
+    for shape, kw in [((16, 16, 3), {}), ((17, 23, 3), {}),
+                      ((25, 19, 3), {"subsampling": "420"}),
+                      ((24, 24, 3), {"restart_interval": 2})]:
+        rng = np.random.default_rng(shape[0])
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 85, **kw))
+        multi = encode_jpeg(img, 85, scan_split="per_component", **kw)
+        assert multi.count(b"\xff\xda") == 3   # one scan per component
+        np.testing.assert_array_equal(decode_jpeg(multi), base, shape)
+
+
+def test_decoder_rejects_undefined_tables():
+    enc = encode_jpeg(_rng_img(16, 16), 85)
+    sos = enc.index(b"\xff\xda")
     # scan referencing a huffman table id that was never defined must
     # name the problem instead of KeyError-ing mid-scan
     enc2 = bytearray(enc)

@@ -128,3 +128,31 @@ def test_real_video_features_use_decoded_pixels():
     assert row["n_frames"] == vids[0]["meta"]["n_frames"]
     assert abs(sum(row["feat"]) - 1.0) < 1e-5  # histogram sums to 1
     assert row == media_feature_row(vids[0], decode_media)
+
+
+def test_real_media_corpus_carries_new_codec_variants():
+    """The x_media_real corpus must exercise the full codec surface:
+    progressive JPEGs, Adam7 PNGs, float/24-bit WAVs — and every
+    payload must decode through the real dispatcher."""
+    from credit_ocr_system_spark.operators.multimodal import (
+        decode_media, gen_real_media_rows)
+    rows = gen_real_media_rows(240)
+    seen = set()
+    for r in rows:
+        p = r["payload"]
+        if p[:2] == b"\xff\xd8":
+            seen.add("jpeg_prog" if b"\xff\xc2" in p else "jpeg_base")
+            if b"\xff\xdd" in p:
+                seen.add("jpeg_rst")
+        elif p[:8] == b"\x89PNG\r\n\x1a\n":
+            seen.add("png_adam7" if p[28] == 1 else "png_seq")
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            import struct as _s
+            at = p.index(b"fmt ")
+            tag, bits = (_s.unpack_from("<H", p, at + 8)[0],
+                         _s.unpack_from("<H", p, at + 22)[0])
+            seen.add(f"wav_{tag}_{bits}")
+        out = decode_media(p, r["kind"], r["meta"])
+        assert out.size > 0
+    assert {"jpeg_prog", "jpeg_base", "jpeg_rst", "png_adam7",
+            "png_seq", "wav_1_16", "wav_1_24", "wav_3_32"} <= seen, seen
