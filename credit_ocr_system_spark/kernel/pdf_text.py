@@ -417,51 +417,111 @@ def _enc_string(data: bytes, key: bytes) -> Optional[bytes]:
     return s
 
 
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round."""
+    import hashlib
+    from .aes import cbc_encrypt
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt(k[:16], k1, iv=k[16:32],
+                        add_padding=False)[16:]   # strip the iv echo
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[e[15] % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
 def _make_decryptor(payload: bytes):
     """``fn(objnum, gennum, stream_bytes) -> bytes`` for a file using
-    the standard security handler with RC4 (``/V`` 1–2, ``/R`` 2–3)
-    and an EMPTY user password — the overwhelmingly common "owner
-    locked printing, anyone can read" web PDF. AES (``/V`` 4–5) needs
-    a cipher the stdlib doesn't ship: returns a constant ``b""``
-    mapper so such files contribute nothing instead of garbage.
-    Returns ``None`` when the file is not encrypted.
+    the standard security handler with an EMPTY user password — the
+    overwhelmingly common "owner locked printing, anyone can read"
+    web PDF. Covers RC4 (``/V`` 1–2, ``/R`` 2–3), crypt-filter files
+    (``/V 4``: ``/CFM /AESV2`` or ``/V2``), and AES-256 (``/V 5``,
+    ``/R`` 5–6) via the from-scratch AES in ``kernel/aes.py``.
+    Password-protected files (the R6 /U validation fails, or a
+    non-Standard handler) return a constant ``b""`` mapper so they
+    contribute nothing instead of garbage. Returns ``None`` when the
+    file is not encrypted.
 
-    Key derivation is T.32000 §7.6.3.3 Algorithm 2 (md5 over pad +
-    /O + /P little-endian + first /ID element, 50 re-hash rounds at
-    R3); the per-object key is Algorithm 1 (md5 of key + objnum(3 LE)
-    + gen(2 LE), truncated to min(n+5, 16)).
+    RC4/AESV2 key derivation is T.32000 §7.6.3.3 Algorithm 2 (md5
+    over pad + /O + /P little-endian + first /ID element, 50 re-hash
+    rounds at R>=3, FFFFFFFF appended when /EncryptMetadata false);
+    the per-object key is Algorithm 1 (md5 of key + objnum(3 LE) +
+    gen(2 LE) [+ ``sAlT`` for AES], truncated to min(n+5, 16)).
+    AES-256 recovers the file key from /U + /UE (Algorithm 2.A, with
+    the 2.B hash at R6), and uses it directly per stream.
     """
     import hashlib
     m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
     if m is None:
         return None
     enc_num, enc_gen = int(m.group(1)), int(m.group(2))
+    nothing = lambda n, g, b: b""  # noqa: E731 — undecryptable
     om = re.search(rb"(?<![0-9])%d\s+%d\s+obj\b" % (enc_num, enc_gen),
                    payload)
     if om is None:
-        return lambda n, g, b: b""
+        return nothing
     head = payload[om.end():payload.find(b"endobj", om.end())]
     if not re.search(rb"/Filter\s*/Standard\b", head):
-        return lambda n, g, b: b""
+        return nothing
     vm = re.search(rb"/V\s+(\d+)", head)
     rm = re.search(rb"/R\s+(\d+)", head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        return lambda n, g, b: b""  # AES / R4+: out of stdlib scope
+
+    if v == 5 and r in (5, 6):
+        from .aes import cbc_decrypt
+        u_entry = _enc_string(head, rb"/U")
+        ue_entry = _enc_string(head, rb"/UE")
+        if u_entry is None or len(u_entry) < 48 or ue_entry is None:
+            return nothing
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 6:
+            uhash = hash_2b(b"", vsalt)
+            ikey = hash_2b(b"", ksalt)
+        else:  # R5 (deprecated Adobe extension): single SHA-256
+            uhash = hashlib.sha256(vsalt).digest()
+            ikey = hashlib.sha256(ksalt).digest()
+        if uhash != u_entry[:32]:
+            return nothing  # non-empty user password: locked for real
+        file_key = cbc_decrypt(ikey, ue_entry[:32], iv=b"\x00" * 16,
+                               strip_padding=False)
+
+        def decrypt_v5(num: int, gen: int, data: bytes) -> bytes:
+            if num == enc_num:
+                return data
+            return cbc_decrypt(file_key, data)
+
+        return decrypt_v5
+
+    aes = False
+    if v == 4:
+        # crypt filters: the default stream filter's method decides
+        cfm = re.search(rb"/CFM\s*/(AESV2|V2)\b", head)
+        if cfm is None or r != 4:
+            return nothing
+        aes = cfm.group(1) == b"AESV2"
+    elif v not in (1, 2) or r not in (2, 3):
+        return nothing
     o_entry = _enc_string(head, rb"/O")
     pm = re.search(rb"/P\s+(-?\d+)", head)
     if o_entry is None or pm is None:
-        return lambda n, g, b: b""
+        return nothing
     lm = re.search(rb"/Length\s+(\d+)", head)
     nkey = 5 if r == 2 else (int(lm.group(1)) // 8 if lm else 5)
     idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", payload)
     id0 = bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode(
         "ascii")) if idm else b""
     p_le = (int(pm.group(1)) & 0xFFFFFFFF).to_bytes(4, "little")
-    key = hashlib.md5(
-        _ENC_PAD + o_entry[:32].ljust(32, b"\x00") + p_le + id0
-    ).digest()
+    seed = _ENC_PAD + o_entry[:32].ljust(32, b"\x00") + p_le + id0
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", head):
+        seed += b"\xff\xff\xff\xff"
+    key = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:nkey]).digest()
@@ -470,9 +530,13 @@ def _make_decryptor(payload: bytes):
     def decrypt(num: int, gen: int, data: bytes) -> bytes:
         if num == enc_num:  # the encrypt dict itself is never encrypted
             return data
-        okey = hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        ).digest()[:min(nkey + 5, 16)]
+        tail = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if aes:
+            okey = hashlib.md5(key + tail + b"sAlT").digest()[
+                :min(nkey + 5, 16)]
+            from .aes import cbc_decrypt
+            return cbc_decrypt(okey, data)
+        okey = hashlib.md5(key + tail).digest()[:min(nkey + 5, 16)]
         return _rc4(okey, data)
 
     return decrypt

@@ -248,10 +248,17 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         stream_filter=rng.choices(
             (None, "lzw", "ahx", "rl", "a85+flate"),
             weights=(70, 10, 6, 6, 8))[0],
-        # "owner-locked, anyone can read" web PDFs: RC4 standard
-        # security handler, both key lengths
-        encrypt=rng.choices((None, "rc4-40", "rc4-128"),
-                            weights=(80, 8, 12))[0],
+        # "owner-locked, anyone can read" web PDFs: the standard
+        # security handler across its RC4 generations and AESV2
+        # (/V 4 crypt filters). AES-256/R6 decodes too
+        # (tests/test_pdf_encrypt.py) but stays out of the generated
+        # corpus: its password KDF (ISO 32000-2 Algorithm 2.B, 64+
+        # chained AES-CBC/SHA rounds — deliberately expensive) costs
+        # ~0.5 s/doc in pure Python, which would price the KDF, not
+        # the engine, into every bench number; a production kernel
+        # runs that KDF in native code at the same seam.
+        encrypt=rng.choices((None, "rc4-40", "rc4-128", "aesv2"),
+                            weights=(76, 6, 10, 8))[0],
         # letterhead/stamp shape: text inside a form XObject
         form_xobject=rng.random() < 0.25,
     )

@@ -203,16 +203,87 @@ def _rl_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+import re as _re
+
+
+def _rewrite_streams(emit: List[Tuple[int, bytes]], transform
+                     ) -> List[Tuple[int, bytes]]:
+    """Apply ``transform(objnum, stream_bytes) -> bytes`` to every
+    stream object's data, fixing up /Length (AES grows streams)."""
+    out: List[Tuple[int, bytes]] = []
+    for num, body in emit:
+        at = body.find(b"\nstream\n")
+        if at >= 0:
+            head = body[:at]
+            end = body.rfind(b"\nendstream")
+            data = transform(num, body[at + 8:end])
+            head = _re.sub(rb"/Length\s+\d+",
+                           b"/Length %d" % len(data), head, count=1)
+            body = head + b"\nstream\n" + data + b"\nendstream"
+        out.append((num, body))
+    return out
+
+
+def _encrypt_objects_aes256(emit: List[Tuple[int, bytes]], id0: bytes
+                            ) -> Tuple[List[Tuple[int, bytes]],
+                                       bytes, int]:
+    """AES-256 (``/V 5 /R 6``) with empty user+owner passwords:
+    /U//UE//O//OE per ISO 32000-2 Algorithms 8–10, /Perms encrypted
+    with the file key, every stream AES-256-CBC'd (iv ‖ ciphertext,
+    PKCS#7)."""
+    from ..kernel.aes import aes_encrypt_block, cbc_encrypt
+    from ..kernel.pdf_text import hash_2b
+    file_key = (hashlib.md5(id0).digest()
+                + hashlib.md5(id0 + b"2").digest())
+    vsalt = hashlib.md5(id0 + b"v").digest()[:8]
+    ksalt = hashlib.md5(id0 + b"k").digest()[:8]
+    u_entry = hash_2b(b"", vsalt) + vsalt + ksalt
+    ue_entry = cbc_encrypt(hash_2b(b"", ksalt), file_key,
+                           iv=b"\x00" * 16, add_padding=False)[16:]
+    ovsalt = hashlib.md5(id0 + b"ov").digest()[:8]
+    oksalt = hashlib.md5(id0 + b"ok").digest()[:8]
+    o_entry = hash_2b(b"", ovsalt, u_entry) + ovsalt + oksalt
+    oe_entry = cbc_encrypt(hash_2b(b"", oksalt, u_entry), file_key,
+                           iv=b"\x00" * 16, add_padding=False)[16:]
+    p = -44
+    perms = aes_encrypt_block(
+        file_key, (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"Tadb" + id0[:4])
+
+    def transform(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(b"iv%d" % num + id0).digest()
+        return cbc_encrypt(file_key, data, iv)
+
+    out = _rewrite_streams(emit, transform)
+    enc_num = max(n for n, _ in out) + 1
+    out.append((enc_num,
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /U <%s> /UE <%s> /O <%s> /OE <%s>"
+                b" /P %d /Perms <%s> >>"
+                % (u_entry.hex().encode("ascii"),
+                   ue_entry.hex().encode("ascii"),
+                   o_entry.hex().encode("ascii"),
+                   oe_entry.hex().encode("ascii"), p,
+                   perms.hex().encode("ascii"))))
+    trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                     % (enc_num, id0.hex().encode("ascii"),
+                        id0.hex().encode("ascii")))
+    return out, trailer_extra, enc_num
+
+
 def _encrypt_objects(emit: List[Tuple[int, bytes]], nkey: int,
-                     r: int, v: int, id0: bytes
+                     r: int, v: int, id0: bytes,
+                     aes: bool = False
                      ) -> Tuple[List[Tuple[int, bytes]], bytes, int]:
-    """RC4-encrypt every stream's bytes in place (standard security
+    """RC4- or AESV2-encrypt every stream's bytes (standard security
     handler, empty user AND owner passwords) and return the rewritten
     objects, the trailer additions, and the /Encrypt object number.
 
-    /O is Algorithm 3, /U Algorithm 4 (R2) / 5 (R3); the file key is
-    Algorithm 2 — the same derivation ``kernel/pdf_text`` runs, but
-    implemented here from the writer's side of the contract.
+    /O is Algorithm 3, /U Algorithm 4 (R2) / 5 (R3–4); the file key
+    is Algorithm 2 — the same derivation ``kernel/pdf_text`` runs,
+    but implemented here from the writer's side of the contract.
     """
     # Algorithm 3: /O from the (empty→pad) owner password
     h = hashlib.md5(_ENC_PAD).digest()
@@ -242,24 +313,30 @@ def _encrypt_objects(emit: List[Tuple[int, bytes]], nkey: int,
         u_entry = u + b"\x00" * 16
 
     def obj_key(num: int) -> bytes:
-        return hashlib.md5(
-            key + num.to_bytes(3, "little") + b"\x00\x00"
-        ).digest()[:min(nkey + 5, 16)]
+        tail = num.to_bytes(3, "little") + b"\x00\x00"
+        if aes:
+            tail += b"sAlT"
+        return hashlib.md5(key + tail).digest()[:min(nkey + 5, 16)]
 
-    out: List[Tuple[int, bytes]] = []
-    for num, body in emit:
-        at = body.find(b"\nstream\n")
-        if at >= 0:
-            head = body[:at]
-            end = body.rfind(b"\nendstream")
-            data = _rc4(obj_key(num), body[at + 8:end])
-            body = head + b"\nstream\n" + data + b"\nendstream"
-        out.append((num, body))
+    if aes:
+        from ..kernel.aes import cbc_encrypt
+
+        def transform(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(b"iv%d" % num + id0).digest()
+            return cbc_encrypt(obj_key(num), data, iv)
+    else:
+        def transform(num: int, data: bytes) -> bytes:
+            return _rc4(obj_key(num), data)
+
+    out = _rewrite_streams(emit, transform)
     enc_num = max(n for n, _ in out) + 1
+    cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+          b" /StmF /StdCF /StrF /StdCF") if aes else b""
     out.append((enc_num,
-                b"<< /Filter /Standard /V %d /R %d /Length %d"
+                b"<< /Filter /Standard /V %d /R %d /Length %d%s"
                 b" /O <%s> /U <%s> /P %d >>"
-                % (v, r, nkey * 8, o_entry.hex().encode("ascii"),
+                % (v, r, nkey * 8, cf,
+                   o_entry.hex().encode("ascii"),
                    u_entry.hex().encode("ascii"), p)))
     trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
                      % (enc_num, id0.hex().encode("ascii"),
@@ -408,13 +485,19 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
 
     trailer_extra = b""
     if encrypt is not None:
-        if encrypt not in ("rc4-40", "rc4-128"):
+        modes = {"rc4-40": (5, 2, 1), "rc4-128": (16, 3, 2),
+                 "aesv2": (16, 4, 4)}
+        if encrypt not in modes and encrypt != "aes256":
             raise ValueError(f"unknown encrypt mode {encrypt!r}")
-        nkey, r, v = (5, 2, 1) if encrypt == "rc4-40" else (16, 3, 2)
         # deterministic /ID: digest of the plaintext objects
         id0 = hashlib.md5(b"".join(b for _n, b in emit)).digest()
-        emit, trailer_extra, enc_num = _encrypt_objects(
-            emit, nkey, r, v, id0)
+        if encrypt == "aes256":
+            emit, trailer_extra, enc_num = _encrypt_objects_aes256(
+                emit, id0)
+        else:
+            nkey, r, v = modes[encrypt]
+            emit, trailer_extra, enc_num = _encrypt_objects(
+                emit, nkey, r, v, id0, aes=encrypt == "aesv2")
         total = enc_num + 1
 
     buf = bytearray(version)

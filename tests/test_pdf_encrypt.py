@@ -110,9 +110,9 @@ def test_positions_match_unencrypted_twin():
     assert enc == plain
 
 
-def test_aes_contributes_nothing_not_garbage():
-    # V4/R4 (AESV2): stdlib has no AES — the file must yield zero
-    # elements, never mojibake from misapplied RC4
+def test_v4_without_crypt_filter_contributes_nothing():
+    # /V 4 with no /CF crypt-filter dict is malformed: the file must
+    # yield zero elements, never mojibake from misapplied RC4
     pdf = _encrypted_pdf(r=3, nkey=16, v=2)
     pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
     assert parse_real_pdf(pdf) == []
@@ -132,3 +132,60 @@ def test_wrong_o_entry_decodes_to_nothing():
     pdf = pdf.replace(b"/O <" + o_hex + b">",
                       b"/O <" + bad.hex().encode() + b">")
     assert parse_real_pdf(pdf) == []
+
+
+# --- AES (writer-built AESV2 / AESV3 files) ---------------------------------
+
+def _aes_pdf(mode: str, **kw) -> bytes:
+    from credit_ocr_system_spark.sources.pdf_write import (
+        FONT_SIZE, build_pdf)
+    toks = [[(40.0, 20.0, "Grünbau & (Söhne) GmbH", 16.0),
+             (40.0, 60.0, "Loan Amount:", FONT_SIZE),
+             (300.0, 60.0, "1.250.000 €", FONT_SIZE)]]
+    return build_pdf(toks, encrypt=mode, **kw)
+
+
+def _plain_pdf(**kw) -> bytes:
+    from credit_ocr_system_spark.sources.pdf_write import (
+        FONT_SIZE, build_pdf)
+    toks = [[(40.0, 20.0, "Grünbau & (Söhne) GmbH", 16.0),
+             (40.0, 60.0, "Loan Amount:", FONT_SIZE),
+             (300.0, 60.0, "1.250.000 €", FONT_SIZE)]]
+    return build_pdf(toks, **kw)
+
+
+def test_aesv2_extracts_identical_to_plain():
+    plain = parse_real_pdf(_plain_pdf(compress=True))
+    assert plain
+    enc = _aes_pdf("aesv2", compress=True)
+    assert b"/CFM /AESV2" in enc
+    assert parse_real_pdf(enc) == plain
+
+
+def test_aes256_r6_extracts_identical_to_plain():
+    plain = parse_real_pdf(_plain_pdf(compress=True))
+    enc = _aes_pdf("aes256", compress=True)
+    assert b"/V 5 /R 6" in enc
+    assert parse_real_pdf(enc) == plain
+
+
+def test_aes_composes_with_objstm_cid_and_forms():
+    plain = parse_real_pdf(_plain_pdf(compress=True, font="cid"))
+    enc = _aes_pdf("aes256", compress=True, font="cid", objstm=True,
+                   form_xobject=True)
+    assert parse_real_pdf(enc) == plain
+
+
+def test_aes256_wrong_user_password_contributes_nothing():
+    # corrupt the /U validation hash: the empty-password check must
+    # fail and the file must yield nothing, never garbage
+    enc = bytearray(_aes_pdf("aes256", compress=True))
+    at = enc.index(b"/U <") + 4
+    enc[at:at + 2] = b"00" if enc[at:at + 2] != b"00" else b"ff"
+    assert parse_real_pdf(bytes(enc)) == []
+
+
+def test_aesv2_positions_match_plain_twin():
+    plain = parse_real_pdf(_plain_pdf(stream_filter="lzw"))
+    enc = parse_real_pdf(_aes_pdf("aesv2", stream_filter="lzw"))
+    assert enc == plain
