@@ -55,6 +55,12 @@ FIXTURE_TOKENS = [
 FIXTURE_CID_PDF = os.path.join(FIXTURE_DIR, "cid_text.pdf")
 FIXTURE_CID_GOLDEN = os.path.join(FIXTURE_DIR, "cid_text_elements.json")
 
+# AES-256/R6 encrypted twin of the simple fixture: checked-in binary
+# evidence that the full decrypt chain (Algorithm 2.B KDF, /U
+# validation, file-key recovery from /UE, per-stream CBC) reproduces
+# the plain parse byte-for-byte
+FIXTURE_AES_PDF = os.path.join(FIXTURE_DIR, "aes256_text.pdf")
+
 
 def make_fixture() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -69,6 +75,10 @@ def make_fixture() -> None:
         fh.write(cid)
     with open(FIXTURE_CID_GOLDEN, "w", encoding="utf-8") as fh:
         json.dump(parse_real_pdf(cid), fh, indent=2, ensure_ascii=False)
+    aes = build_pdf(FIXTURE_TOKENS, compress=True, style="tm",
+                    encrypt="aes256")
+    with open(FIXTURE_AES_PDF, "wb") as fh:
+        fh.write(aes)  # golden: the PLAIN fixture's — must be equal
 
 
 def _fixture_bytes() -> bytes:
@@ -416,3 +426,18 @@ def test_incremental_update_newest_revision_wins():
     assert [e["text"] for e in parse_real_pdf(base)] == ["original text"]
     assert [e["text"] for e in parse_real_pdf(updated)] == [
         "updated text"]
+
+
+def test_aes256_writer_is_byte_stable_vs_fixture():
+    assert build_pdf(FIXTURE_TOKENS, compress=True, style="tm",
+                     encrypt="aes256") == open(FIXTURE_AES_PDF,
+                                               "rb").read()
+
+
+def test_aes256_fixture_matches_plain_golden():
+    # the encrypted twin must extract EXACTLY the plain fixture's
+    # checked-in golden elements
+    with open(FIXTURE_GOLDEN, encoding="utf-8") as fh:
+        golden = json.load(fh)
+    with open(FIXTURE_AES_PDF, "rb") as fh:
+        assert parse_real_pdf(fh.read()) == golden
