@@ -53,11 +53,14 @@ never raises): CID encodings other than Identity-H (predefined CJK
 CMaps), AES-encrypted or password-protected files, and rotated or
 skewed text frames.
 
-Geometry model: glyph metrics aren't parsed (no embedded font
-program), so advances use the classic average-width approximation
-``CHAR_W_FRAC × fontsize`` per char — Helvetica's mean AW is ~0.513 em
-— and the bbox is ``ascent 0.8 em`` above / ``descent 0.2 em`` below
-the baseline. PDF user space is bottom-up; elements convert to the
+Geometry model: simple fonts that carry ``/FirstChar`` + ``/Widths``
+advance by their real per-glyph metrics (1/1000-em units), and
+``/Encoding /Differences`` overrides decode through algorithmic glyph
+names (single-char, ``uniXXXX``, ``uXXXX``) plus an Adobe-Glyph-List
+subset. Fonts without metrics use the classic average-width
+approximation ``CHAR_W_FRAC × fontsize`` per glyph — Helvetica's mean
+AW is ~0.513 em — and the bbox is ``ascent 0.8 em`` above /
+``descent 0.2 em`` below the baseline. PDF user space is bottom-up; elements convert to the
 kernel's top-down page coordinates via the page's MediaBox height.
 Confidence is 1.0: digital text has no recognition uncertainty.
 """
@@ -704,18 +707,122 @@ def _page_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
     return None
 
 
+# A resolved font: ``cid`` marks 2-byte Identity-H codes decoded
+# through ``charmap`` (a ToUnicode CID map); simple fonts decode
+# bytes through ``charmap`` overrides (/Encoding /Differences) with
+# a cp1252 fallback. ``widths`` maps byte code → glyph width in
+# 1/1000 em (/FirstChar + /Widths) — ``None`` falls back to the
+# average-width model.
+class _Font:
+    __slots__ = ("cid", "charmap", "widths")
+
+    def __init__(self, cid: bool = False,
+                 charmap: Optional[Dict[int, str]] = None,
+                 widths: Optional[Dict[int, float]] = None):
+        self.cid = cid
+        self.charmap = charmap or {}
+        self.widths = widths
+
+
+# Adobe Glyph List subset for /Differences names the algorithmic
+# rules (single char, uniXXXX, uXXXX) don't cover — the high-traffic
+# Latin/punctuation names (the full AGL is public; this is the slice
+# generated corpora and common documents use).
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "underscore": "_", "braceleft": "{",
+    "bar": "|", "braceright": "}", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "Adieresis": "Ä",
+    "Odieresis": "Ö", "Udieresis": "Ü", "germandbls": "ß",
+    "eacute": "é", "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "Euro": "€", "sterling": "£", "degree": "°", "twosuperior": "²",
+    "bullet": "•", "endash": "–", "emdash": "—",
+}
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _array_value(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                 head: bytes, key: bytes) -> Optional[bytes]:
+    """Bytes inside the ``[ ... ]`` under ``key`` — inline or a
+    dereferenced indirect array object."""
+    m = re.search(key + rb"\s*(\[|\d+\s+\d+\s+R)", head)
+    if m is None:
+        return None
+    if m.group(1) != b"[":
+        num = int(m.group(1).split()[0])
+        head = objs.get(num, (b"", None))[0]
+        m = re.search(rb"\[", head)
+        if m is None:
+            return None
+    close = head.find(b"]", m.end())
+    return head[m.end():close if close >= 0 else None]
+
+
+def _simple_font(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                 fhead: bytes) -> "_Font":
+    """Simple (1-byte) font: /FirstChar + /Widths per-glyph metrics
+    and /Encoding /Differences overrides (algorithmic + AGL-subset
+    glyph names; unknown names keep the cp1252 fallback)."""
+    widths: Optional[Dict[int, float]] = None
+    fc = re.search(rb"/FirstChar\s+(\d+)", fhead)
+    warr = _array_value(objs, fhead, rb"/Widths")
+    if fc is not None and warr is not None:
+        vals = re.findall(rb"[-+]?[\d.]+", warr)
+        widths = {int(fc.group(1)) + k: float(v)
+                  for k, v in enumerate(vals)}
+    charmap: Dict[int, str] = {}
+    enc = _dict_value(objs, fhead, rb"/Encoding")
+    if enc is not None:
+        darr = _array_value(objs, enc, rb"/Differences")
+        if darr is not None:
+            code = 0
+            for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()]+)", darr):
+                if tok.group(1) is not None:
+                    code = int(tok.group(1))
+                else:
+                    ch = _glyph_to_char(
+                        tok.group(2).decode("latin-1"))
+                    if ch is not None:
+                        charmap[code] = ch
+                    code += 1
+    return _Font(cid=False, charmap=charmap, widths=widths)
+
+
 def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                           res: Optional[bytes]
-                          ) -> Dict[str, Optional[Dict[int, str]]]:
-    """Font-name → decoder map: ``None`` marks a simple (1-byte,
-    cp1252) font; a dict is an Identity-H composite font's ToUnicode
-    CID map."""
+                          ) -> Dict[str, "_Font"]:
+    """Font-name → resolved :class:`_Font`."""
     if res is None:
         return {}
     fdict = _dict_value(objs, res, rb"/Font")
     if fdict is None:
         return {}
-    fonts: Dict[str, Optional[Dict[int, str]]] = {}
+    fonts: Dict[str, _Font] = {}
     for m in _FONT_ENTRY_RE.finditer(fdict):
         name = m.group(1).decode("latin-1")
         fhead = objs.get(int(m.group(2)), (None, None))[0]
@@ -730,9 +837,9 @@ def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                 if tstream is not None:
                     cid_map = _parse_tounicode(
                         _decode_stream(thead, tstream))
-            fonts[name] = cid_map
+            fonts[name] = _Font(cid=True, charmap=cid_map)
         else:
-            fonts[name] = None
+            fonts[name] = _simple_font(objs, fhead)
     return fonts
 
 
@@ -918,7 +1025,7 @@ def _extract_page_elements(content: bytes, page_num: int,
     xobjects = xobjects or {}
     elements: List[Dict[str, Any]] = []
     base_fs = DEFAULT_FONT_SIZE  # set by Tf
-    cid_map: Optional[Dict[int, str]] = None  # current font's decoder
+    cur_font: Optional[_Font] = None  # current font (decoder + widths)
     tm_scale = 1.0               # vertical scale of the text matrix
     lx = ly = 0.0      # line-matrix origin (PDF user space)
     cx = cy = 0.0      # cursor
@@ -934,22 +1041,37 @@ def _extract_page_elements(content: bytes, page_num: int,
 
     def decode(s: bytes) -> Tuple[str, int]:
         """(text, glyph count): 2-byte Identity-H CIDs through the
-        font's ToUnicode map, else WinAnsi bytes. The width model is
-        per GLYPH, so composite and simple fonts land on the same
-        CHAR_W grid."""
-        if cid_map is None:
+        font's ToUnicode map, else 1-byte codes through /Differences
+        overrides with a WinAnsi (cp1252) fallback. The width model
+        is per GLYPH, so composite and simple fonts land on the same
+        CHAR_W grid unless the font carries real /Widths."""
+        if cur_font is None or not cur_font.cid:
+            cm = cur_font.charmap if cur_font is not None else {}
+            if cm:
+                return ("".join(
+                    cm.get(b) or s[i:i + 1].decode(
+                        "cp1252", errors="replace")
+                    for i, b in enumerate(s)), len(s))
             return s.decode("cp1252", errors="replace"), len(s)
         n = len(s) - (len(s) % 2)
         codes = [int.from_bytes(s[i:i + 2], "big")
                  for i in range(0, n, 2)]
-        return ("".join(cid_map.get(c, "�") for c in codes),
+        return ("".join(cur_font.charmap.get(c, "�") for c in codes),
                 len(codes))
 
     def show(s: bytes, kern: float = 0.0) -> None:
         nonlocal cx
         fs = base_fs * tm_scale
         text, n_units = decode(s)
-        width = CHAR_W_FRAC * fs * n_units - kern
+        if (cur_font is not None and not cur_font.cid
+                and cur_font.widths is not None):
+            # real per-glyph metrics (1/1000 em); codes outside
+            # /FirstChar+/Widths keep the average-width fallback
+            default_w = CHAR_W_FRAC * 1000.0
+            width = fs * sum(cur_font.widths.get(b, default_w)
+                             for b in s) / 1000.0 - kern
+        else:
+            width = CHAR_W_FRAC * fs * n_units - kern
         if text.strip():
             # Coordinates round to 2 decimals: sub-centipoint float fuzz
             # (accumulated Td deltas, formatted-number round trips) is
@@ -1002,7 +1124,7 @@ def _extract_page_elements(content: bytes, page_num: int,
             fname = next(
                 (v[1] for v in reversed(stack)
                  if isinstance(v, tuple) and v[0] == "name"), None)
-            cid_map = fonts.get(fname) if fname is not None else None
+            cur_font = fonts.get(fname) if fname is not None else None
             stack.clear()
         elif op == "Tm":
             a, b, c, d, e, f = nums(6)

@@ -239,7 +239,8 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         # post-2010 real-world PDFs are mostly CID-encoded; the
         # corpus carries both so x_extract_pages exercises the
         # Identity-H/ToUnicode path alongside WinAnsi simple fonts
-        font=rng.choice(("simple", "cid")),
+        font=rng.choices(("simple", "cid", "widths"),
+                         weights=(40, 45, 15))[0],
         # PDF >=1.5 writers pack dict objects into object streams —
         # a third of the genuine PDFs do here too
         objstm=rng.random() < 0.34,

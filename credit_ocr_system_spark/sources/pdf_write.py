@@ -417,6 +417,18 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         else:
             objs.append(b"<< /Length %d >>\nstream\n" % len(cmap)
                         + cmap + b"\nendstream")
+    elif font == "widths":
+        # explicit per-glyph metrics: the CHAR_W average everywhere
+        # EXCEPT a deterministic detuned band, so the parser's
+        # /Widths path is load-bearing (not coincidentally equal to
+        # the fallback) while the layout stays on a predictable grid
+        w_entries = b" ".join(
+            b"%d" % (500 if not 0x61 <= c <= 0x7A
+                     else 460 + (c * 37) % 81)
+            for c in range(32, 256))
+        objs.append(b"<< /Type /Font /Subtype /Type1"
+                    b" /BaseFont /Helvetica /FirstChar 32"
+                    b" /Widths [" + w_entries + b"] >>")
     else:
         objs.append(b"<< /Type /Font /Subtype /Type1"
                     b" /BaseFont /Helvetica >>")
