@@ -86,7 +86,8 @@ _MEDIABOX_RE = re.compile(
     rb"([\d.+-]+)\s+([\d.+-]+)\s*\]")
 
 
-def _scan_objects(payload: bytes, decrypt=None
+def _scan_objects(payload: bytes, decrypt=None,
+                  from_objstm: Optional[set] = None
                   ) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     """obj number → (dict bytes, raw stream bytes or None).
 
@@ -146,7 +147,7 @@ def _scan_objects(payload: bytes, decrypt=None
             stream = decrypt(num, gen, stream)
         objs[num] = (head, stream)
         if re.search(rb"/Type\s*/ObjStm\b", head):
-            _expand_objstm(objs, head, stream)
+            _expand_objstm(objs, head, stream, from_objstm)
         resume = end_stream + len(b"endstream") if end_stream >= 0 \
             else len(payload)
         pos = max(resume, end_obj + len(b"endobj"))
@@ -154,7 +155,8 @@ def _scan_objects(payload: bytes, decrypt=None
 
 
 def _expand_objstm(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
-                   head: bytes, stream: bytes) -> None:
+                   head: bytes, stream: bytes,
+                   from_objstm: Optional[set] = None) -> None:
     """Expand one ``/Type /ObjStm`` container into ``objs``: the
     stream is ``N`` (objnum, offset) integer pairs up to ``/First``,
     then the serialized objects back-to-back (dict objects only —
@@ -175,6 +177,10 @@ def _expand_objstm(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                if k + 1 < len(pairs) else len(data))
         if 0 <= start <= end:
             objs[int(onum)] = (data[start:end], None)
+            if from_objstm is not None:
+                # strings in these dicts were decrypted with the
+                # container — never re-decrypt them individually
+                from_objstm.add(int(onum))
 
 
 def _ascii_hex_decode(data: bytes) -> bytes:
@@ -1203,6 +1209,78 @@ def _extract_page_elements(content: bytes, page_num: int,
     return elements
 
 
+_RECT_RE = re.compile(
+    rb"/Rect\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+"
+    rb"([\d.+-]+)\s+([\d.+-]+)\s*\]")
+
+
+def _annot_string(data: bytes) -> str:
+    """PDF text-string bytes → str: UTF-16BE when BOM'd, else
+    PDFDocEncoding (≈ cp1252 for the characters that matter here)."""
+    if data.startswith(b"\xfe\xff"):
+        return data[2:].decode("utf-16-be", errors="replace")
+    return data.decode("cp1252", errors="replace")
+
+
+def _page_annotations(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                      page_obj: int, page_num: int, page_h: float,
+                      decrypt=None,
+                      from_objstm: Optional[set] = None
+                      ) -> List[Dict[str, Any]]:
+    """Text carried by page annotations — filled AcroForm field
+    values (``/Widget`` ``/V``, string or checkbox-state name) and
+    ``/FreeText`` ``/Contents``. Form-based documents (the credit
+    applications this engine's reference processes) put their data
+    HERE, not in content streams. Strings in encrypted files decrypt
+    with the containing object's key (names never encrypt; objects
+    expanded from an ObjStm are already plaintext)."""
+    out: List[Dict[str, Any]] = []
+    for ref in _refs(rb"/Annots", objs[page_obj][0]):
+        ahead = objs.get(ref, (None, None))[0]
+        if ahead is None:
+            continue
+        rm = _RECT_RE.search(ahead)
+        if rm is None:
+            continue
+        sub = re.search(rb"/Subtype\s*/(Widget|FreeText)\b", ahead)
+        if sub is None:
+            continue
+        key = rb"/V" if sub.group(1) == b"Widget" else rb"/Contents"
+        raw = _enc_string(ahead, key)
+        if raw is not None:
+            if decrypt is not None and (from_objstm is None
+                                        or ref not in from_objstm):
+                raw = decrypt(ref, 0, raw)
+            text = _annot_string(raw)
+        elif sub.group(1) == b"Widget":
+            nm = re.search(rb"/V\s*/([^\s/<>\[\]()]+)", ahead)
+            if nm is None:
+                continue
+            text = nm.group(1).decode("latin-1")  # checkbox state
+        else:
+            continue
+        if not text.strip():
+            continue
+        try:
+            rx1, ry1, rx2, ry2 = (float(rm.group(k))
+                                  for k in range(1, 5))
+        except ValueError:
+            continue
+        x1 = round(min(rx1, rx2), 2)
+        x2 = round(max(rx1, rx2), 2)
+        y1 = round(page_h - max(ry1, ry2), 2)
+        y2 = round(page_h - min(ry1, ry2), 2)
+        out.append({
+            "page_num": page_num,
+            "text": text,
+            "confidence": 1.0,
+            "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                     "width": round(x2 - x1, 2),
+                     "height": round(y2 - y1, 2)},
+        })
+    return out
+
+
 def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
     """``%PDF-1.x`` bytes → layout elements (kernel element schema).
 
@@ -1210,7 +1288,9 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
     recognizable subset produced (possibly none) and never raises.
     """
     try:
-        objs = _scan_objects(payload, _make_decryptor(payload))
+        decrypt = _make_decryptor(payload)
+        from_objstm: set = set()
+        objs = _scan_objects(payload, decrypt, from_objstm)
         elements: List[Dict[str, Any]] = []
         for idx, page_obj in enumerate(_page_order(objs), start=1):
             page_h = _media_height(objs, page_obj)
@@ -1225,6 +1305,9 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
             elements.extend(
                 _extract_page_elements(content, idx, page_h, fonts,
                                        xobjects))
+            elements.extend(
+                _page_annotations(objs, page_obj, idx, page_h,
+                                  decrypt, from_objstm))
         return elements
     except Exception:
         return []

@@ -204,9 +204,14 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
     from .pdf_write import CHAR_W, FONT_SIZE, build_pdf
 
     pages: List[List] = [[]]
+    annots: List[List] = [[]]
 
     def tok(x: float, y: float, text: str, fs: float = FONT_SIZE) -> None:
         pages[-1].append((x, y, text, fs))
+
+    def widget(x: float, y: float, text: str) -> None:
+        # filled AcroForm field: value in /V, box on the token grid
+        annots[-1].append((x, y, CHAR_W * len(text), FONT_SIZE, text))
 
     tok(40.0, 20.0, title, 16.0)
     y = 60.0
@@ -225,6 +230,11 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             tok(40.0, y, _LABELS[f] + ":")
             tok(300.0, y, head)
             tok(300.0 + CHAR_W * len(head) + 40.0, y, tail)
+        elif style < 0.62:
+            # filled form field: printed label, value in a /Widget
+            # annotation (/V) — the AcroForm document shape
+            tok(40.0, y, _LABELS[f] + ":")
+            widget(300.0, y, val)
         else:
             tok(40.0, y, _LABELS[f] + ":")
             tok(300.0, y, val)
@@ -232,6 +242,7 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         if y > 760.0:
             y = 60.0
             pages.append([])
+            annots.append([])
     return build_pdf(
         pages,
         compress=rng.random() < 0.5,
@@ -262,6 +273,7 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
                             weights=(76, 6, 10, 8))[0],
         # letterhead/stamp shape: text inside a form XObject
         form_xobject=rng.random() < 0.25,
+        annots=annots,
     )
 
 

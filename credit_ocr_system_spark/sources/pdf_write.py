@@ -224,6 +224,26 @@ def _rewrite_streams(emit: List[Tuple[int, bytes]], transform
     return out
 
 
+def _encrypt_strings(out: List[Tuple[int, bytes]], transform
+                     ) -> List[Tuple[int, bytes]]:
+    """Encrypt the ``/V (...)`` literal in annotation dicts (the only
+    strings this writer emits outside streams and the encrypt dict
+    itself), re-emitting as hex strings. ``transform(num, raw) ->
+    bytes`` is the same per-object cipher the streams use — T.32000
+    encrypts strings and streams identically."""
+    from ..kernel.pdf_text import _parse_literal_string
+    fixed: List[Tuple[int, bytes]] = []
+    for num, body in out:
+        at = body.find(b"/V (")
+        if at >= 0 and b"/Type /Annot" in body:
+            raw, end = _parse_literal_string(body, at + 3)
+            body = (body[:at] + b"/V <"
+                    + transform(num, raw).hex().encode("ascii")
+                    + b">" + body[end:])
+        fixed.append((num, body))
+    return fixed
+
+
 def _encrypt_objects_aes256(emit: List[Tuple[int, bytes]], id0: bytes
                             ) -> Tuple[List[Tuple[int, bytes]],
                                        bytes, int]:
@@ -254,7 +274,8 @@ def _encrypt_objects_aes256(emit: List[Tuple[int, bytes]], id0: bytes
         iv = hashlib.md5(b"iv%d" % num + id0).digest()
         return cbc_encrypt(file_key, data, iv)
 
-    out = _rewrite_streams(emit, transform)
+    out = _encrypt_strings(_rewrite_streams(emit, transform),
+                           transform)
     enc_num = max(n for n, _ in out) + 1
     out.append((enc_num,
                 b"<< /Filter /Standard /V 5 /R 6 /Length 256"
@@ -328,7 +349,8 @@ def _encrypt_objects(emit: List[Tuple[int, bytes]], nkey: int,
         def transform(num: int, data: bytes) -> bytes:
             return _rc4(obj_key(num), data)
 
-    out = _rewrite_streams(emit, transform)
+    out = _encrypt_strings(_rewrite_streams(emit, transform),
+                           transform)
     enc_num = max(n for n, _ in out) + 1
     cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
           b" /StmF /StdCF /StrF /StdCF") if aes else b""
@@ -349,7 +371,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               objstm: bool = False,
               stream_filter: Optional[str] = None,
               encrypt: Optional[str] = None,
-              form_xobject: bool = False) -> bytes:
+              form_xobject: bool = False,
+              annots: Optional[List[List[tuple]]] = None) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -379,6 +402,11 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     ``form_xobject=True`` moves each page's text into a
     ``/Subtype /Form`` XObject invoked from a tiny ``q /Fm1 Do Q``
     content stream — the letterhead/stamp/OCR-layer document shape.
+
+    ``annots`` (one list per page of ``(x, y_top, w, h, value)``)
+    emits filled AcroForm text fields: ``/Subtype /Widget``
+    annotations carrying their value in ``/V`` — where form-based
+    documents put their data instead of the content stream.
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -434,12 +462,34 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                     b" /BaseFont /Helvetica >>")
     form_base = first_page_obj + 2 * n_pages  # form objs come after
     form_objs: List[bytes] = []
+    # widget-annotation objects come after the forms; number them now
+    # so page dicts can reference them
+    page_annots = [list(a) for a in (annots or [])]
+    page_annots += [[] for _ in range(n_pages - len(page_annots))]
+    annot_base = form_base + (n_pages if form_xobject else 0)
+    annot_refs: List[List[int]] = []
+    acc = annot_base
+    for pa in page_annots:
+        annot_refs.append(list(range(acc, acc + len(pa))))
+        acc += len(pa)
+    annot_objs: List[bytes] = []
+    for pa in page_annots:
+        for x, y_top, w_box, h_box, value in pa:
+            ry2 = PAGE_H - y_top
+            annot_objs.append(
+                b"<< /Type /Annot /Subtype /Widget /FT /Tx"
+                b" /Rect [" + b" ".join(_num(v) for v in (
+                    x, ry2 - h_box, x + w_box, ry2))
+                + b"] /V (" + _escape_literal(value) + b") >>")
     for i, tokens in enumerate(page_tokens):
         if form_xobject:
             res = (b" /Resources << /Font << /F1 3 0 R >>"
                    b" /XObject << /Fm1 %d 0 R >> >>" % (form_base + i))
         else:
             res = b" /Resources << /Font << /F1 3 0 R >> >>"
+        if annot_refs[i]:
+            res += (b" /Annots [" + b" ".join(
+                b"%d 0 R" % r for r in annot_refs[i]) + b"]")
         objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R%s >>"
                     % (first_page_obj + 1 + 2 * i, res))
         data = _content_stream(tokens, style, cid)
@@ -465,6 +515,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 % (_num(PAGE_W), _num(PAGE_H), len(form_data), ffilt)
                 + form_data + b"\nendstream")
     objs.extend(form_objs)
+    objs.extend(annot_objs)
 
     if objstm:
         dict_items = [(i, b) for i, b in enumerate(objs, start=1)
