@@ -900,6 +900,123 @@ def _xobjects_from_resources(
     return out
 
 
+# --- scanned pages: image XObjects + OCR ----------------------------------
+
+# image placement: the optional axis-aligned cm immediately preceding
+# the Do — the shape every scanner/rasterizer writes
+# (``q sx 0 0 sy tx ty cm /Im1 Do Q``)
+_IMAGE_DO_RE = re.compile(
+    rb"(?:([\d.eE+-]+)\s+[\d.eE+-]+\s+[\d.eE+-]+\s+([\d.eE+-]+)\s+"
+    rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s+cm\s+)?/([^\s/<>\[\]()]+)\s+Do\b")
+
+
+def _image_xobjects(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                    res: Optional[bytes]
+                    ) -> Dict[str, Tuple[bytes, bytes]]:
+    """XObject-name → (head, stream) for ``/Subtype /Image`` entries
+    (the complement of :func:`_xobjects_from_resources`, which keeps
+    only forms)."""
+    out: Dict[str, Tuple[bytes, bytes]] = {}
+    if res is None:
+        return out
+    xdict = _dict_value(objs, res, rb"/XObject")
+    if xdict is None:
+        return out
+    for m in _FONT_ENTRY_RE.finditer(xdict):
+        name = m.group(1).decode("latin-1")
+        head, stream = objs.get(int(m.group(2)), (None, None))
+        if head is not None and stream is not None \
+                and re.search(rb"/Subtype\s*/Image\b", head):
+            out[name] = (head, stream)
+    return out
+
+
+def _decode_image(head: bytes, stream: bytes):
+    """Image XObject → greyscale uint8 array, or ``None`` outside the
+    supported subset: 8-bit ``/DeviceGray`` samples (raw or Flate) and
+    ``/DCTDecode`` JPEG (via the from-scratch ``kernel/jpeg.py``) —
+    the two encodings real scanners emit. RGB JPEGs reduce to their
+    channel mean."""
+    wm = re.search(rb"/Width\s+(\d+)", head)
+    hm = re.search(rb"/Height\s+(\d+)", head)
+    if wm is None or hm is None:
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", head)
+    filt = fm.group(1) if fm else None
+    try:
+        if filt == b"DCTDecode":
+            import numpy as np
+            from .jpeg import decode_jpeg
+            img = decode_jpeg(bytes(stream))
+            if img.ndim == 3:
+                img = img.mean(axis=2).astype(np.uint8)
+            return img
+        if filt in (None, b"FlateDecode", b"Fl"):
+            import numpy as np
+            data = zlib.decompress(stream) if filt else stream
+            if len(data) < w * h:
+                return None
+            return np.frombuffer(
+                data[:w * h], dtype=np.uint8).reshape(h, w)
+    except Exception:
+        return None
+    return None
+
+
+def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                     content: bytes, res: Optional[bytes],
+                     page_num: int, page_h: float
+                     ) -> List[Dict[str, Any]]:
+    """OCR pass for a page with no text layer — the scanned-document
+    branch. The reference OCRs every page this way
+    (``/root/reference/src/ocr/easyocr_client.py:26-58``); here only
+    pages that carry no digital text pay the OCR cost. Each placed
+    image is decoded and run through ``kernel/ocr.py``'s recognizer;
+    pixel coordinates map to page points through the placement matrix
+    so elements land in the same geometry as the digital-text path.
+    Without a ``cm``, the scanner convention of one image pixel per
+    point is assumed."""
+    images = _image_xobjects(objs, res)
+    if not images:
+        return []
+    from .ocr import GLYPH_ROWS, recognize
+    out: List[Dict[str, Any]] = []
+    for m in _IMAGE_DO_RE.finditer(content):
+        name = m.group(5).decode("latin-1")
+        if name not in images:
+            continue
+        img = _decode_image(*images[name])
+        if img is None:
+            continue
+        ih, iw = img.shape
+        if m.group(1) is not None:
+            try:
+                sx, sy, tx, ty = (float(m.group(k))
+                                  for k in range(1, 5))
+            except ValueError:
+                sx, sy, tx, ty = float(iw), float(ih), 0.0, 0.0
+        else:
+            sx, sy, tx, ty = float(iw), float(ih), 0.0, 0.0
+        kx, ky = sx / iw, sy / ih  # image px → device pt
+        for x_px, top_px, text, ncells, box_h, pitch, conf in \
+                recognize(img):
+            fs = 12.0 * (box_h / GLYPH_ROWS) * ky
+            x1 = round(tx + x_px * kx, 2)
+            x2 = round(tx + (x_px + ncells * pitch) * kx, 2)
+            y1 = round(page_h - (ty + sy) + top_px * ky, 2)
+            y2 = round(y1 + fs, 2)
+            out.append({
+                "page_num": page_num,
+                "text": text,
+                "confidence": conf,
+                "bbox": {"x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                         "width": round(x2 - x1, 2),
+                         "height": round(y2 - y1, 2)},
+            })
+    return out
+
+
 # --- content-stream lexer -------------------------------------------------
 
 _DELIMS = b"()<>[]{}/%"
@@ -1302,9 +1419,13 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
                 head, stream = objs.get(ref, (b"", None))
                 if stream is not None:
                     content += _decode_stream(head, stream) + b"\n"
-            elements.extend(
-                _extract_page_elements(content, idx, page_h, fonts,
-                                       xobjects))
+            page_elems = _extract_page_elements(content, idx, page_h,
+                                                fonts, xobjects)
+            if not page_elems:
+                # no text layer → scanned page: OCR the placed images
+                page_elems = _ocr_page_images(objs, content, res, idx,
+                                              page_h)
+            elements.extend(page_elems)
             elements.extend(
                 _page_annotations(objs, page_obj, idx, page_h,
                                   decrypt, from_objstm))

@@ -366,13 +366,22 @@ def _encrypt_objects(emit: List[Tuple[int, bytes]], nkey: int,
     return out, trailer_extra, enc_num
 
 
+def _encode_scanned_jpeg(img) -> bytes:
+    """Scanned-page JPEG bytes: quality 85 keeps 2-px glyph dots
+    exactly recoverable after binarization (tests/test_ocr.py) while
+    staying the real-world scanner default."""
+    from ..kernel.jpeg import encode_jpeg
+    return encode_jpeg(img, quality=85)
+
+
 def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               style: str = "tm", font: str = "simple",
               objstm: bool = False,
               stream_filter: Optional[str] = None,
               encrypt: Optional[str] = None,
               form_xobject: bool = False,
-              annots: Optional[List[List[tuple]]] = None) -> bytes:
+              annots: Optional[List[List[tuple]]] = None,
+              scanned: Optional[str] = None) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -407,10 +416,24 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     emits filled AcroForm text fields: ``/Subtype /Widget``
     annotations carrying their value in ``/V`` — where form-based
     documents put their data instead of the content stream.
+
+    ``scanned="flate"`` / ``"dct"`` emits an image-only document —
+    the scanned-paper shape: each page's tokens are rasterized with
+    the ``kernel/ocr.py`` atlas into a full-page greyscale image
+    XObject (raw samples under ``/FlateDecode``, or genuine JPEG
+    bytes from ``kernel/jpeg.py`` under ``/DCTDecode``) placed by a
+    ``q W 0 0 H 0 0 cm /Im1 Do Q`` content stream; no text layer
+    exists, so extraction must OCR. Incompatible with
+    ``form_xobject`` (the image is the page).
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
     cid = font == "cid"
+    if scanned is not None:
+        if scanned not in ("flate", "dct"):
+            raise ValueError(f"unknown scanned mode {scanned!r}")
+        if form_xobject:
+            raise ValueError("scanned pages cannot use form XObjects")
     if stream_filter is None:
         stream_filter = "flate" if compress else None
     elif stream_filter not in _STREAM_FILTERS:
@@ -472,6 +495,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     for pa in page_annots:
         annot_refs.append(list(range(acc, acc + len(pa))))
         acc += len(pa)
+    image_base = acc  # image XObjects (scanned mode) come last
+    image_objs: List[bytes] = []
     annot_objs: List[bytes] = []
     for pa in page_annots:
         for x, y_top, w_box, h_box, value in pa:
@@ -485,6 +510,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         if form_xobject:
             res = (b" /Resources << /Font << /F1 3 0 R >>"
                    b" /XObject << /Fm1 %d 0 R >> >>" % (form_base + i))
+        elif scanned is not None:
+            res = (b" /Resources << /XObject << /Im1 %d 0 R >> >>"
+                   % (image_base + i))
         else:
             res = b" /Resources << /Font << /F1 3 0 R >> >>"
         if annot_refs[i]:
@@ -492,7 +520,25 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 b"%d 0 R" % r for r in annot_refs[i]) + b"]")
         objs.append(b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R%s >>"
                     % (first_page_obj + 1 + 2 * i, res))
-        data = _content_stream(tokens, style, cid)
+        if scanned is not None:
+            from ..kernel.ocr import render_tokens
+            img = render_tokens(tokens, PAGE_W, PAGE_H)
+            ih, iw = img.shape
+            if scanned == "dct":
+                idata = _encode_scanned_jpeg(img)
+                ifilt = b" /Filter /DCTDecode"
+            else:
+                idata = zlib.compress(img.tobytes(), 6)
+                ifilt = b" /Filter /FlateDecode"
+            image_objs.append(
+                b"<< /Type /XObject /Subtype /Image /Width %d"
+                b" /Height %d /ColorSpace /DeviceGray"
+                b" /BitsPerComponent 8 /Length %d%s >>\nstream\n"
+                % (iw, ih, len(idata), ifilt) + idata + b"\nendstream")
+            data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
+                    + b" 0 0 cm /Im1 Do Q")
+        else:
+            data = _content_stream(tokens, style, cid)
         if form_xobject:
             form_data = data
             data = b"q /Fm1 Do Q"
@@ -516,6 +562,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 + form_data + b"\nendstream")
     objs.extend(form_objs)
     objs.extend(annot_objs)
+    objs.extend(image_objs)
 
     if objstm:
         dict_items = [(i, b) for i, b in enumerate(objs, start=1)
