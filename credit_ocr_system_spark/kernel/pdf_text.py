@@ -46,12 +46,18 @@ Supported (the text-bearing core of ISO 32000):
   page tree, font dicts — where PDF ≥1.5 writers put them) are
   expanded from the decompressed stream via its ``/N``/``/First``
   pair table; the document is scanned sequentially, so no xref
-  stream parse is needed.
+  stream parse is needed;
+
+* scanned (image-only) pages: a page whose content yields no text
+  elements dispatches to the OCR branch (``_ocr_page_images`` →
+  ``kernel/ocr.py``) over its placed ``/Subtype /Image`` XObjects
+  (8-bit DeviceGray raw/Flate samples or DCTDecode JPEG).
 
 Not supported (returns whatever text the supported subset yields,
 never raises): CID encodings other than Identity-H (predefined CJK
-CMaps), AES-encrypted or password-protected files, and rotated or
-skewed text frames.
+CMaps), user-password-protected files (empty-user-password RC4,
+AESV2 and AES-256/R6 all decrypt — see the security-handler section
+below), and rotated or skewed text frames.
 
 Geometry model: simple fonts that carry ``/FirstChar`` + ``/Widths``
 advance by their real per-glyph metrics (1/1000-em units), and

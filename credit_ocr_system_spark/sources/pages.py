@@ -19,8 +19,11 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
   (Flate / LZW / ASCIIHex / RunLength / ASCII85+Flate / raw),
   Tm/Td/TJ operator styles, simple WinAnsi AND composite
   Identity-H/ToUnicode CID fonts, object streams, RC4-encrypted
-  standard-security files (40- and 128-bit), and form-XObject
-  letterhead shapes — every path ``kernel/pdf_text.py`` decodes),
+  standard-security files (40- and 128-bit), form-XObject
+  letterhead shapes, and ~12% scanned image-only documents (raster
+  pages under FlateDecode or genuine DCTDecode JPEG, recognized by
+  the from-scratch OCR in ``kernel/ocr.py``) — every path
+  ``kernel/pdf_text.py`` decodes),
   half ``%PDF-GRAFT`` token layouts (the OCR-shaped path with
   per-token confidences);
 * credit-request forms embed a per-page subset of the 21 configured
@@ -203,6 +206,17 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
     width model reproduces the intended merge gaps."""
     from .pdf_write import CHAR_W, FONT_SIZE, build_pdf
 
+    # scanned (image-only) draw decided first: a scan has no AcroForm
+    # and no text layer, so the layout below prints every value and
+    # the title lands on the raster grid (fontsize a multiple of 6).
+    # DCT (JPEG) scans are kept a small-but-present share for the same
+    # reason AES-256/R6 stays out of the corpus: the pure-Python JPEG
+    # decode prices the codec, not the engine (natively ~10 ms at the
+    # same seam); Flate scans carry the realistic OCR load.
+    scan_draw = rng.random()
+    scanned = ("flate" if scan_draw < 0.11
+               else "dct" if scan_draw < 0.12 else None)
+
     pages: List[List] = [[]]
     annots: List[List] = [[]]
 
@@ -213,7 +227,7 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         # filled AcroForm field: value in /V, box on the token grid
         annots[-1].append((x, y, CHAR_W * len(text), FONT_SIZE, text))
 
-    tok(40.0, 20.0, title, 16.0)
+    tok(40.0, 20.0, title, 18.0 if scanned else 16.0)
     y = 60.0
     for f in fields:
         val = values[f]
@@ -232,9 +246,14 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             tok(300.0 + CHAR_W * len(head) + 40.0, y, tail)
         elif style < 0.62:
             # filled form field: printed label, value in a /Widget
-            # annotation (/V) — the AcroForm document shape
+            # annotation (/V) — the AcroForm document shape. A
+            # scanned form was printed before scanning: value on the
+            # raster instead.
             tok(40.0, y, _LABELS[f] + ":")
-            widget(300.0, y, val)
+            if scanned:
+                tok(300.0, y, val)
+            else:
+                widget(300.0, y, val)
         else:
             tok(40.0, y, _LABELS[f] + ":")
             tok(300.0, y, val)
@@ -243,6 +262,14 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             y = 60.0
             pages.append([])
             annots.append([])
+    if scanned is not None:
+        # image-only document: raster pages (optionally inside an
+        # encrypted file — scanners that password-protect output)
+        return build_pdf(
+            pages, scanned=scanned,
+            encrypt=rng.choices((None, "rc4-128"),
+                                weights=(85, 15))[0],
+            objstm=rng.random() < 0.2)
     return build_pdf(
         pages,
         compress=rng.random() < 0.5,

@@ -17,6 +17,10 @@ from credit_ocr_system_spark.kernel.serialize import stage_envelope  # noqa: E40
 from credit_ocr_system_spark.sources.pages import gen_page  # noqa: E402
 
 N_GOLDENS = 32  # rows 0..31: includes HTML, %PDF-GRAFT and real %PDF-1.4
+# picked rows beyond the prefix: 557 is the first scanned (image-only,
+# FlateDecode raster) document — extraction goes through kernel/ocr.py
+EXTRA_ROWS = (557,)
+GOLDEN_ROWS = tuple(range(N_GOLDENS)) + EXTRA_ROWS
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "goldens")
 
@@ -42,11 +46,11 @@ def golden_for(row_id: int) -> str:
 
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for i in range(N_GOLDENS):
+    for i in GOLDEN_ROWS:
         path = os.path.join(GOLDEN_DIR, f"page_{i:03d}.json")
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(golden_for(i))
-    print(f"wrote {N_GOLDENS} goldens to {GOLDEN_DIR}")
+    print(f"wrote {len(GOLDEN_ROWS)} goldens to {GOLDEN_DIR}")
 
 
 if __name__ == "__main__":

@@ -11,10 +11,10 @@ import os
 
 import pytest
 
-from tests.make_goldens import GOLDEN_DIR, N_GOLDENS, golden_for
+from tests.make_goldens import GOLDEN_DIR, GOLDEN_ROWS, golden_for
 
 
-@pytest.mark.parametrize("row_id", range(N_GOLDENS))
+@pytest.mark.parametrize("row_id", GOLDEN_ROWS)
 def test_golden_byte_identical(row_id):
     path = os.path.join(GOLDEN_DIR, f"page_{row_id:03d}.json")
     with open(path, encoding="utf-8") as fh:
@@ -24,7 +24,7 @@ def test_golden_byte_identical(row_id):
 
 def test_goldens_cover_both_payload_kinds():
     kinds = set()
-    for i in range(N_GOLDENS):
+    for i in GOLDEN_ROWS:
         path = os.path.join(GOLDEN_DIR, f"page_{i:03d}.json")
         with open(path, encoding="utf-8") as fh:
             content = fh.read()

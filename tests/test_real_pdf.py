@@ -61,6 +61,18 @@ FIXTURE_CID_GOLDEN = os.path.join(FIXTURE_DIR, "cid_text_elements.json")
 # the plain parse byte-for-byte
 FIXTURE_AES_PDF = os.path.join(FIXTURE_DIR, "aes256_text.pdf")
 
+# scanned (image-only) twin: the same layout rasterized with the
+# kernel/ocr.py atlas into a FlateDecode image XObject — no text
+# layer; extraction must OCR. Title at 18 pt (the raster grid needs
+# fontsize a multiple of 6).
+FIXTURE_SCAN_PDF = os.path.join(FIXTURE_DIR, "scanned_text.pdf")
+FIXTURE_SCAN_GOLDEN = os.path.join(FIXTURE_DIR,
+                                   "scanned_text_elements.json")
+FIXTURE_SCAN_TOKENS = [
+    [(x, y, t, 18.0 if fs == 16.0 else fs) for x, y, t, fs in page]
+    for page in FIXTURE_TOKENS
+]
+
 
 def make_fixture() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -79,6 +91,12 @@ def make_fixture() -> None:
                     encrypt="aes256")
     with open(FIXTURE_AES_PDF, "wb") as fh:
         fh.write(aes)  # golden: the PLAIN fixture's — must be equal
+    scan = build_pdf(FIXTURE_SCAN_TOKENS, scanned="flate")
+    with open(FIXTURE_SCAN_PDF, "wb") as fh:
+        fh.write(scan)
+    with open(FIXTURE_SCAN_GOLDEN, "w", encoding="utf-8") as fh:
+        json.dump(parse_real_pdf(scan), fh, indent=2,
+                  ensure_ascii=False)
 
 
 def _fixture_bytes() -> bytes:
@@ -441,3 +459,32 @@ def test_aes256_fixture_matches_plain_golden():
         golden = json.load(fh)
     with open(FIXTURE_AES_PDF, "rb") as fh:
         assert parse_real_pdf(fh.read()) == golden
+
+
+def test_scanned_writer_is_byte_stable_vs_fixture():
+    assert build_pdf(FIXTURE_SCAN_TOKENS, scanned="flate") == open(
+        FIXTURE_SCAN_PDF, "rb").read()
+
+
+def test_scanned_fixture_matches_checked_in_golden():
+    with open(FIXTURE_SCAN_GOLDEN, encoding="utf-8") as fh:
+        want = json.load(fh)
+    with open(FIXTURE_SCAN_PDF, "rb") as fh:
+        got = parse_real_pdf(fh.read())
+    assert got == want
+    texts = [e["text"] for e in got]
+    # OCR merges the 6-pt split fragments into one spaced token
+    assert "Loan Amount:" in texts
+    assert "1.250.000 €" in texts
+    assert {e["page_num"] for e in got} == {1, 2}
+
+
+def test_scanned_fixture_through_full_kernel():
+    with open(FIXTURE_SCAN_PDF, "rb") as fh:
+        res = extract_document("u", fh.read())
+    assert res["doc_kind"] == "pdf"
+    assert res["page_count"] == 2
+    values = {p["label"]: p["value"] for p in res["pairs"]}
+    assert values.get("Loan Amount") == "1.250.000 €"
+    assert res["extracted_text"].startswith(
+        "Grünbau & (Söhne) GmbH Application 1")
