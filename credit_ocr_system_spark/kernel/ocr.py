@@ -221,8 +221,15 @@ for _ch, _bm in _BITMAPS.items():
 del _ch, _bm, _ys, _box, _pad
 
 
+# deskew search grid: the scanner model's discrete shear steps. A
+# candidate k shifts column x down by floor(k*x + 0.5) px; ±0.03 over
+# a 1224-px page is ±2.1°, the range paper feeders produce.
+SKEW_GRID = tuple(i * 0.002 for i in range(-15, 16))
+
+
 def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
-                  ppt: int = 2) -> np.ndarray:
+                  ppt: int = 2, skew: float = 0.0, specks: int = 0,
+                  speck_seed: int = 0) -> np.ndarray:
     """Positioned tokens → greyscale page raster (the synthetic scan).
 
     ``tokens`` are kernel-grid ``(x_pt, y_top_pt, text, fs_pt)`` with
@@ -231,6 +238,18 @@ def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
     generator quantizes scanned-page fontsizes accordingly (12 → 2 px
     dots at ppt=2, 18 → 3) exactly as a real scan quantizes glyphs to
     the sensor grid. Ink is 0 on 255 white.
+
+    Scanner artifacts (both exactly invertible by the recognizer's
+    pre-passes, so recognition of an artifacted page equals the clean
+    page's):
+
+    * ``skew`` — feeder tilt as a vertical shear from
+      :data:`SKEW_GRID`: column ``x`` shifts down by
+      ``floor(skew*x + 0.5)`` px;
+    * ``specks`` — salt-and-pepper dust: that many isolated dark
+      pixels placed (seeded by ``speck_seed``) at least 3 px from any
+      ink and from each other, which the despeckle pass provably
+      removes.
     """
     img = np.full((int(round(page_h_pt * ppt)),
                    int(round(page_w_pt * ppt))), 255, np.uint8)
@@ -252,7 +271,47 @@ def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
             block = np.kron(bm, np.ones((d, d), bool))
             h, w = block.shape
             img[y0:y0 + h, x0:x0 + w][block] = 0
+    if specks:
+        import random
+        rng = random.Random(speck_seed)
+        ink = img < 128
+        h, w = img.shape
+        placed = 0
+        for _try in range(specks * 50):
+            if placed >= specks:
+                break
+            y = rng.randrange(3, h - 3)
+            x = rng.randrange(3, w - 3)
+            if not ink[y - 3:y + 4, x - 3:x + 4].any():
+                img[y, x] = 0
+                ink[y, x] = True
+                placed += 1
+    if skew:
+        if skew not in SKEW_GRID:
+            raise ValueError(f"skew {skew} not on SKEW_GRID")
+        img = _shear_columns(img, skew)
     return img
+
+
+def _shear_columns(img: np.ndarray, k: float,
+                   inverse: bool = False) -> np.ndarray:
+    """Vertical shear: column ``x`` moves down by
+    ``floor(k*x + 0.5)`` px (up for negative ``k``); rows shifted in
+    from outside the page are white. ``inverse=True`` negates the
+    SAME shift array, so deskewing with the true ``k`` restores the
+    original pixels exactly (no reliance on rounding symmetry)."""
+    h, w = img.shape
+    out = np.full_like(img, 255)
+    sh = np.floor(k * np.arange(w) + 0.5).astype(np.int64)
+    if inverse:
+        sh = -sh
+    for s in np.unique(sh):
+        cols = sh == s
+        if s >= 0:
+            out[s:h, cols] = img[0:h - s, cols]
+        else:
+            out[0:h + s, cols] = img[-s:h, cols]
+    return out
 
 
 def _classify_cell(dots: np.ndarray
@@ -342,7 +401,50 @@ def _read_line(ink: np.ndarray, r0: int, run_h: int, d: int):
     return out, box_top_rel
 
 
-def recognize(img: np.ndarray, threshold: int = 128
+def _despeckle(ink: np.ndarray) -> np.ndarray:
+    """Drop dark pixels with no dark 8-neighbor (scanner dust). Glyph
+    dots are >= 2x2 px at every generated scale, so every true ink
+    pixel has a neighbor and survives."""
+    nbrs = np.zeros(ink.shape, np.uint8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sl = ink[max(dy, 0) or None:ink.shape[0] + min(dy, 0)
+                     or None,
+                     max(dx, 0) or None:ink.shape[1] + min(dx, 0)
+                     or None]
+            nbrs[max(-dy, 0) or None:ink.shape[0] + min(-dy, 0)
+                 or None,
+                 max(-dx, 0) or None:ink.shape[1] + min(-dx, 0)
+                 or None] += sl
+    return ink & (nbrs > 0)
+
+
+def _estimate_skew(ink: np.ndarray) -> float:
+    """Projection-profile skew search (Baird's method): the shear
+    candidate from :data:`SKEW_GRID` whose deskewed row projection is
+    sharpest (max sum of squared row counts; ties prefer smaller
+    |k|). The estimate is only a CANDIDATE — :func:`recognize`
+    validates it by re-recognizing and keeping the better parse, so a
+    spurious estimate on sparse ink can never corrupt a page that
+    already reads cleanly."""
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return 0.0
+    h = ink.shape[0]
+    best_k, best_score = 0.0, -1.0
+    for k in sorted(SKEW_GRID, key=abs):
+        yy = ys - np.floor(k * xs + 0.5).astype(np.int64)
+        counts = np.bincount(np.clip(yy, 0, h - 1), minlength=h)
+        score = float((counts.astype(np.float64) ** 2).sum())
+        if score > best_score:
+            best_k, best_score = k, score
+    return best_k
+
+
+def recognize(img: np.ndarray, threshold: int = 128,
+              pre: bool = True
               ) -> List[Tuple[float, float, str, int, int, int, float]]:
     """Page raster → recognized tokens in pixel coordinates.
 
@@ -352,19 +454,52 @@ def recognize(img: np.ndarray, threshold: int = 128
     ``1 - mean_hamming/35`` over the token's cells (1.0 for exact
     matches), rounded to 2 decimals — the deterministic analogue of
     the reference recognizer's per-detection score.
+
+    ``pre`` runs the scanner-artifact pre-passes: isolated-pixel
+    despeckle, then self-validating deskew — a page that reads
+    perfectly as-is is returned untouched (no estimator can corrupt
+    it); otherwise the projection-profile skew candidate is applied
+    with the renderer's exact shift array and the better of the two
+    parses wins (more lines read, then more tokens, then less
+    Hamming noise). An artifacted page therefore recognizes
+    identically to its clean twin.
     """
     if img.ndim == 3:
         img = img.mean(axis=2).astype(np.uint8)
     ink = img < threshold
+    if not pre or not ink.any():
+        return _recognize_ink(ink)[0]
+    ink = _despeckle(ink)
+    res0 = _recognize_ink(ink)
+    tokens0, lines0, ok0, dist0 = res0
+    if lines0 == ok0 and dist0 == 0:
+        return tokens0
+    k = _estimate_skew(ink)
+    if k == 0.0:
+        return tokens0
+    ink1 = _shear_columns(
+        np.where(ink, 0, 255).astype(np.uint8), k,
+        inverse=True) < threshold
+    tokens1, _lines1, ok1, dist1 = _recognize_ink(ink1)
+    if (ok1, len(tokens1), -dist1) > (ok0, len(tokens0), -dist0):
+        return tokens1
+    return tokens0
+
+
+def _recognize_ink(ink: np.ndarray):
+    """One recognition pass over a binary ink mask → ``(tokens,
+    lines_total, lines_ok, total_dist)``."""
     row_ink = np.flatnonzero(ink.any(axis=1))
     if row_ink.size == 0:
-        return []
+        return [], 0, 0, 0
     # line runs: consecutive ink rows
     breaks = np.flatnonzero(np.diff(row_ink) > 1)
     tops = [int(row_ink[0])] + [int(row_ink[i + 1]) for i in breaks]
     bots = [int(row_ink[i]) for i in breaks] + [int(row_ink[-1])]
     out = []
+    lines_total = lines_ok = total_dist = 0
     for r0, r1 in zip(tops, bots):
+        lines_total += 1
         run_h = r1 - r0 + 1
         # candidate dot sizes: run height divides into <=7 dot rows
         cands = [d for d in range(max(1, -(-run_h // GLYPH_ROWS)),
@@ -382,6 +517,8 @@ def recognize(img: np.ndarray, threshold: int = 128
                 break
         if best is None:
             continue
+        lines_ok += 1
+        total_dist += best[0]
         _total, d, tokens, box_top = best
         for x_px, ncells, text, dist_sum in tokens:
             n_chars = sum(1 for c in text if c != " ")
@@ -389,4 +526,4 @@ def recognize(img: np.ndarray, threshold: int = 128
                 1.0 - dist_sum / (35.0 * max(n_chars, 1)), 0.0), 2)
             out.append((float(x_px), float(box_top), text, ncells,
                         GLYPH_ROWS * d, CELL_COLS * d, conf))
-    return out
+    return out, lines_total, lines_ok, total_dist

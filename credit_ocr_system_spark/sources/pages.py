@@ -264,9 +264,16 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             annots.append([])
     if scanned is not None:
         # image-only document: raster pages (optionally inside an
-        # encrypted file — scanners that password-protect output)
+        # encrypted file — scanners that password-protect output),
+        # with the scanner's own artifacts: feeder tilt (vertical
+        # shear from the deskew grid) and dust specks, both exactly
+        # inverted by the recognizer's pre-passes
+        skew = (rng.choice([i * 0.002 for i in range(-15, 16) if i])
+                if rng.random() < 0.4 else 0.0)
+        specks = rng.randrange(20, 90) if rng.random() < 0.4 else 0
         return build_pdf(
             pages, scanned=scanned,
+            scan_skew=skew, scan_specks=specks,
             encrypt=rng.choices((None, "rc4-128"),
                                 weights=(85, 15))[0],
             objstm=rng.random() < 0.2)

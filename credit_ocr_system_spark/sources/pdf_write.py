@@ -381,7 +381,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               encrypt: Optional[str] = None,
               form_xobject: bool = False,
               annots: Optional[List[List[tuple]]] = None,
-              scanned: Optional[str] = None) -> bytes:
+              scanned: Optional[str] = None,
+              scan_skew: float = 0.0,
+              scan_specks: int = 0) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -424,7 +426,11 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     bytes from ``kernel/jpeg.py`` under ``/DCTDecode``) placed by a
     ``q W 0 0 H 0 0 cm /Im1 Do Q`` content stream; no text layer
     exists, so extraction must OCR. Incompatible with
-    ``form_xobject`` (the image is the page).
+    ``form_xobject`` (the image is the page). ``scan_skew`` (a
+    ``kernel.ocr.SKEW_GRID`` value) and ``scan_specks`` add the
+    scanner's artifacts — feeder tilt and dust — which the
+    recognizer's deskew/despeckle pre-passes invert exactly (speck
+    seed = page index, so pages differ deterministically).
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -522,7 +528,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                     % (first_page_obj + 1 + 2 * i, res))
         if scanned is not None:
             from ..kernel.ocr import render_tokens
-            img = render_tokens(tokens, PAGE_W, PAGE_H)
+            img = render_tokens(tokens, PAGE_W, PAGE_H,
+                                skew=scan_skew, specks=scan_specks,
+                                speck_seed=i)
             ih, iw = img.shape
             if scanned == "dct":
                 idata = _encode_scanned_jpeg(img)

@@ -177,3 +177,57 @@ def test_scanned_rejects_form_xobject_combo():
         build_pdf(_PAGES, scanned="flate", form_xobject=True)
     with pytest.raises(ValueError, match="scanned mode"):
         build_pdf(_PAGES, scanned="tiff")
+
+
+# --- scanner artifacts: skew + dust ------------------------------------------
+
+def test_artifacted_rasters_recognize_identically():
+    toks = [(40.0, 20.0, "DemoTech Solutions GmbH Application 7", 18.0),
+            (40.0, 60.0, "Loan Amount:", 12.0),
+            (300.0, 60.0, "1.234 €", 12.0),
+            (40.0, 88.0, "HRB 123 / München Local Court", 12.0)]
+    clean = ocr.recognize(ocr.render_tokens(toks, 612.0, 792.0))
+    for skew in (0.002, -0.012, 0.03):
+        for specks in (0, 60):
+            img = ocr.render_tokens(toks, 612.0, 792.0, skew=skew,
+                                    specks=specks, speck_seed=3)
+            assert ocr.recognize(img) == clean, (skew, specks)
+
+
+def test_despeckle_only_removes_isolated_pixels():
+    toks = [(40.0, 60.0, "Total Area: 1,234 m²", 12.0)]
+    clean = ocr.recognize(ocr.render_tokens(toks, 612.0, 792.0))
+    noisy = ocr.render_tokens(toks, 612.0, 792.0, specks=150,
+                              speck_seed=11)
+    assert (noisy < 128).sum() > (
+        ocr.render_tokens(toks, 612.0, 792.0) < 128).sum()
+    assert ocr.recognize(noisy) == clean
+
+
+def test_skew_estimator_validated_not_trusted():
+    # a sparse page where projection profiles are unreliable must
+    # come back unmodified because the unsheared parse is perfect
+    one = ocr.recognize(ocr.render_tokens(
+        [(40.0, 80.0, "6", 12.0)], 612.0, 792.0))
+    assert [(t[0], t[1], t[2]) for t in one] == [(80.0, 160.0, "6")]
+
+
+def test_scanned_pdf_with_artifacts_matches_digital():
+    digital = parse_real_pdf(build_pdf(_PAGES))
+    for mode in ("flate", "dct"):
+        scanned = parse_real_pdf(build_pdf(
+            _PAGES, scanned=mode, scan_skew=-0.012, scan_specks=45))
+        assert _strip_conf(scanned) == _strip_conf(digital), mode
+
+
+def test_jpeg_artifacts_round_trip():
+    toks = [(40.0, 20.0, "DemoTech Solutions GmbH Application 7", 18.0),
+            (40.0, 88.0, "[x] yes größe Straße 1,5%", 12.0)]
+    clean = [t[2] for t in ocr.recognize(
+        ocr.render_tokens(toks, 612.0, 792.0))]
+    img = ocr.render_tokens(toks, 612.0, 792.0, skew=0.004,
+                            specks=50, speck_seed=7)
+    dec = decode_jpeg(encode_jpeg(img, quality=85))
+    if dec.ndim == 3:
+        dec = dec[:, :, 0]
+    assert [t[2] for t in ocr.recognize(dec)] == clean
