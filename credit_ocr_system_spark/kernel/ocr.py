@@ -496,6 +496,20 @@ def _recognize_ink(ink: np.ndarray):
     breaks = np.flatnonzero(np.diff(row_ink) > 1)
     tops = [int(row_ink[0])] + [int(row_ink[i + 1]) for i in breaks]
     bots = [int(row_ink[i]) for i in breaks] + [int(row_ink[-1])]
+    # multi-part glyphs ('i', ':', '=', '?', umlauts …) split a line
+    # whose only ink is theirs: by atlas construction their vertical
+    # gaps are exactly one dot row, while distinct text lines sit at
+    # least a glyph box apart — so merge runs whose gap is at most
+    # the smaller neighbor's height
+    runs = [[tops[0], bots[0]]]
+    for t, b in zip(tops[1:], bots[1:]):
+        gap = t - runs[-1][1] - 1
+        if gap <= min(runs[-1][1] - runs[-1][0] + 1, b - t + 1):
+            runs[-1][1] = b
+        else:
+            runs.append([t, b])
+    tops = [r[0] for r in runs]
+    bots = [r[1] for r in runs]
     out = []
     lines_total = lines_ok = total_dist = 0
     for r0, r1 in zip(tops, bots):

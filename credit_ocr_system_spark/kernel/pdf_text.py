@@ -939,15 +939,18 @@ def _image_xobjects(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
 
 def _decode_image(head: bytes, stream: bytes):
     """Image XObject → greyscale uint8 array, or ``None`` outside the
-    supported subset: 8-bit ``/DeviceGray`` samples (raw or Flate) and
-    ``/DCTDecode`` JPEG (via the from-scratch ``kernel/jpeg.py``) —
-    the two encodings real scanners emit. RGB JPEGs reduce to their
+    supported subset: ``/DeviceGray`` samples at 8 bits or fax-style
+    1 bit (raw or Flate; 1-bit rows byte-padded, MSB first, 1=white)
+    and ``/DCTDecode`` JPEG (via the from-scratch ``kernel/jpeg.py``)
+    — the encodings real scanners emit. RGB JPEGs reduce to their
     channel mean."""
     wm = re.search(rb"/Width\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     if wm is None or hm is None:
         return None
     w, h = int(wm.group(1)), int(hm.group(1))
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    bpc = int(bm.group(1)) if bm else 8
     fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", head)
     filt = fm.group(1) if fm else None
     try:
@@ -961,7 +964,16 @@ def _decode_image(head: bytes, stream: bytes):
         if filt in (None, b"FlateDecode", b"Fl"):
             import numpy as np
             data = zlib.decompress(stream) if filt else stream
-            if len(data) < w * h:
+            if bpc == 1:
+                rowbytes = (w + 7) // 8
+                if len(data) < h * rowbytes:
+                    return None
+                bits = np.frombuffer(
+                    data[:h * rowbytes],
+                    dtype=np.uint8).reshape(h, rowbytes)
+                return (np.unpackbits(bits, axis=1)[:, :w]
+                        * np.uint8(255))
+            if bpc != 8 or len(data) < w * h:
                 return None
             return np.frombuffer(
                 data[:w * h], dtype=np.uint8).reshape(h, w)

@@ -436,7 +436,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     n_pages = len(page_tokens)
     cid = font == "cid"
     if scanned is not None:
-        if scanned not in ("flate", "dct"):
+        if scanned not in ("flate", "dct", "bilevel"):
             raise ValueError(f"unknown scanned mode {scanned!r}")
         if form_xobject:
             raise ValueError("scanned pages cannot use form XObjects")
@@ -532,17 +532,28 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                                 skew=scan_skew, specks=scan_specks,
                                 speck_seed=i)
             ih, iw = img.shape
+            bpc = 8
             if scanned == "dct":
                 idata = _encode_scanned_jpeg(img)
                 ifilt = b" /Filter /DCTDecode"
+            elif scanned == "bilevel":
+                # fax-style 1-bit raster: 1 = white (DeviceGray max),
+                # rows padded to byte boundaries, MSB first — 8x
+                # smaller before Flate even sees it
+                import numpy as np
+                bits = np.packbits(img >= 128, axis=1)
+                idata = zlib.compress(bits.tobytes(), 6)
+                ifilt = b" /Filter /FlateDecode"
+                bpc = 1
             else:
                 idata = zlib.compress(img.tobytes(), 6)
                 ifilt = b" /Filter /FlateDecode"
             image_objs.append(
                 b"<< /Type /XObject /Subtype /Image /Width %d"
                 b" /Height %d /ColorSpace /DeviceGray"
-                b" /BitsPerComponent 8 /Length %d%s >>\nstream\n"
-                % (iw, ih, len(idata), ifilt) + idata + b"\nendstream")
+                b" /BitsPerComponent %d /Length %d%s >>\nstream\n"
+                % (iw, ih, bpc, len(idata), ifilt)
+                + idata + b"\nendstream")
             data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
                     + b" 0 0 cm /Im1 Do Q")
         else:

@@ -231,3 +231,15 @@ def test_jpeg_artifacts_round_trip():
     if dec.ndim == 3:
         dec = dec[:, :, 0]
     assert [t[2] for t in ocr.recognize(dec)] == clean
+
+
+def test_bilevel_scanned_pdf_matches_digital():
+    digital = parse_real_pdf(build_pdf(_PAGES))
+    for skew, specks in ((0.0, 0), (-0.012, 45)):
+        scanned = parse_real_pdf(build_pdf(
+            _PAGES, scanned="bilevel", scan_skew=skew,
+            scan_specks=specks))
+        assert _strip_conf(scanned) == _strip_conf(digital)
+    # 1-bit packing beats 8-bit greyscale on size
+    assert len(build_pdf(_PAGES, scanned="bilevel")) < \
+        len(build_pdf(_PAGES, scanned="flate"))
