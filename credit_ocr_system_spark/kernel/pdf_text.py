@@ -954,6 +954,16 @@ def _decode_image(head: bytes, stream: bytes):
     fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", head)
     filt = fm.group(1) if fm else None
     try:
+        if filt == b"CCITTFaxDecode":
+            # Group 4 only (/K < 0) — what scanners write; 1D and
+            # mixed-mode G3 are out of scope and yield None
+            import numpy as np
+            from .g4 import decode_g4
+            km = re.search(rb"/K\s+(-?\d+)", head)
+            if km is None or int(km.group(1)) >= 0:
+                return None
+            ink = decode_g4(bytes(stream), w, h)
+            return np.where(ink, np.uint8(0), np.uint8(255))
         if filt == b"DCTDecode":
             import numpy as np
             from .jpeg import decode_jpeg

@@ -214,7 +214,8 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
     # decode prices the codec, not the engine (natively ~10 ms at the
     # same seam); Flate scans carry the realistic OCR load.
     scan_draw = rng.random()
-    scanned = ("bilevel" if scan_draw < 0.055    # fax-style 1-bit
+    scanned = ("bilevel" if scan_draw < 0.04     # packed 1-bit rows
+               else "g4" if scan_draw < 0.06     # CCITT Group 4
                else "flate" if scan_draw < 0.11  # 8-bit greyscale
                else "dct" if scan_draw < 0.12 else None)
 

@@ -436,7 +436,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     n_pages = len(page_tokens)
     cid = font == "cid"
     if scanned is not None:
-        if scanned not in ("flate", "dct", "bilevel"):
+        if scanned not in ("flate", "dct", "bilevel", "g4"):
             raise ValueError(f"unknown scanned mode {scanned!r}")
         if form_xobject:
             raise ValueError("scanned pages cannot use form XObjects")
@@ -536,6 +536,15 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
             if scanned == "dct":
                 idata = _encode_scanned_jpeg(img)
                 ifilt = b" /Filter /DCTDecode"
+            elif scanned == "g4":
+                # the real-world scanned-PDF encoding: CCITT Group 4
+                # (T.6 MMR) with pure 2D coding, PDF /K -1 semantics
+                from ..kernel.g4 import encode_g4
+                idata = encode_g4(img < 128)
+                ifilt = (b" /Filter /CCITTFaxDecode /DecodeParms"
+                         b" << /K -1 /Columns %d /Rows %d >>"
+                         % (iw, ih))
+                bpc = 1
             elif scanned == "bilevel":
                 # fax-style 1-bit raster: 1 = white (DeviceGray max),
                 # rows padded to byte boundaries, MSB first — 8x
