@@ -229,7 +229,7 @@ SKEW_GRID = tuple(i * 0.002 for i in range(-15, 16))
 
 def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
                   ppt: int = 2, skew: float = 0.0, specks: int = 0,
-                  speck_seed: int = 0) -> np.ndarray:
+                  speck_seed: int = 0, orient: int = 0) -> np.ndarray:
     """Positioned tokens → greyscale page raster (the synthetic scan).
 
     ``tokens`` are kernel-grid ``(x_pt, y_top_pt, text, fs_pt)`` with
@@ -249,7 +249,11 @@ def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
     * ``specks`` — salt-and-pepper dust: that many isolated dark
       pixels placed (seeded by ``speck_seed``) at least 3 px from any
       ink and from each other, which the despeckle pass provably
-      removes.
+      removes;
+    * ``orient`` — paper fed rotated: 0/90/180/270, applied LAST
+      (tilt is relative to the paper), as ``np.rot90(img,
+      orient//90)``; the recognizer detects the orientation by
+      trying un-rotations and accepting the one that parses.
     """
     img = np.full((int(round(page_h_pt * ppt)),
                    int(round(page_w_pt * ppt))), 255, np.uint8)
@@ -290,6 +294,10 @@ def render_tokens(tokens, page_w_pt: float, page_h_pt: float,
         if skew not in SKEW_GRID:
             raise ValueError(f"skew {skew} not on SKEW_GRID")
         img = _shear_columns(img, skew)
+    if orient:
+        if orient not in (90, 180, 270):
+            raise ValueError(f"orient {orient} not a 90° multiple")
+        img = np.rot90(img, orient // 90).copy()
     return img
 
 
@@ -444,8 +452,8 @@ def _estimate_skew(ink: np.ndarray) -> float:
 
 
 def recognize(img: np.ndarray, threshold: int = 128,
-              pre: bool = True
-              ) -> List[Tuple[float, float, str, int, int, int, float]]:
+              pre: bool = True, return_orientation: bool = False
+              ):
     """Page raster → recognized tokens in pixel coordinates.
 
     Returns ``(x_px, box_top_px, text, ncells, box_h_px, pitch_px,
@@ -456,34 +464,46 @@ def recognize(img: np.ndarray, threshold: int = 128,
     the reference recognizer's per-detection score.
 
     ``pre`` runs the scanner-artifact pre-passes: isolated-pixel
-    despeckle, then self-validating deskew — a page that reads
-    perfectly as-is is returned untouched (no estimator can corrupt
-    it); otherwise the projection-profile skew candidate is applied
-    with the renderer's exact shift array and the better of the two
-    parses wins (more lines read, then more tokens, then less
-    Hamming noise). An artifacted page therefore recognizes
-    identically to its clean twin.
+    despeckle, then self-validating orientation + deskew — a page
+    that reads perfectly as-is is returned untouched (no estimator
+    can corrupt it); otherwise each 90° un-rotation is tried, plain
+    and with its projection-profile skew candidate applied via the
+    renderer's exact shift array, and the best parse wins (more
+    lines read, then more tokens, then less Hamming noise; earlier
+    attempts win ties). An artifacted page therefore recognizes
+    identically to its clean twin. With ``return_orientation`` the
+    result is ``(tokens, orient)`` — token pixel coordinates are in
+    the UPRIGHT (content) frame, whose dimensions are the input's
+    with axes swapped for 90/270.
     """
     if img.ndim == 3:
         img = img.mean(axis=2).astype(np.uint8)
     ink = img < threshold
     if not pre or not ink.any():
-        return _recognize_ink(ink)[0]
+        toks = _recognize_ink(ink)[0]
+        return (toks, 0) if return_orientation else toks
     ink = _despeckle(ink)
-    res0 = _recognize_ink(ink)
-    tokens0, lines0, ok0, dist0 = res0
-    if lines0 == ok0 and dist0 == 0:
-        return tokens0
-    k = _estimate_skew(ink)
-    if k == 0.0:
-        return tokens0
-    ink1 = _shear_columns(
-        np.where(ink, 0, 255).astype(np.uint8), k,
-        inverse=True) < threshold
-    tokens1, _lines1, ok1, dist1 = _recognize_ink(ink1)
-    if (ok1, len(tokens1), -dist1) > (ok0, len(tokens0), -dist0):
-        return tokens1
-    return tokens0
+    best = None  # ((ok, n_tokens, -dist), tokens, orient)
+    for o in (0, 90, 180, 270):
+        oink = np.ascontiguousarray(np.rot90(ink, -(o // 90))) \
+            if o else ink
+        attempts = [oink]
+        k = None
+        for cand in attempts:
+            tokens, lines, ok, dist = _recognize_ink(cand)
+            if lines == ok and dist == 0 and lines:
+                return (tokens, o) if return_orientation else tokens
+            key = (ok, len(tokens), -dist)
+            if best is None or key > best[0]:
+                best = (key, tokens, o)
+            if k is None:  # queue the skew attempt once per o
+                k = _estimate_skew(oink)
+                if k:
+                    attempts.append(_shear_columns(
+                        np.where(oink, 0, 255).astype(np.uint8), k,
+                        inverse=True) < threshold)
+    tokens, o = (best[1], best[2]) if best else ([], 0)
+    return (tokens, o) if return_orientation else tokens
 
 
 def _recognize_ink(ink: np.ndarray):

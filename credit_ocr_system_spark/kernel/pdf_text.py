@@ -1017,7 +1017,10 @@ def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         img = _decode_image(*images[name])
         if img is None:
             continue
+        tokens, orient = recognize(img, return_orientation=True)
         ih, iw = img.shape
+        if orient in (90, 270):  # sideways scan: upright dims swap
+            ih, iw = iw, ih
         if m.group(1) is not None:
             try:
                 sx, sy, tx, ty = (float(m.group(k))
@@ -1026,9 +1029,12 @@ def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                 sx, sy, tx, ty = float(iw), float(ih), 0.0, 0.0
         else:
             sx, sy, tx, ty = float(iw), float(ih), 0.0, 0.0
-        kx, ky = sx / iw, sy / ih  # image px → device pt
+        # upright (content-frame) px → device pt: a rotated scan
+        # reports its content's geometry, as an OCR pipeline that
+        # re-orients page images would
+        kx, ky = sx / iw, sy / ih
         for x_px, top_px, text, ncells, box_h, pitch, conf in \
-                recognize(img):
+                tokens:
             fs = 12.0 * (box_h / GLYPH_ROWS) * ky
             x1 = round(tx + x_px * kx, 2)
             x2 = round(tx + (x_px + ncells * pitch) * kx, 2)

@@ -273,9 +273,11 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         skew = (rng.choice([i * 0.002 for i in range(-15, 16) if i])
                 if rng.random() < 0.4 else 0.0)
         specks = rng.randrange(20, 90) if rng.random() < 0.4 else 0
+        orient = (rng.choice((90, 180, 270))
+                  if rng.random() < 0.15 else 0)
         return build_pdf(
             pages, scanned=scanned,
-            scan_skew=skew, scan_specks=specks,
+            scan_skew=skew, scan_specks=specks, scan_orient=orient,
             encrypt=rng.choices((None, "rc4-128"),
                                 weights=(85, 15))[0],
             objstm=rng.random() < 0.2)

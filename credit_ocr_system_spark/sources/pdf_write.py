@@ -383,7 +383,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               annots: Optional[List[List[tuple]]] = None,
               scanned: Optional[str] = None,
               scan_skew: float = 0.0,
-              scan_specks: int = 0) -> bytes:
+              scan_specks: int = 0,
+              scan_orient: int = 0) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -430,7 +431,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     ``kernel.ocr.SKEW_GRID`` value) and ``scan_specks`` add the
     scanner's artifacts — feeder tilt and dust — which the
     recognizer's deskew/despeckle pre-passes invert exactly (speck
-    seed = page index, so pages differ deterministically).
+    seed = page index, so pages differ deterministically);
+    ``scan_orient`` (90/180/270) feeds the paper rotated, detected by
+    the recognizer's orientation search.
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -530,7 +533,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
             from ..kernel.ocr import render_tokens
             img = render_tokens(tokens, PAGE_W, PAGE_H,
                                 skew=scan_skew, specks=scan_specks,
-                                speck_seed=i)
+                                speck_seed=i, orient=scan_orient)
             ih, iw = img.shape
             bpc = 8
             if scanned == "dct":

@@ -243,3 +243,47 @@ def test_bilevel_scanned_pdf_matches_digital():
     # 1-bit packing beats 8-bit greyscale on size
     assert len(build_pdf(_PAGES, scanned="bilevel")) < \
         len(build_pdf(_PAGES, scanned="flate"))
+
+
+def test_two_column_scanned_page_reads_through_xy_cut():
+    # OCR elements feed the multi-column reading-order path exactly
+    # like digital-text elements do: left column fully before right
+    from credit_ocr_system_spark.kernel.pdf_layout import xy_cut_order
+    pages = [[(40.0, 60.0, "Left one", 12.0),
+              (40.0, 88.0, "Left two", 12.0),
+              (340.0, 60.0, "Right one", 12.0),
+              (340.0, 88.0, "Right two", 12.0)]]
+    scanned = parse_real_pdf(build_pdf(pages, scanned="bilevel"))
+    ordered = [e["text"] for e in xy_cut_order(scanned)]
+    assert ordered == ["Left one", "Left two",
+                       "Right one", "Right two"]
+    digital = parse_real_pdf(build_pdf(pages))
+    assert [e["text"] for e in xy_cut_order(digital)] == ordered
+
+
+def test_rotated_scans_detect_orientation():
+    toks = [(40.0, 20.0, "DemoTech Solutions GmbH Application 7", 18.0),
+            (40.0, 60.0, "Loan Amount:", 12.0),
+            (300.0, 60.0, "1.234 €", 12.0),
+            (40.0, 88.0, "HRB 123 / München Local Court", 12.0)]
+    clean = ocr.recognize(ocr.render_tokens(toks, 612.0, 792.0))
+    for o in (90, 180, 270):
+        img = ocr.render_tokens(toks, 612.0, 792.0, orient=o)
+        got, det = ocr.recognize(img, return_orientation=True)
+        assert det == o and got == clean
+        # composed: rotation over tilt and dust
+        img2 = ocr.render_tokens(toks, 612.0, 792.0, skew=-0.012,
+                                 specks=40, orient=o)
+        got2, det2 = ocr.recognize(img2, return_orientation=True)
+        assert det2 == o and got2 == clean
+
+
+def test_rotated_scanned_pdf_matches_digital():
+    digital = parse_real_pdf(build_pdf(_PAGES))
+    for mode in ("bilevel", "g4"):
+        scanned = parse_real_pdf(build_pdf(
+            _PAGES, scanned=mode, scan_orient=90))
+        assert _strip_conf(scanned) == _strip_conf(digital), mode
+    with pytest.raises(ValueError, match="orient"):
+        ocr.render_tokens([(10.0, 10.0, "A", 12.0)], 100.0, 100.0,
+                          orient=45)
