@@ -44,6 +44,15 @@ GOLDEN_DIR = os.path.join(REPO_ROOT, ".oracle_golden")
 # Input sizes for the x_* queries — single source of truth, imported
 # by queries.py so the Spark side and the goldens can never diverge.
 X_N_PAGES = 200
+# scanned-document rows: picked image-only (OCR-path) documents
+# covering every scan encoding — 8-bit greyscale Flate (557, 567,
+# 713, 909, 973), packed 1-bit (651, 2723, and 3924 which also draws
+# a rotation), CCITT G4 (1346, and rotated 3800), DCTDecode JPEG
+# (2577) — plus whatever skew/speck artifacts their seeds draw.
+# Spark-side the same rows come from a range filtered BEFORE the
+# generator runs, so only these pages are ever rendered.
+X_SCAN_ROWS = (557, 567, 651, 713, 909, 973, 1346, 2577, 2723,
+               3800, 3924)
 X_N_MEDIA = 240
 X_FRAME_EVERY_N = 4
 X_RESIZE_W = 8
@@ -100,6 +109,26 @@ def _kernel_goldens() -> None:
         ("page_count", pa.int32()), ("extracted_text", pa.string()),
         ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
         ("bytes_in", pa.int64()),
+    ]))
+
+    scan_rows = []
+    for i in X_SCAN_ROWS:
+        p = gen_page(i)
+        res = extract_document(p["url"], p["html"])
+        scan_rows.append({
+            "url": p["url"],
+            "doc_kind": res["doc_kind"],
+            "page_count": res["page_count"],
+            "extracted_text": res["extracted_text"],
+            "n_elements": len(res["elements"]),
+            "n_pairs": len(res["pairs"]),
+            "is_image_only": b"/Subtype /Image" in p["html"],
+        })
+    _write("x_scan_docs.parquet", scan_rows, pa.schema([
+        ("url", pa.string()), ("doc_kind", pa.string()),
+        ("page_count", pa.int32()), ("extracted_text", pa.string()),
+        ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
+        ("is_image_only", pa.bool_()),
     ]))
     _write("x_elements.parquet", elem_rows, pa.schema(
         [("url", pa.string()), ("elem_idx", pa.int32()),

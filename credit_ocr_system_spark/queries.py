@@ -65,6 +65,31 @@ def x_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_elements", "n_pairs")
 
 
+def x_extract_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked over the corpus's picked scanned-document rows
+    (``oracle_golden.X_SCAN_ROWS``): image-only PDFs across
+    bilevel/G4/greyscale/JPEG encodings with skew/speck/rotation
+    artifact draws, extracted by the from-scratch OCR
+    (``kernel/ocr.py``). The oracle reads the driver-side pure-Python
+    kernel run over the same rows, so this row proves the OCR path
+    through the distributed Arrow stage — the explicit driver-gate
+    evidence for the scanned branch. The row filter sits BEFORE the
+    generator's ``mapInPandas``, so only the picked pages render."""
+    import functools
+
+    from .operators.extraction import extract_pages
+    from .sources.pages import PAGES_SCHEMA, _gen_batches
+
+    base = spark.range(0, max(G.X_SCAN_ROWS) + 1, numPartitions=8)
+    picked = base.filter(F.col("id").isin(*G.X_SCAN_ROWS))
+    pages = picked.mapInPandas(
+        functools.partial(_gen_batches, seed=42),
+        schema=PAGES_SCHEMA)
+    return extract_pages(pages).select(
+        "url", "doc_kind", "page_count", "extracted_text",
+        "n_elements", "n_pairs")
+
+
 def x_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-derives match → clean → validate
     (reference ``src/llm/field_extractor.py:206-274``,
@@ -1315,6 +1340,10 @@ def _x_oracles() -> Dict[str, str]:
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{docs}')
 """,
+        "x_extract_scanned": f"""
+SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
+FROM read_parquet('{G.golden_path("x_scan_docs.parquet")}')
+""",
         # match → clean → validate re-derived in SQL, mirroring
         # fields_native.py (priority 0 = pair matches outrank line
         # fallbacks; first match = lowest emission index; validation =
@@ -1591,6 +1620,7 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings")),
         # extraction engine (oracled via golden materialization)
         "x_extract_pages": x_extract_pages,
+        "x_extract_scanned": x_extract_scanned,
         "x_extract_fields": x_extract_fields,
         "x_extract_lineage": x_extract_lineage,
         # multimodal plumbing (codec is a documented stub; the
@@ -1631,6 +1661,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4
+    "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
     # changed in r4 (hyperplane LSH / sampled training / CID corpus)
     "bucketed_near_dup", "media_near_dup", "bucketed_topk",

@@ -392,10 +392,13 @@ def _gen_batches(iterator: Iterator[pd.DataFrame],
 
 
 def pages_df(spark, n_rows: int, seed: int = DEFAULT_SEED,
-             partitions: int = 32):
-    """Distributed deterministic pages DataFrame (no driver-side data)."""
+             partitions: int = 32, start: int = 0):
+    """Distributed deterministic pages DataFrame (no driver-side
+    data). ``start`` selects a row-id window — pages are a pure
+    function of (seed, row_id), so any slice is reproducible."""
     import functools
-    base = spark.range(0, n_rows, numPartitions=partitions)
+    base = spark.range(start, start + n_rows,
+                       numPartitions=partitions)
     return base.mapInPandas(
         functools.partial(_gen_batches, seed=seed), schema=PAGES_SCHEMA)
 

@@ -287,3 +287,20 @@ def test_rotated_scanned_pdf_matches_digital():
     with pytest.raises(ValueError, match="orient"):
         ocr.render_tokens([(10.0, 10.0, "A", 12.0)], 100.0, 100.0,
                           orient=45)
+
+
+def test_scan_window_rows_are_image_only():
+    # the driver-gate query x_extract_scanned must actually cover the
+    # OCR path: every picked row is an image-only document, and all
+    # four scan encodings appear
+    from credit_ocr_system_spark import oracle_golden as G
+    from credit_ocr_system_spark.sources.pages import gen_page
+    kinds = set()
+    for i in G.X_SCAN_ROWS:
+        h = gen_page(i)["html"]
+        assert b"/Subtype /Image" in h, i
+        kinds.add("g4" if b"/CCITTFaxDecode" in h
+                  else "dct" if b"DCTDecode" in h
+                  else "bilevel" if b"/BitsPerComponent 1" in h
+                  else "flate8")
+    assert kinds == {"g4", "dct", "bilevel", "flate8"}
