@@ -154,6 +154,8 @@ def encode_g4(ink: np.ndarray) -> bytes:
     false semantics: rows are NOT byte-aligned)."""
     ink = np.asarray(ink, bool)
     h, w = ink.shape
+    if h == 0 or w == 0:
+        return b""
     bits: List[str] = []
     ref_changes = np.array([w, w], np.int64)  # imaginary white row
     for y in range(h):

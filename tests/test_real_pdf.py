@@ -72,6 +72,9 @@ FIXTURE_SCAN_TOKENS = [
     [(x, y, t, 18.0 if fs == 16.0 else fs) for x, y, t, fs in page]
     for page in FIXTURE_TOKENS
 ]
+# CCITT Group 4 twin (with tilt + dust): byte-pins kernel/g4.py's
+# MH tables and 2D mode coding; extraction must equal the clean scan
+FIXTURE_G4_PDF = os.path.join(FIXTURE_DIR, "scanned_g4_text.pdf")
 
 
 def make_fixture() -> None:
@@ -97,6 +100,12 @@ def make_fixture() -> None:
     with open(FIXTURE_SCAN_GOLDEN, "w", encoding="utf-8") as fh:
         json.dump(parse_real_pdf(scan), fh, indent=2,
                   ensure_ascii=False)
+    # G4 twin: pins the from-scratch CCITT codec's bit stream (the
+    # modified-Huffman tables and 2D mode coding) byte-for-byte
+    g4 = build_pdf(FIXTURE_SCAN_TOKENS, scanned="g4",
+                   scan_skew=-0.012, scan_specks=30)
+    with open(FIXTURE_G4_PDF, "wb") as fh:
+        fh.write(g4)  # golden: the plain scan fixture's elements
 
 
 def _fixture_bytes() -> bytes:
@@ -488,3 +497,13 @@ def test_scanned_fixture_through_full_kernel():
     assert values.get("Loan Amount") == "1.250.000 €"
     assert res["extracted_text"].startswith(
         "Grünbau & (Söhne) GmbH Application 1")
+
+
+def test_g4_fixture_byte_stable_and_matches_scan_golden():
+    assert build_pdf(FIXTURE_SCAN_TOKENS, scanned="g4",
+                     scan_skew=-0.012, scan_specks=30) == open(
+        FIXTURE_G4_PDF, "rb").read()
+    with open(FIXTURE_SCAN_GOLDEN, encoding="utf-8") as fh:
+        want = json.load(fh)
+    with open(FIXTURE_G4_PDF, "rb") as fh:
+        assert parse_real_pdf(fh.read()) == want
