@@ -196,82 +196,89 @@ def encode_g4(ink: np.ndarray) -> bytes:
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
 
 
-class _Bits:
-    """MSB-first bit reader over bytes with prefix-code matching."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # bit position
-
-    def take(self) -> str:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return "1" if bit else "0"
+# --- decoding: flat canonical-prefix lookup tables ---------------------------
+#
+# The codes are prefix-free, so a single W-bit window lookup resolves
+# any code of length <= W in one table index instead of a per-bit walk:
+# every W-bit value whose leading bits equal a code maps to
+# (decoded, code_length). One lookup per code, not per bit.
 
 
-def _build_decode(tables: List[Dict[int, str]]) -> Dict[str, int]:
-    out: Dict[str, int] = {}
-    for t in tables:
-        for n, code in t.items():
-            if code in out and out[code] != n:
+def _flat_lut(entries: List[Tuple[str, object]], width: int) -> list:
+    lut: list = [None] * (1 << width)
+    for code, val in entries:
+        ln = len(code)
+        base = int(code, 2) << (width - ln)
+        for i in range(1 << (width - ln)):
+            if lut[base + i] is not None:
                 raise ValueError(f"MH code collision at {code}")
-            out[code] = n
-    return out
+            lut[base + i] = (val, ln)
+    return lut
 
 
-_WHITE_DECODE = _build_decode([_WHITE_TERM, _WHITE_MAKEUP,
-                               _EXT_MAKEUP])
-_BLACK_DECODE = _build_decode([_BLACK_TERM, _BLACK_MAKEUP,
-                               _EXT_MAKEUP])
-_MODE_DECODE = {**{v: ("v", k) for k, v in _MODE_V.items()},
-                _MODE_PASS: ("p", 0), _MODE_HORIZ: ("h", 0)}
-_MAX_MODE_LEN = max(len(k) for k in _MODE_DECODE)
-_MAX_RUN_LEN = max(max(len(c) for c in _WHITE_DECODE),
-                   max(len(c) for c in _BLACK_DECODE))
+def _run_entries(term: Dict[int, str],
+                 makeup: Dict[int, str]) -> List[Tuple[str, object]]:
+    ent = [(c, n) for n, c in term.items()]
+    ent += [(c, n) for n, c in makeup.items()]
+    ent += [(c, n) for n, c in _EXT_MAKEUP.items()]
+    return ent
 
 
-def _read_code(bits: _Bits, table: Dict[str, int],
-               max_len: int):
-    code = ""
-    for _ in range(max_len):
-        code += bits.take()
-        if code in table:
-            return table[code]
-    raise ValueError(f"bad G4 code {code!r} at bit {bits.pos}")
-
-
-def _read_run(bits: _Bits, white: bool) -> int:
-    """One complete run: makeup chain + terminating code."""
-    table = _WHITE_DECODE if white else _BLACK_DECODE
-    total = 0
-    while True:
-        n = _read_code(bits, table, _MAX_RUN_LEN)
-        total += n
-        if n < 64:  # terminating code (0..63) ends the run
-            return total
+_MAX_RUN_LEN = max(len(c) for c in
+                   (list(_WHITE_TERM.values()) +
+                    list(_WHITE_MAKEUP.values()) +
+                    list(_BLACK_TERM.values()) +
+                    list(_BLACK_MAKEUP.values()) +
+                    list(_EXT_MAKEUP.values())))
+_MAX_MODE_LEN = max(len(c) for c in
+                    (list(_MODE_V.values()) +
+                     [_MODE_PASS, _MODE_HORIZ]))
+_WHITE_LUT = _flat_lut(_run_entries(_WHITE_TERM, _WHITE_MAKEUP),
+                       _MAX_RUN_LEN)
+_BLACK_LUT = _flat_lut(_run_entries(_BLACK_TERM, _BLACK_MAKEUP),
+                       _MAX_RUN_LEN)
+_MODE_LUT = _flat_lut([(c, ("v", dv)) for dv, c in _MODE_V.items()] +
+                      [(_MODE_PASS, ("p", 0)),
+                       (_MODE_HORIZ, ("h", 0))], _MAX_MODE_LEN)
 
 
 def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
     """G4 bit stream → (h, w) bool ink array (True = black);
     terminates after ``h`` rows like PDF ``CCITTFaxDecode /Rows``."""
-    bits = _Bits(data)
+    from bisect import bisect_right
+
+    # 3 guard bytes let the window peek run past the final code; the
+    # loop structure never *consumes* padding bits (row h terminates).
+    buf = bytes(data) + b"\x00\x00\x00"
+    nbits = len(data) * 8
+    pos = 0
+    mode_lut, run_w, run_b = _MODE_LUT, _WHITE_LUT, _BLACK_LUT
+    mode_width, run_width = _MAX_MODE_LEN, _MAX_RUN_LEN
     out = np.zeros((h, w), bool)
-    ref_changes = np.array([w, w], np.int64)
+    ref: List[int] = [w, w]  # imaginary all-white reference row
     for y in range(h):
         changes: List[int] = []
         a0 = -1
         ci = 0
         color_white = True
         while a0 < w:
-            kind, dv = _read_code(bits, _MODE_DECODE, _MAX_MODE_LEN)
-            bi = np.searchsorted(ref_changes[:-2], a0, side="right")
+            if pos >= nbits:
+                raise ValueError(f"G4 stream truncated at bit {pos}")
+            byte_i = pos >> 3
+            window = (((buf[byte_i] << 16) | (buf[byte_i + 1] << 8)
+                       | buf[byte_i + 2])
+                      >> (24 - (pos & 7) - mode_width)) \
+                & ((1 << mode_width) - 1)
+            hit = mode_lut[window]
+            if hit is None:
+                raise ValueError(f"bad G4 mode code at bit {pos}")
+            (kind, dv), ln = hit
+            pos += ln
+            bi = bisect_right(ref, a0, 0, len(ref) - 2)
             if (bi & 1) != (ci & 1):
                 bi += 1
-            b1 = int(ref_changes[bi]) if bi < ref_changes.shape[0] \
-                else w
-            b2 = int(ref_changes[bi + 1]) \
-                if bi + 1 < ref_changes.shape[0] else w
+            b1 = ref[bi] if bi < len(ref) else w
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
             if kind == "p":
                 a0 = b2
             elif kind == "v":
@@ -281,12 +288,35 @@ def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
                 a0 = a1
                 ci += 1
                 color_white = not color_white
-            else:  # horizontal: two runs from a0
+            else:  # horizontal: two complete runs from a0
                 start = 0 if a0 < 0 else a0
-                r1 = _read_run(bits, color_white)
-                r2 = _read_run(bits, not color_white)
-                a1 = start + r1
-                a2 = a1 + r2
+                runs = [0, 0]
+                for k, white in ((0, color_white),
+                                 (1, not color_white)):
+                    lut = run_w if white else run_b
+                    total = 0
+                    while True:
+                        if pos >= nbits:
+                            raise ValueError(
+                                f"G4 stream truncated at bit {pos}")
+                        byte_i = pos >> 3
+                        window = (((buf[byte_i] << 16)
+                                   | (buf[byte_i + 1] << 8)
+                                   | buf[byte_i + 2])
+                                  >> (24 - (pos & 7) - run_width)) \
+                            & ((1 << run_width) - 1)
+                        hit = lut[window]
+                        if hit is None:
+                            raise ValueError(
+                                f"bad G4 run code at bit {pos}")
+                        n, ln = hit
+                        pos += ln
+                        total += n
+                        if n < 64:  # terminating code ends the run
+                            break
+                    runs[k] = total
+                a1 = start + runs[0]
+                a2 = a1 + runs[1]
                 if a1 < w:
                     changes.append(a1)
                 if a2 < w:
@@ -294,15 +324,16 @@ def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
                 a0 = a2
                 ci += 2
         # paint the row from its change positions
-        pos = changes + [w, w]
+        changes.append(w)
+        changes.append(w)
         black = False
         prev = 0
-        for p in pos[:-1]:
+        for p in changes[:-1]:
             if black:
                 out[y, prev:p] = True
             black = not black
             prev = p
             if prev >= w:
                 break
-        ref_changes = np.array(pos, np.int64)
+        ref = changes
     return out

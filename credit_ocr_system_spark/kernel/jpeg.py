@@ -159,57 +159,105 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+    """Entropy-segment bit reader.
 
-    def _fill(self):
-        if self.pos >= len(self.data):
-            raise EOFError("entropy stream exhausted")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise EOFError("truncated after 0xFF")
-            marker = self.data[self.pos]
-            self.pos += 1
-            if marker != 0x00:
+    The scan bytes are unstuffed ONCE up front (``0xFF00 → 0xFF``) and
+    split at RSTn markers into restart segments, so the per-bit hot
+    path is plain indexing into a flat buffer — no per-byte stuffing
+    checks, no accumulator bignum. Reads never cross a segment
+    boundary (``sync_restart`` advances to the next segment, which is
+    exactly T.81's byte-aligned restart semantics)."""
+
+    def __init__(self, data: bytes):
+        segs: list[bytes] = []
+        rsts: list[int] = []
+        cur = bytearray()
+        i, n = 0, len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                cur += data[i:]
+                break
+            cur += data[i:j]
+            if j + 1 >= n:
+                # dangling 0xFF at stream end: carries no decodable
+                # bits — reading past it raises EOFError below anyway
+                break
+            m = data[j + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= m <= 0xD7:
+                segs.append(bytes(cur))
+                rsts.append(m & 7)
+                cur = bytearray()
+                i = j + 2
+            else:
                 raise ValueError(
-                    f"unexpected marker 0xFF{marker:02X} mid-entropy "
+                    f"unexpected marker 0xFF{m:02X} mid-entropy "
                     "(RSTn only valid at declared MCU boundaries)")
-        # keep only the live bits before shifting — without the mask
-        # the accumulator grows into an unbounded bignum and decoding
-        # a large scan turns O(n²) in scan length
-        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | byte
-        self.n += 8
+        segs.append(bytes(cur))
+        self.segs = segs
+        self.rsts = rsts
+        self.si = 0
+        self._load(0)
+
+    def _load(self, si: int) -> None:
+        s = self.segs[si]
+        # 3 guard bytes let peek16 read past the final code without
+        # bounds checks; guard bits are never *consumed* (skip/read
+        # enforce nbits)
+        self.buf = s + b"\x00\x00\x00"
+        self.nbits = len(s) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        pos = self.pos
+        b = self.buf
+        byte_i = pos >> 3
+        chunk = (b[byte_i] << 16) | (b[byte_i + 1] << 8) | b[byte_i + 2]
+        return (chunk >> (8 - (pos & 7))) & 0xFFFF
+
+    def skip(self, nbits: int) -> None:
+        pos = self.pos + nbits
+        if pos > self.nbits:
+            raise EOFError("entropy stream exhausted")
+        self.pos = pos
 
     def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        pos = self.pos
+        if pos >= self.nbits:
+            raise EOFError("entropy stream exhausted")
+        self.pos = pos + 1
+        return (self.buf[pos >> 3] >> (7 - (pos & 7))) & 1
 
     def sync_restart(self, expect: int) -> None:
-        """Consume an RSTn marker at an MCU-restart boundary: drop
-        the partial byte (encoders pad with 1-bits), then expect
-        ``0xFF 0xD<expect>``."""
-        self.acc = 0
-        self.n = 0
-        if (self.pos + 1 >= len(self.data)
-                or self.data[self.pos] != 0xFF
-                or self.data[self.pos + 1] != 0xD0 + expect):
-            got = self.data[self.pos:self.pos + 2].hex()
+        """Advance to the next restart segment: drops the partial byte
+        (encoders pad with 1-bits) and checks the marker index."""
+        si = self.si
+        if si >= len(self.rsts):
             raise ValueError(
-                f"expected restart marker RST{expect}, got 0x{got}")
-        self.pos += 2
+                f"expected restart marker RST{expect}, got end of scan")
+        got = self.rsts[si]
+        if got != expect:
+            raise ValueError(
+                f"expected restart marker RST{expect}, got 0xffd{got:x}")
+        self.si = si + 1
+        self._load(si + 1)
 
     def read_bits(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            v = (v << 1) | self.read_bit()
-        return v
+        if nbits == 0:
+            return 0
+        pos = self.pos
+        end = pos + nbits
+        if end > self.nbits:
+            raise EOFError("entropy stream exhausted")
+        self.pos = end
+        lo = pos >> 3
+        hi = (end + 7) >> 3
+        v = int.from_bytes(self.buf[lo:hi], "big")
+        return (v >> (((hi - lo) << 3) - (pos & 7) - nbits)) \
+            & ((1 << nbits) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -294,27 +342,49 @@ def _canonical(lengths: dict[int, int]):
 
 
 def _codebook_from_dht(bits: list[int], huffval: list[int]):
-    """Decoder side: (code, len) -> symbol map from DHT payload."""
-    table: dict[tuple[int, int], int] = {}
+    """Decoder side: two-level flat lookup table from DHT payload.
+
+    Level 1 indexes the next 8 bits: codes of length <= 8 land
+    directly as ``(symbol, length)`` tuples replicated across their
+    suffix space; longer codes point to a 256-entry second level
+    indexed by bits 9..16. One peek16 + one (or two) list indexes per
+    symbol instead of a per-bit prefix walk."""
+    root: list = [None] * 256
     code = 0
     k = 0
     for l in range(1, _MAX_CODE_LEN + 1):
         for _ in range(bits[l]):
-            table[(code, l)] = huffval[k]
+            sym = huffval[k]
             k += 1
+            if l <= 8:
+                base = code << (8 - l)
+                entry = (sym, l)
+                for i in range(1 << (8 - l)):
+                    root[base + i] = entry
+            else:
+                prefix = code >> (l - 8)
+                sub = root[prefix]
+                if not isinstance(sub, list):
+                    sub = [None] * 256
+                    root[prefix] = sub
+                low = (code & ((1 << (l - 8)) - 1)) << (16 - l)
+                entry = (sym, l)
+                for i in range(1 << (16 - l)):
+                    sub[low + i] = entry
             code += 1
         code <<= 1
-    return table
+    return root
 
 
 def _decode_symbol(reader: _BitReader, table) -> int:
-    code, l = 0, 0
-    while l <= _MAX_CODE_LEN:
-        code = (code << 1) | reader.read_bit()
-        l += 1
-        if (code, l) in table:
-            return table[(code, l)]
-    raise ValueError("invalid huffman code in scan")
+    v16 = reader.peek16()
+    hit = table[v16 >> 8]
+    if hit.__class__ is list:
+        hit = hit[v16 & 0xFF]
+    if hit is None:
+        raise ValueError("invalid huffman code in scan")
+    reader.skip(hit[1])
+    return hit[0]
 
 
 # ---------------------------------------------------------------------------
@@ -727,20 +797,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"component references undefined quant table {_tq}")
     # generic interleaved-MCU loop: an MCU carries h×v blocks per
-    # component (T.81 A.2.3); 4:4:4 degenerates to one block each
+    # component (T.81 A.2.3); 4:4:4 degenerates to one block each.
+    # Coefficients land in per-component zigzag stores; the dequant +
+    # IDCT + upsample + color tail is shared with the progressive
+    # path (_finish_planes), where the IDCT runs batched.
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     sampling = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
-    comp_q = {cid: tq for cid, _hh, _vv, tq in comps}
     reader = _BitReader(scan_data)
-    planes = {cid: np.empty((mcuy * 8 * vv, mcux * 8 * hh))
-              for cid, hh, vv, _tq in comps}
+    coefs = {cid: np.zeros((mcuy * vv, mcux * hh, 64), dtype=np.int64)
+             for cid, hh, vv, _tq in comps}
     preds = {cid: 0 for cid, *_ in comps}
 
-    def decode_block(cid: int, dt: int, at: int) -> np.ndarray:
+    def decode_block(zz: np.ndarray, cid: int, dt: int, at: int):
         dc_tab, ac_tab = huff[(0, dt)], huff[(1, at)]
-        zz = np.zeros(64, dtype=np.int64)
         cat = _decode_symbol(reader, dc_tab)
         diff = _extend(reader.read_bits(cat), cat)
         preds[cid] += diff
@@ -761,9 +832,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("AC run overflows block")
             zz[k] = _extend(reader.read_bits(cat), cat)
             k += 1
-        coef = np.zeros(64)
-        coef[_ZZ] = zz
-        return idct2(coef.reshape(8, 8) * qtabs[comp_q[cid]]) + 128.0
 
     mcu_idx = 0
     for my in range(mcuy):
@@ -776,25 +844,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     preds[cid] = 0
             for cid, dt, at in scan_comps:
                 hh, vv = sampling[cid]
+                grid = coefs[cid]
                 for dy in range(vv):
                     for dx in range(hh):
-                        block = decode_block(cid, dt, at)
-                        y0 = (my * vv + dy) * 8
-                        x0 = (mx * hh + dx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+                        decode_block(grid[my * vv + dy, mx * hh + dx],
+                                     cid, dt, at)
             mcu_idx += 1
-    out_planes = []
-    for cid, hh, vv, _tq in comps:
-        p = planes[cid]
-        if hh != hmax or vv != vmax:
-            # chroma upsample by sample replication
-            p = np.repeat(np.repeat(p, vmax // vv, axis=0),
-                          hmax // hh, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    return _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+    return _finish_planes(h, w, comps, coefs, qtabs)
 
 
 # ---------------------------------------------------------------------------
@@ -1029,13 +1085,14 @@ def _finish_planes(h: int, w: int, comps: list, coefs: dict,
         q = qtabs[tq]
         grid = coefs[cid]
         gh, gw = grid.shape[:2]
-        plane = np.empty((gh * 8, gw * 8))
-        for by in range(gh):
-            for bx in range(gw):
-                coef = np.zeros(64)
-                coef[_ZZ] = grid[by, bx]
-                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    idct2(coef.reshape(8, 8) * q) + 128.0
+        # batched IDCT: one stacked matmul pair over every block —
+        # same per-block dgemm as idct2, so bit-identical to the
+        # block-at-a-time loop (guarded by test_idct_batch_bit_exact)
+        coef = np.zeros((gh, gw, 64))
+        coef[:, :, _ZZ] = grid
+        blocks = np.matmul(
+            np.matmul(_C.T, coef.reshape(gh, gw, 8, 8) * q), _C) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         if hh != hmax or vv != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vv, axis=0),
                               hmax // hh, axis=1)

@@ -106,7 +106,15 @@ def test_canonical_roundtrips_through_dht_payload():
     freqs = {0: 100, 1: 60, 5: 30, 17: 10, 240: 3, 255: 1}
     bits, huffval, codebook = _canonical(_code_lengths(freqs))
     decoded = _codebook_from_dht(bits, huffval)
-    assert decoded == {(c, l): s for s, (c, l) in codebook.items()}
+    # the two-level LUT must decode every encoder code back to its
+    # symbol with the right consumed length, for any suffix bits
+    for s, (c, l) in codebook.items():
+        for suffix in (0, (1 << (16 - l)) - 1):
+            v16 = (c << (16 - l)) | suffix
+            hit = decoded[v16 >> 8]
+            if isinstance(hit, list):
+                hit = hit[v16 & 0xFF]
+            assert hit == (s, l)
     # prefix-free: no code is a prefix of a longer one
     codes = sorted(codebook.values(), key=lambda cl: cl[1])
     for i, (c1, l1) in enumerate(codes):
@@ -278,14 +286,35 @@ def test_quality_100_roundtrips_and_caps_ac_categories():
     assert err.mean() < 4.0
 
 
-def test_bitreader_accumulator_stays_bounded():
-    # the accumulator must be masked to live bits — on a long scan an
-    # unmasked accumulator grows into a bignum (O(n^2) decode)
+def test_bitreader_long_scan_reads_exact_bits():
+    # the segment reader keeps O(1) per-read state (a flat buffer +
+    # integer cursor — the bignum-accumulator O(n^2) hazard of a
+    # shifting design is structurally absent) and must still produce
+    # the exact MSB-first bit sequence over a long scan
     data = bytes([0xAB] * 4096)
     r = _BitReader(data)
-    for _ in range(4096 * 8):
+    expect = [int(b) for b in f"{0xAB:08b}"]
+    for i in range(4096 * 8):
+        assert r.read_bit() == expect[i % 8]
+    import pytest as _pytest
+    with _pytest.raises(EOFError):
         r.read_bit()
-    assert r.acc.bit_length() <= 16
+
+
+def test_bitreader_multibit_matches_single_bits():
+    data = bytes(range(64))
+    a, b = _BitReader(data), _BitReader(data)
+    import random
+    rng = random.Random(5)
+    read = 0
+    while read < 64 * 8 - 16:
+        n = rng.randint(1, 16)
+        v = a.read_bits(n)
+        w = 0
+        for _ in range(n):
+            w = (w << 1) | b.read_bit()
+        assert v == w
+        read += n
 
 
 def test_decode_reads_tables_only_from_the_stream():
