@@ -233,6 +233,102 @@ def extract_only(slots: int, reps: int = 1, master: str | None = None,
     print("BENCH_RESULT " + json.dumps(result))
 
 
+def run_kernel_micro(n_per_class: int = 8,
+                     scan_rows: int = 40000) -> dict:
+    """Single-core per-payload-class kernel cost (no Spark).
+
+    Walks the deterministic corpus generator until ``n_per_class``
+    docs of every payload class are found, then times
+    ``kernel.extract.extract_document`` per class. CPU time
+    (``time.process_time``) is reported beside wall so the numbers
+    are meaningful even on a noisy host. The corpus-weighted mix cost
+    is what one executor core pays per average document — the number
+    that, times 10^12 and divided by the fleet's cores, prices the
+    full-corpus run."""
+    from credit_ocr_system_spark.kernel.extract import extract_document
+    from credit_ocr_system_spark.sources.pages import gen_page
+
+    classes: dict[str, list] = {
+        "html": [], "digital": [], "bilevel": [], "g4": [],
+        "flate": [], "dct": []}
+    counts = {k: 0 for k in classes}
+    scanned = 0
+    for i in range(scan_rows):
+        row = gen_page(i)
+        pay = row["html"]
+        if pay and bytes(pay[:5]) == b"%PDF-":
+            b = bytes(pay)
+            if b"CCITTFaxDecode" in b:
+                k = "g4"
+            elif b"DCTDecode" in b:
+                k = "dct"
+            elif b"BitsPerComponent 1" in b:
+                k = "bilevel"
+            elif (b"/Subtype /Image" in b or b"/Subtype/Image" in b
+                  or b" BI /W" in b):  # inline-image flate scans
+                k = "flate"
+            else:
+                k = "digital"
+        else:
+            k = "html"
+        counts[k] += 1
+        scanned += 1
+        if len(classes[k]) < n_per_class:
+            classes[k].append((row["url"], bytes(pay)))
+        if all(len(v) >= n_per_class for v in classes.values()):
+            break
+    per_class: dict[str, dict] = {}
+    for k, docs in classes.items():
+        if not docs:
+            continue
+        extract_document(*docs[0])  # warm (imports, LUT builds)
+        w0, c0 = time.perf_counter(), time.process_time()
+        for url, payload in docs:
+            extract_document(url, payload)
+        wall = (time.perf_counter() - w0) / len(docs)
+        cpu = (time.process_time() - c0) / len(docs)
+        per_class[k] = {
+            "n": len(docs),
+            "share_pct": round(100.0 * counts[k] / scanned, 2),
+            "wall_ms": round(wall * 1000, 2),
+            "cpu_ms": round(cpu * 1000, 2)}
+    mix_cpu = sum(v["share_pct"] / 100.0 * v["cpu_ms"]
+                  for v in per_class.values())
+    return {"scanned_rows": scanned, "classes": per_class,
+            "mix_cpu_ms_per_doc": round(mix_cpu, 3)}
+
+
+def write_kernel_report(s: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "KERNEL.md")
+    lines = [
+        "# BENCH/KERNEL — single-core kernel cost per payload class",
+        "",
+        "No Spark: `kernel.extract.extract_document` timed directly",
+        f"over {s['scanned_rows']} generator rows (deterministic "
+        "corpus, seed 42). CPU ms is `time.process_time` — stable "
+        "under host noise.",
+        "",
+        "| class | corpus share | wall ms/doc | cpu ms/doc |",
+        "|---|---|---|---|",
+    ]
+    for k, v in s["classes"].items():
+        lines.append(f"| {k} | {v['share_pct']}% | {v['wall_ms']} "
+                     f"| {v['cpu_ms']} |")
+    lines += [
+        "",
+        f"Corpus-weighted mix: **{s['mix_cpu_ms_per_doc']} CPU "
+        "ms/doc** — one executor core's price per average document; "
+        "multiply by corpus size and divide by fleet cores for the "
+        "full-run floor.",
+        "",
+        "Reproduce: ``python3 bench.py --kernel``",
+        "",
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+
+
 def run_skew(spark, n_pages: int = 32768, hot_share: float = 0.5,
              n_parts: int = 64) -> dict:
     """Skew-defusal evidence (SURVEY §4 / north_rule): a pathological
@@ -773,6 +869,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--kernel", action="store_true")
     ap.add_argument("--master-url", default=None)
     ap.add_argument("--pages-path", default=PAGES_PATH)
     ap.add_argument("--partitions", type=int, default=None)
@@ -786,6 +883,20 @@ def main() -> None:
 
     out: dict = {"metric": "total_bench_seconds", "unit": "sec",
                  "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1]}
+
+    if args.kernel:
+        s = run_kernel_micro()
+        write_kernel_report(s)
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH", "kernel.json"), "w", encoding="utf-8") as fh:
+            json.dump(s, fh, indent=2)
+        out["metric"] = "kernel_mix_cpu_ms_per_doc"
+        out["value"] = s["mix_cpu_ms_per_doc"]
+        out["unit"] = "ms"
+        out["kernel"] = s
+        print(json.dumps(out))
+        return
 
     if args.skew:
         spark = _session(args.cpus)

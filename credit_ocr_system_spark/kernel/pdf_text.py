@@ -915,6 +915,75 @@ _IMAGE_DO_RE = re.compile(
     rb"(?:([\d.eE+-]+)\s+[\d.eE+-]+\s+[\d.eE+-]+\s+([\d.eE+-]+)\s+"
     rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s+cm\s+)?/([^\s/<>\[\]()]+)\s+Do\b")
 
+# inline image (ISO 32000 §8.9.7): same optional placement cm, then
+# ``BI <params> ID<1 ws byte><data>…EI``; group 5 is the parameter
+# dict body, data starts at match end
+_INLINE_BI_RE = re.compile(
+    rb"(?:([\d.eE+-]+)\s+[\d.eE+-]+\s+[\d.eE+-]+\s+([\d.eE+-]+)\s+"
+    rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s+cm\s+)?"
+    rb"\bBI\b\s*(.*?)\bID[\x00\t\n\x0c\r ]", re.DOTALL)
+
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+
+# inline-image abbreviated keys/filters → canonical names (ISO 32000
+# Table 93); \b keeps /F from eating /Fl and /D from eating /DP//DCT
+_INLINE_ABBREVS = (
+    (re.compile(rb"/BPC\b"), b"/BitsPerComponent"),
+    (re.compile(rb"/CS\b"), b"/ColorSpace"),
+    (re.compile(rb"/DP\b"), b"/DecodeParms"),
+    (re.compile(rb"/F\b"), b"/Filter"),
+    (re.compile(rb"/W\b"), b"/Width"),
+    (re.compile(rb"/H\b"), b"/Height"),
+    (re.compile(rb"/IM\b"), b"/ImageMask"),
+    (re.compile(rb"/D\b"), b"/Decode"),
+    (re.compile(rb"/CCF\b"), b"/CCITTFaxDecode"),
+    (re.compile(rb"/DCT\b"), b"/DCTDecode"),
+    (re.compile(rb"/Fl\b"), b"/FlateDecode"),
+    (re.compile(rb"/AHx\b"), b"/ASCIIHexDecode"),
+    (re.compile(rb"/A85\b"), b"/ASCII85Decode"),
+    (re.compile(rb"/LZW\b"), b"/LZWDecode"),
+    (re.compile(rb"/RL\b"), b"/RunLengthDecode"),
+    (re.compile(rb"/G\b"), b"/DeviceGray"),
+)
+
+
+def _inline_images(content: bytes) -> list:
+    """Decoded inline images with their placements:
+    ``(start_pos, cm_match, grey_array)`` per ``BI…ID…EI`` whose
+    params/encoding fall inside :func:`_decode_image`'s supported
+    subset. Unfiltered data has an exact length (h·ceil(w·bpc/8));
+    for filtered data the ``EI`` delimiter is ambiguous (it can occur
+    inside the binary), so candidates are tried in order and the
+    first payload that actually decodes wins — a truncated Flate/
+    JPEG/G4 prefix raises inside ``_decode_image`` and is skipped."""
+    out = []
+    for m in _INLINE_BI_RE.finditer(content):
+        head = m.group(5)
+        for pat, full in _INLINE_ABBREVS:
+            head = pat.sub(full, head)
+        wm = re.search(rb"/Width\s+(\d+)", head)
+        hm = re.search(rb"/Height\s+(\d+)", head)
+        if wm is None or hm is None:
+            continue
+        data_start = m.end()
+        if re.search(rb"/Filter\s*/", head) is None:
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+            bpc = int(bm.group(1)) if bm else 8
+            w, hh = int(wm.group(1)), int(hm.group(1))
+            ln = hh * ((w * bpc + 7) // 8)
+            img = _decode_image(head, content[data_start:
+                                              data_start + ln])
+            if img is not None:
+                out.append((m.start(), m, img))
+            continue
+        for em in _INLINE_EI_RE.finditer(content, data_start):
+            img = _decode_image(head,
+                                content[data_start:em.start()])
+            if img is not None:
+                out.append((m.start(), m, img))
+                break
+    return out
+
 
 def _image_xobjects(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                     res: Optional[bytes]
@@ -1006,10 +1075,7 @@ def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
     Without a ``cm``, the scanner convention of one image pixel per
     point is assumed."""
     images = _image_xobjects(objs, res)
-    if not images:
-        return []
-    from .ocr import GLYPH_ROWS, recognize
-    out: List[Dict[str, Any]] = []
+    placed: List[tuple] = []
     for m in _IMAGE_DO_RE.finditer(content):
         name = m.group(5).decode("latin-1")
         if name not in images:
@@ -1017,6 +1083,14 @@ def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         img = _decode_image(*images[name])
         if img is None:
             continue
+        placed.append((m.start(), m, img))
+    placed += _inline_images(content)
+    if not placed:
+        return []
+    placed.sort(key=lambda t: t[0])
+    from .ocr import GLYPH_ROWS, recognize
+    out: List[Dict[str, Any]] = []
+    for _pos, m, img in placed:
         tokens, orient = recognize(img, return_orientation=True)
         ih, iw = img.shape
         if orient in (90, 270):  # sideways scan: upright dims swap

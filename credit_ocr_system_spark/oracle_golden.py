@@ -45,10 +45,11 @@ GOLDEN_DIR = os.path.join(REPO_ROOT, ".oracle_golden")
 # by queries.py so the Spark side and the goldens can never diverge.
 X_N_PAGES = 200
 # scanned-document rows: picked image-only (OCR-path) documents
-# covering every scan encoding — 8-bit greyscale Flate (557, 567,
-# 713, 909, 973), packed 1-bit (651, 2723, and 3924 which also draws
-# a rotation), CCITT G4 (1346, and rotated 3800), DCTDecode JPEG
-# (2577) — plus whatever skew/speck artifacts their seeds draw.
+# covering every scan encoding — 8-bit greyscale Flate (567, 713,
+# 973 as image XObjects; 557 and 909 as INLINE BI…ID…EI images, the
+# fax-to-PDF shape), packed 1-bit (651, 2723, and 3924 which also
+# draws a rotation), CCITT G4 (1346, and rotated 3800), DCTDecode
+# JPEG (2577) — plus whatever skew/speck artifacts their seeds draw.
 # Spark-side the same rows come from a range filtered BEFORE the
 # generator runs, so only these pages are ever rendered.
 X_SCAN_ROWS = (557, 567, 651, 713, 909, 973, 1346, 2577, 2723,

@@ -278,6 +278,12 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         return build_pdf(
             pages, scanned=scanned,
             scan_skew=skew, scan_specks=specks, scan_orient=orient,
+            # fax-to-PDF converters embed the raster INLINE
+            # (BI…ID…EI) instead of as an XObject; a sub-band of the
+            # already-drawn scan_draw decides (no extra rng draw, so
+            # every other corpus draw — hence every golden — is
+            # unchanged; inline vs XObject is encoding-only)
+            scan_inline=0.06 <= scan_draw < 0.085,
             encrypt=rng.choices((None, "rc4-128"),
                                 weights=(85, 15))[0],
             objstm=rng.random() < 0.2)

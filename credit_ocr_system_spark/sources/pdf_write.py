@@ -384,7 +384,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               scanned: Optional[str] = None,
               scan_skew: float = 0.0,
               scan_specks: int = 0,
-              scan_orient: int = 0) -> bytes:
+              scan_orient: int = 0,
+              scan_inline: bool = False) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -434,6 +435,14 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     seed = page index, so pages differ deterministically);
     ``scan_orient`` (90/180/270) feeds the paper rotated, detected by
     the recognizer's orientation search.
+
+    ``scan_inline=True`` embeds each page's raster as an INLINE image
+    (``BI … ID <data> EI``, ISO 32000 §8.9.7 with the Table-93
+    abbreviated keys ``/W /H /CS /G /BPC /F /Fl|/CCF|/DCT /DP``)
+    inside the content stream instead of an image XObject — the shape
+    fax-to-PDF converters and some office scanners emit. Same raster
+    bytes, same placement ``cm``, so extraction output is identical
+    to the XObject form.
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -519,9 +528,11 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         if form_xobject:
             res = (b" /Resources << /Font << /F1 3 0 R >>"
                    b" /XObject << /Fm1 %d 0 R >> >>" % (form_base + i))
-        elif scanned is not None:
+        elif scanned is not None and not scan_inline:
             res = (b" /Resources << /XObject << /Im1 %d 0 R >> >>"
                    % (image_base + i))
+        elif scanned is not None:
+            res = b""  # inline image: no XObject resource needed
         else:
             res = b" /Resources << /Font << /F1 3 0 R >> >>"
         if annot_refs[i]:
@@ -560,14 +571,29 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
             else:
                 idata = zlib.compress(img.tobytes(), 6)
                 ifilt = b" /Filter /FlateDecode"
-            image_objs.append(
-                b"<< /Type /XObject /Subtype /Image /Width %d"
-                b" /Height %d /ColorSpace /DeviceGray"
-                b" /BitsPerComponent %d /Length %d%s >>\nstream\n"
-                % (iw, ih, bpc, len(idata), ifilt)
-                + idata + b"\nendstream")
-            data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
-                    + b" 0 0 cm /Im1 Do Q")
+            if scan_inline:
+                # abbreviated inline-image keys (ISO 32000 Table 93)
+                if scanned == "dct":
+                    ifl = b" /F /DCT"
+                elif scanned == "g4":
+                    ifl = (b" /F /CCF /DP << /K -1 /Columns %d"
+                           b" /Rows %d >>" % (iw, ih))
+                else:
+                    ifl = b" /F /Fl"
+                data = (b"q " + _num(PAGE_W) + b" 0 0 "
+                        + _num(PAGE_H) + b" 0 0 cm"
+                        + b" BI /W %d /H %d /CS /G /BPC %d%s ID\n"
+                        % (iw, ih, bpc, ifl)
+                        + idata + b"\nEI Q")
+            else:
+                image_objs.append(
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /ColorSpace /DeviceGray"
+                    b" /BitsPerComponent %d /Length %d%s >>\nstream\n"
+                    % (iw, ih, bpc, len(idata), ifilt)
+                    + idata + b"\nendstream")
+                data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
+                        + b" 0 0 cm /Im1 Do Q")
         else:
             data = _content_stream(tokens, style, cid)
         if form_xobject:

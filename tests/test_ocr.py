@@ -291,16 +291,27 @@ def test_rotated_scanned_pdf_matches_digital():
 
 def test_scan_window_rows_are_image_only():
     # the driver-gate query x_extract_scanned must actually cover the
-    # OCR path: every picked row is an image-only document, and all
-    # four scan encodings appear
+    # OCR path: every picked row is an image-only document (as an
+    # image XObject or an inline BI…ID…EI image), and all four scan
+    # encodings plus the inline packaging appear
     from credit_ocr_system_spark import oracle_golden as G
     from credit_ocr_system_spark.sources.pages import gen_page
     kinds = set()
+    inline = 0
     for i in G.X_SCAN_ROWS:
         h = gen_page(i)["html"]
-        assert b"/Subtype /Image" in h, i
+        is_inline = b" BI /W" in h
+        # image-only ⇔ no page references a font resource (page
+        # dicts stay plaintext even in encrypted files, where an
+        # encrypted content stream hides the BI/XObject markers)
+        assert b"/Resources << /Font" not in h, i
+        assert (b"/Subtype /Image" in h or is_inline
+                or b"/Encrypt" in h), i
+        inline += is_inline
         kinds.add("g4" if b"/CCITTFaxDecode" in h
                   else "dct" if b"DCTDecode" in h
                   else "bilevel" if b"/BitsPerComponent 1" in h
+                  or b"/BPC 1" in h
                   else "flate8")
     assert kinds == {"g4", "dct", "bilevel", "flate8"}
+    assert inline >= 1  # the fax-to-PDF inline shape is driver-gated

@@ -507,3 +507,42 @@ def test_g4_fixture_byte_stable_and_matches_scan_golden():
         want = json.load(fh)
     with open(FIXTURE_G4_PDF, "rb") as fh:
         assert parse_real_pdf(fh.read()) == want
+
+
+def test_inline_image_scans_equal_xobject_scans():
+    # BI…ID…EI inline images (ISO 32000 §8.9.7, the fax-to-PDF
+    # shape) must extract identically to the same raster placed as
+    # an image XObject, across every scan encoding and under
+    # encryption/objstm packaging
+    for mode in ("flate", "bilevel", "g4", "dct"):
+        want = parse_real_pdf(
+            build_pdf(FIXTURE_SCAN_TOKENS, scanned=mode))
+        got = parse_real_pdf(
+            build_pdf(FIXTURE_SCAN_TOKENS, scanned=mode,
+                      scan_inline=True))
+        assert got == want and len(got) > 0, mode
+    want = parse_real_pdf(
+        build_pdf(FIXTURE_SCAN_TOKENS, scanned="flate",
+                  scan_skew=-0.012, scan_specks=30))
+    for kw in ({"encrypt": "rc4-128"}, {"objstm": True}):
+        got = parse_real_pdf(
+            build_pdf(FIXTURE_SCAN_TOKENS, scanned="flate",
+                      scan_skew=-0.012, scan_specks=30,
+                      scan_inline=True, **kw))
+        assert got == want, kw
+
+
+def test_inline_image_unfiltered_exact_length():
+    # no /F: the data length is exact (h * ceil(w*bpc/8)) — the EI
+    # scan must not be fooled by 'EI'-looking bytes inside raw data
+    import numpy as np
+    from credit_ocr_system_spark.kernel.pdf_text import _inline_images
+    img = np.full((16, 24), 255, np.uint8)
+    img[4:8, 4:20] = 0
+    raw = img.tobytes().replace(b"\xff\xff\xff\xff", b" EI ", 1)
+    img2 = np.frombuffer(raw, np.uint8).reshape(16, 24)
+    content = (b"q 24 0 0 16 0 0 cm BI /W 24 /H 16 /CS /G /BPC 8"
+               b" ID\n" + raw + b"\nEI Q")
+    placed = _inline_images(content)
+    assert len(placed) == 1
+    assert (placed[0][2] == img2).all()
