@@ -963,7 +963,8 @@ def _inline_images(content: bytes) -> list:
             head = pat.sub(full, head)
         wm = re.search(rb"/Width\s+(\d+)", head)
         hm = re.search(rb"/Height\s+(\d+)", head)
-        if wm is None or hm is None:
+        if wm is None or hm is None \
+                or int(wm.group(1)) == 0 or int(hm.group(1)) == 0:
             continue
         data_start = m.end()
         if re.search(rb"/Filter\s*/", head) is None:

@@ -68,9 +68,10 @@ def x_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_extract_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-checked over the corpus's picked scanned-document rows
     (``oracle_golden.X_SCAN_ROWS``): image-only PDFs across
-    bilevel/G4/greyscale/JPEG encodings with skew/speck/rotation
-    artifact draws, extracted by the from-scratch OCR
-    (``kernel/ocr.py``). The oracle reads the driver-side pure-Python
+    bilevel/G4/greyscale/JPEG encodings — placed as image XObjects
+    AND as inline BI…ID…EI images (rows 557/909, the fax-to-PDF
+    shape) — with skew/speck/rotation artifact draws, extracted by
+    the from-scratch OCR (``kernel/ocr.py``). The oracle reads the driver-side pure-Python
     kernel run over the same rows, so this row proves the OCR path
     through the distributed Arrow stage — the explicit driver-gate
     evidence for the scanned branch. The row filter sits BEFORE the

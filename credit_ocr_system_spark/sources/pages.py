@@ -21,9 +21,10 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
   Identity-H/ToUnicode CID fonts, object streams, RC4-encrypted
   standard-security files (40- and 128-bit), form-XObject
   letterhead shapes, and ~12% scanned image-only documents (raster
-  pages under FlateDecode or genuine DCTDecode JPEG, recognized by
-  the from-scratch OCR in ``kernel/ocr.py``) — every path
-  ``kernel/pdf_text.py`` decodes),
+  pages as image XObjects or inline BI…ID…EI images, under packed
+  1-bit, CCITT G4, FlateDecode grey, or genuine DCTDecode JPEG,
+  recognized by the from-scratch OCR in ``kernel/ocr.py``) — every
+  path ``kernel/pdf_text.py`` decodes),
   half ``%PDF-GRAFT`` token layouts (the OCR-shaped path with
   per-token confidences);
 * credit-request forms embed a per-page subset of the 21 configured

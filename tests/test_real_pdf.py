@@ -546,3 +546,20 @@ def test_inline_image_unfiltered_exact_length():
     placed = _inline_images(content)
     assert len(placed) == 1
     assert (placed[0][2] == img2).all()
+
+
+def test_inline_image_corrupt_inputs_are_skipped():
+    # adversarial/corrupt BI sequences must be skipped, never raise
+    from credit_ocr_system_spark.kernel.pdf_text import _inline_images
+    cases = [
+        b"q 10 0 0 10 0 0 cm BI /W 4 /H 4 /CS /G /BPC 8 /F /Fl ID\n\x01",
+        b"BI /W 4 /H 4 /CS /G /BPC 8",        # no ID
+        b"BI /W 0 /H 5 /CS /G /BPC 8 ID\n\nEI ",   # zero width
+        b"BI /W 5 /H 0 /CS /G /BPC 8 ID\n\nEI ",   # zero height
+        b"BI /W 999999 /H 999999 /CS /G /BPC 8 ID\nxx\nEI ",
+        b"BI /W 4 /H 4 /CS /G /BPC 8 /F /Fl ID\nnotflate\nEI ",
+        b"BI /W 8 /H 8 /CS /G /BPC 8 ID\nab",  # truncated raw
+        b"BI /H 4 /CS /G ID\nxxxx\nEI ",       # missing /W
+    ]
+    for c in cases:
+        assert _inline_images(c) == [], c[:30]
