@@ -1010,10 +1010,14 @@ def _image_xobjects(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
 def _decode_image(head: bytes, stream: bytes):
     """Image XObject → greyscale uint8 array, or ``None`` outside the
     supported subset: ``/DeviceGray`` samples at 8 bits or fax-style
-    1 bit (raw or Flate; 1-bit rows byte-padded, MSB first, 1=white)
-    and ``/DCTDecode`` JPEG (via the from-scratch ``kernel/jpeg.py``)
-    — the encodings real scanners emit. RGB JPEGs reduce to their
-    channel mean."""
+    1 bit (raw or Flate; 1-bit rows byte-padded, MSB first, 1=white),
+    ``/CCITTFaxDecode`` G4, and ``/DCTDecode`` JPEG (via the
+    from-scratch codecs) — the encodings real scanners emit. RGB
+    JPEGs reduce to their channel mean. Honored sample-mapping
+    parameters: ``/Decode [1 0]`` (inverted gray ramp),
+    ``/BlackIs1`` (CCITT black-run polarity; the two compose by
+    XOR), and PNG ``/Predictor >= 10`` row predictors on Flate
+    samples."""
     wm = re.search(rb"/Width\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     if wm is None or hm is None:
@@ -1023,6 +1027,10 @@ def _decode_image(head: bytes, stream: bytes):
     bpc = int(bm.group(1)) if bm else 8
     fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", head)
     filt = fm.group(1) if fm else None
+    # /Decode [1 0]: inverted sample→gray mapping (scanners that
+    # store photometric-min-is-white rasters)
+    dm = re.search(rb"/Decode\s*\[\s*([\d.]+)\s+([\d.]+)", head)
+    dec_inv = dm is not None and float(dm.group(1)) > float(dm.group(2))
     try:
         if filt == b"CCITTFaxDecode":
             # Group 4 only (/K < 0) — what scanners write; 1D and
@@ -1033,6 +1041,13 @@ def _decode_image(head: bytes, stream: bytes):
             if km is None or int(km.group(1)) >= 0:
                 return None
             ink = decode_g4(bytes(stream), w, h)
+            # a G4 "black" run emits sample 1 under /BlackIs1 true
+            # (else 0); /Decode [1 0] flips the sample→gray map —
+            # ink renders black iff the two agree with the default
+            blackis1 = re.search(
+                rb"/BlackIs1\s+true", head) is not None
+            if blackis1 != dec_inv:  # net inversion
+                return np.where(ink, np.uint8(255), np.uint8(0))
             return np.where(ink, np.uint8(0), np.uint8(255))
         if filt == b"DCTDecode":
             import numpy as np
@@ -1040,10 +1055,15 @@ def _decode_image(head: bytes, stream: bytes):
             img = decode_jpeg(bytes(stream))
             if img.ndim == 3:
                 img = img.mean(axis=2).astype(np.uint8)
-            return img
+            return (255 - img) if dec_inv else img
         if filt in (None, b"FlateDecode", b"Fl"):
             import numpy as np
             data = zlib.decompress(stream) if filt else stream
+            pm = re.search(rb"/Predictor\s+(\d+)", head)
+            if pm is not None and int(pm.group(1)) >= 10:
+                # PNG row predictors on image samples (screenshots,
+                # pdf-writer-optimized scans)
+                data = _png_unpredict(data, w, 1, bpc)
             if bpc == 1:
                 rowbytes = (w + 7) // 8
                 if len(data) < h * rowbytes:
@@ -1051,12 +1071,15 @@ def _decode_image(head: bytes, stream: bytes):
                 bits = np.frombuffer(
                     data[:h * rowbytes],
                     dtype=np.uint8).reshape(h, rowbytes)
-                return (np.unpackbits(bits, axis=1)[:, :w]
-                        * np.uint8(255))
+                px = np.unpackbits(bits, axis=1)[:, :w]
+                if dec_inv:
+                    px = 1 - px
+                return px * np.uint8(255)
             if bpc != 8 or len(data) < w * h:
                 return None
-            return np.frombuffer(
+            img = np.frombuffer(
                 data[:w * h], dtype=np.uint8).reshape(h, w)
+            return (255 - img) if dec_inv else img
     except Exception:
         return None
     return None

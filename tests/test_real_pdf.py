@@ -563,3 +563,55 @@ def test_inline_image_corrupt_inputs_are_skipped():
     ]
     for c in cases:
         assert _inline_images(c) == [], c[:30]
+
+
+def test_decode_image_inversion_and_predictors():
+    # /Decode [1 0], /BlackIs1, and PNG predictors on image samples
+    import numpy as np
+    from credit_ocr_system_spark.kernel.g4 import encode_g4
+    from credit_ocr_system_spark.kernel.pdf_text import _decode_image
+    ink = np.zeros((10, 16), bool)
+    ink[3:7, 2:14] = True
+    grey = np.where(ink, np.uint8(0), np.uint8(255))
+
+    # G4: all four BlackIs1 × Decode combinations
+    g4 = encode_g4(ink)
+    base = rb"/Width 16 /Height 10 /BitsPerComponent 1"
+    head = base + rb" /Filter /CCITTFaxDecode /DecodeParms << /K -1 >>"
+    assert (_decode_image(head, g4) == grey).all()
+    assert (_decode_image(
+        head + rb" /BlackIs1 true", g4) == 255 - grey).all()
+    assert (_decode_image(
+        head + rb" /Decode [1 0]", g4) == 255 - grey).all()
+    assert (_decode_image(
+        head + rb" /BlackIs1 true /Decode [1 0]", g4) == grey).all()
+
+    # 8-bit Flate with /Decode [1 0]
+    import zlib as _z
+    data = _z.compress(grey.tobytes())
+    head8 = (rb"/Width 16 /Height 10 /BitsPerComponent 8"
+             rb" /Filter /FlateDecode")
+    assert (_decode_image(head8, data) == grey).all()
+    assert (_decode_image(
+        head8 + rb" /Decode [1 0]", data) == 255 - grey).all()
+
+    # 1-bit Flate with /Decode [1 0] (1=white default, inverted)
+    bits = np.packbits(grey >= 128, axis=1)
+    d1 = _z.compress(bits.tobytes())
+    head1 = (rb"/Width 16 /Height 10 /BitsPerComponent 1"
+             rb" /Filter /FlateDecode")
+    assert (_decode_image(head1, d1) == grey).all()
+    assert (_decode_image(
+        head1 + rb" /Decode [1 0]", d1) == 255 - grey).all()
+
+    # PNG Up-predictor (type 2) rows on 8-bit samples
+    rows = []
+    prior = bytes(16)
+    for r in range(10):
+        raw = grey[r].tobytes()
+        rows.append(bytes([2]) + bytes(
+            (raw[k] - prior[k]) & 0xFF for k in range(16)))
+        prior = raw
+    pred = _z.compress(b"".join(rows))
+    headp = head8 + rb" /DecodeParms << /Predictor 12 /Columns 16 >>"
+    assert (_decode_image(headp, pred) == grey).all()
