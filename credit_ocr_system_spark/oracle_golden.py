@@ -45,15 +45,17 @@ GOLDEN_DIR = os.path.join(REPO_ROOT, ".oracle_golden")
 # by queries.py so the Spark side and the goldens can never diverge.
 X_N_PAGES = 200
 # scanned-document rows: picked image-only (OCR-path) documents
-# covering every scan encoding — 8-bit greyscale Flate (567, 713,
-# 973 as image XObjects; 557 and 909 as INLINE BI…ID…EI images, the
-# fax-to-PDF shape), packed 1-bit (651, 2723, and 3924 which also
-# draws a rotation), CCITT G4 (1346, and rotated 3800), DCTDecode
-# JPEG (2577) — plus whatever skew/speck artifacts their seeds draw.
+# covering every scan encoding — 8-bit greyscale Flate (567 plain;
+# 713 and 973 stored inverted under /Decode [1 0]; 557 and 909 as
+# INLINE BI…ID…EI images, the fax-to-PDF shape), packed 1-bit (651,
+# 3924 which also draws a rotation, and 2723 stored inverted),
+# CCITT G4 (1346, rotated 3800, and 7898 stored inverted under
+# /BlackIs1 + /Decode [1 0]), DCTDecode JPEG (2577) — plus
+# whatever skew/speck artifacts their seeds draw.
 # Spark-side the same rows come from a range filtered BEFORE the
 # generator runs, so only these pages are ever rendered.
 X_SCAN_ROWS = (557, 567, 651, 713, 909, 973, 1346, 2577, 2723,
-               3800, 3924)
+               3800, 3924, 7898)
 X_N_MEDIA = 240
 X_FRAME_EVERY_N = 4
 X_RESIZE_W = 8
@@ -123,7 +125,9 @@ def _kernel_goldens() -> None:
             "extracted_text": res["extracted_text"],
             "n_elements": len(res["elements"]),
             "n_pairs": len(res["pairs"]),
-            "is_image_only": b"/Subtype /Image" in p["html"],
+            # image XObject, inline BI image, or (encrypted, markers
+            # hidden) any page dict without a font resource
+            "is_image_only": b"/Resources << /Font" not in p["html"],
         })
     _write("x_scan_docs.parquet", scan_rows, pa.schema([
         ("url", pa.string()), ("doc_kind", pa.string()),

@@ -285,6 +285,12 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             # every other corpus draw — hence every golden — is
             # unchanged; inline vs XObject is encoding-only)
             scan_inline=0.06 <= scan_draw < 0.085,
+            # inverted sample mapping (/Decode [1 0]; G4 adds
+            # /BlackIs1): same rendered raster, sub-bands of the
+            # existing draws — also encoding-only
+            scan_invert=(scan_draw < 0.012          # bilevel band
+                         or 0.04 <= scan_draw < 0.048   # G4 band
+                         or 0.085 <= scan_draw < 0.0975),  # flate
             encrypt=rng.choices((None, "rc4-128"),
                                 weights=(85, 15))[0],
             objstm=rng.random() < 0.2)

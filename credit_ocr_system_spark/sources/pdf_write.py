@@ -385,7 +385,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               scan_skew: float = 0.0,
               scan_specks: int = 0,
               scan_orient: int = 0,
-              scan_inline: bool = False) -> bytes:
+              scan_inline: bool = False,
+              scan_invert: bool = False) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -443,6 +444,15 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     fax-to-PDF converters and some office scanners emit. Same raster
     bytes, same placement ``cm``, so extraction output is identical
     to the XObject form.
+
+    ``scan_invert=True`` stores the SAME raster with an inverted
+    sample mapping: Flate/bilevel samples are complemented and the
+    image carries ``/Decode [1 0]``; G4 keeps its bit stream and
+    carries ``/BlackIs1 true`` plus ``/Decode [1 0]`` (the XOR of the
+    two is the default polarity). Rendered page identical — pure
+    encoding, exercising the decoder's sample-mapping parameters.
+    DCT ignores the flag (lossy re-encode of an inverted plane would
+    not round-trip bit-identically).
     """
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
@@ -547,6 +557,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                                 speck_seed=i, orient=scan_orient)
             ih, iw = img.shape
             bpc = 8
+            invert = scan_invert and scanned != "dct"
             if scanned == "dct":
                 idata = _encode_scanned_jpeg(img)
                 ifilt = b" /Filter /DCTDecode"
@@ -556,30 +567,39 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 from ..kernel.g4 import encode_g4
                 idata = encode_g4(img < 128)
                 ifilt = (b" /Filter /CCITTFaxDecode /DecodeParms"
-                         b" << /K -1 /Columns %d /Rows %d >>"
-                         % (iw, ih))
+                         b" << /K -1 /Columns %d /Rows %d%s >>"
+                         % (iw, ih,
+                            b" /BlackIs1 true" if invert else b""))
                 bpc = 1
             elif scanned == "bilevel":
                 # fax-style 1-bit raster: 1 = white (DeviceGray max),
                 # rows padded to byte boundaries, MSB first — 8x
                 # smaller before Flate even sees it
                 import numpy as np
-                bits = np.packbits(img >= 128, axis=1)
+                bits = np.packbits((img < 128) if invert
+                                   else (img >= 128), axis=1)
                 idata = zlib.compress(bits.tobytes(), 6)
                 ifilt = b" /Filter /FlateDecode"
                 bpc = 1
             else:
-                idata = zlib.compress(img.tobytes(), 6)
+                samples = (255 - img) if invert else img
+                idata = zlib.compress(samples.tobytes(), 6)
                 ifilt = b" /Filter /FlateDecode"
+            if invert:
+                ifilt += b" /Decode [1 0]"
             if scan_inline:
                 # abbreviated inline-image keys (ISO 32000 Table 93)
                 if scanned == "dct":
                     ifl = b" /F /DCT"
                 elif scanned == "g4":
                     ifl = (b" /F /CCF /DP << /K -1 /Columns %d"
-                           b" /Rows %d >>" % (iw, ih))
+                           b" /Rows %d%s >>"
+                           % (iw, ih,
+                              b" /BlackIs1 true" if invert else b""))
                 else:
                     ifl = b" /F /Fl"
+                if invert:
+                    ifl += b" /D [1 0]"
                 data = (b"q " + _num(PAGE_W) + b" 0 0 "
                         + _num(PAGE_H) + b" 0 0 cm"
                         + b" BI /W %d /H %d /CS /G /BPC %d%s ID\n"
