@@ -58,3 +58,28 @@ def test_deep_nesting_no_recursion_error():
     payload = (b"<div>" * 5000) + b"deep text here" + (b"</div>" * 5000)
     res = extract_document("deep", payload)
     assert res["extracted_text"]
+
+
+_pdf_fragments = st.sampled_from([
+    b"%PDF-1.5\n", b"1 0 obj\n", b"<< /Type /Catalog >>", b"endobj\n",
+    b"stream\n", b"endstream\n", b"BT /F1 12 Tf (x) Tj ET",
+    b"q 612 0 0 792 0 0 cm ", b"BI /W 4 /H 4 /CS /G /BPC 8 ",
+    b"BI /W 99999 /H 99999 ", b"ID\n", b"\x00\x01\x02\x03", b"EI ",
+    b"/Filter /FlateDecode", b"/F /CCF /DP << /K -1 >>",
+    b"/Decode [1 0]", b"/BlackIs1 true", b"xref\n0 1\n",
+    b"trailer << /Root 1 0 R >>", b"startxref\n0\n%%EOF",
+    b"/Im1 Do ", b"<</Length 3>>",
+])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_pdf_fragments, max_size=25))
+def test_pdf_token_soup_never_raises(fragments):
+    # real-PDF magic routes to the full parser: object soup, headless
+    # streams, truncated inline images, bad filters — never an
+    # exception, always a deterministic (possibly empty) result
+    payload = b"%PDF-1.4\n" + b"".join(fragments)
+    a = extract_document("u", payload)
+    b = extract_document("u", payload)
+    assert a == b
+    assert a["doc_kind"] == "pdf"
