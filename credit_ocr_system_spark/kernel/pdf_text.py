@@ -355,21 +355,21 @@ def _decode_parms(head: bytes, count: int) -> List[Dict[bytes, int]]:
     return parms
 
 
-def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    """Run the stream through its full ``/Filter`` chain. Supported:
-    Flate, LZW (+ PNG predictors via /DecodeParms), ASCIIHex,
-    ASCII85, RunLength. An unsupported filter in the chain
-    (DCTDecode, JPXDecode, CCITTFaxDecode, Crypt) contributes
-    nothing — tolerant-by-contract, like the rest of the parser."""
+def _filter_names(head: bytes) -> List[bytes]:
+    """The /Filter chain's names, in application order ([] if none)."""
     m = _FILTER_LIST_RE.search(head)
     if m is None:
-        return stream
+        return []
     if m.group(1) is not None:
-        names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
-    else:
-        names = [m.group(2)]
-    parms = _decode_parms(head, len(names))
-    data = stream
+        return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    return [m.group(2)]
+
+
+def _apply_filter_chain(names: List[bytes], parms: List[Dict],
+                        data: bytes) -> Optional[bytes]:
+    """Run ``data`` through the byte-level filters in order, applying
+    PNG predictors per each filter's /DecodeParms. ``None`` on an
+    unsupported filter or corrupt data."""
     try:
         for name, parm in zip(names, parms):
             if name in (b"FlateDecode", b"Fl"):
@@ -383,15 +383,29 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
             elif name in (b"RunLengthDecode", b"RL"):
                 data = _run_length_decode(data)
             else:
-                return b""  # unsupported filter — contribute nothing
+                return None  # unsupported filter
             if name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW") \
                     and parm[b"Predictor"] >= 10:
                 data = _png_unpredict(data, parm[b"Columns"],
                                       parm[b"Colors"],
                                       parm[b"BitsPerComponent"])
     except Exception:
-        return b""
+        return None
     return data
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes:
+    """Run the stream through its full ``/Filter`` chain. Supported:
+    Flate, LZW (+ PNG predictors via /DecodeParms), ASCIIHex,
+    ASCII85, RunLength. An unsupported filter in the chain
+    (DCTDecode, JPXDecode, CCITTFaxDecode, Crypt) contributes
+    nothing — tolerant-by-contract, like the rest of the parser."""
+    names = _filter_names(head)
+    if not names:
+        return stream
+    data = _apply_filter_chain(names, _decode_parms(head, len(names)),
+                               stream)
+    return b"" if data is None else data
 
 
 # --- standard security handler (RC4) --------------------------------------
@@ -1013,11 +1027,14 @@ def _decode_image(head: bytes, stream: bytes):
     1 bit (raw or Flate; 1-bit rows byte-padded, MSB first, 1=white),
     ``/CCITTFaxDecode`` G4, and ``/DCTDecode`` JPEG (via the
     from-scratch codecs) — the encodings real scanners emit. RGB
-    JPEGs reduce to their channel mean. Honored sample-mapping
-    parameters: ``/Decode [1 0]`` (inverted gray ramp),
-    ``/BlackIs1`` (CCITT black-run polarity; the two compose by
-    XOR), and PNG ``/Predictor >= 10`` row predictors on Flate
-    samples."""
+    JPEGs reduce to their channel mean. Full byte-level filter
+    CHAINS are honored: raw samples behind any
+    Flate/LZW/A85/AHx/RL sequence, and the same chain as a prefix
+    before the G4/JPEG codec (e.g. ``[/ASCII85Decode /DCTDecode]``).
+    Honored sample-mapping parameters: ``/Decode [1 0]`` (inverted
+    gray ramp), ``/BlackIs1`` (CCITT black-run polarity; the two
+    compose by XOR), and PNG ``/Predictor >= 10`` row predictors via
+    each filter's ``/DecodeParms``."""
     wm = re.search(rb"/Width\s+(\d+)", head)
     hm = re.search(rb"/Height\s+(\d+)", head)
     if wm is None or hm is None:
@@ -1025,22 +1042,28 @@ def _decode_image(head: bytes, stream: bytes):
     w, h = int(wm.group(1)), int(hm.group(1))
     bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
     bpc = int(bm.group(1)) if bm else 8
-    fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", head)
-    filt = fm.group(1) if fm else None
     # /Decode [1 0]: inverted sample→gray mapping (scanners that
     # store photometric-min-is-white rasters)
     dm = re.search(rb"/Decode\s*\[\s*([\d.]+)\s+([\d.]+)", head)
     dec_inv = dm is not None and float(dm.group(1)) > float(dm.group(2))
+    names = _filter_names(head)
+    parms = _decode_parms(head, len(names))
+    last = names[-1] if names else None
     try:
-        if filt == b"CCITTFaxDecode":
+        if last in (b"CCITTFaxDecode", b"CCF"):
             # Group 4 only (/K < 0) — what scanners write; 1D and
-            # mixed-mode G3 are out of scope and yield None
+            # mixed-mode G3 are out of scope and yield None. Any
+            # byte-level prefix chain (A85/AHx/Flate/…) runs first.
             import numpy as np
             from .g4 import decode_g4
             km = re.search(rb"/K\s+(-?\d+)", head)
             if km is None or int(km.group(1)) >= 0:
                 return None
-            ink = decode_g4(bytes(stream), w, h)
+            data = _apply_filter_chain(names[:-1], parms[:-1],
+                                       bytes(stream))
+            if data is None:
+                return None
+            ink = decode_g4(data, w, h)
             # a G4 "black" run emits sample 1 under /BlackIs1 true
             # (else 0); /Decode [1 0] flips the sample→gray map —
             # ink renders black iff the two agree with the default
@@ -1049,40 +1072,42 @@ def _decode_image(head: bytes, stream: bytes):
             if blackis1 != dec_inv:  # net inversion
                 return np.where(ink, np.uint8(255), np.uint8(0))
             return np.where(ink, np.uint8(0), np.uint8(255))
-        if filt == b"DCTDecode":
+        if last in (b"DCTDecode", b"DCT"):
             import numpy as np
             from .jpeg import decode_jpeg
-            img = decode_jpeg(bytes(stream))
+            data = _apply_filter_chain(names[:-1], parms[:-1],
+                                       bytes(stream))
+            if data is None:
+                return None
+            img = decode_jpeg(data)
             if img.ndim == 3:
                 img = img.mean(axis=2).astype(np.uint8)
             return (255 - img) if dec_inv else img
-        if filt in (None, b"FlateDecode", b"Fl"):
-            import numpy as np
-            data = zlib.decompress(stream) if filt else stream
-            pm = re.search(rb"/Predictor\s+(\d+)", head)
-            if pm is not None and int(pm.group(1)) >= 10:
-                # PNG row predictors on image samples (screenshots,
-                # pdf-writer-optimized scans)
-                data = _png_unpredict(data, w, 1, bpc)
-            if bpc == 1:
-                rowbytes = (w + 7) // 8
-                if len(data) < h * rowbytes:
-                    return None
-                bits = np.frombuffer(
-                    data[:h * rowbytes],
-                    dtype=np.uint8).reshape(h, rowbytes)
-                px = np.unpackbits(bits, axis=1)[:, :w]
-                if dec_inv:
-                    px = 1 - px
-                return px * np.uint8(255)
-            if bpc != 8 or len(data) < w * h:
+        # raw samples behind any byte-level chain (Flate/LZW/A85/AHx/
+        # RL, PNG predictors via each filter's /DecodeParms)
+        import numpy as np
+        data = _apply_filter_chain(names, parms, bytes(stream)) \
+            if names else bytes(stream)
+        if data is None:
+            return None
+        if bpc == 1:
+            rowbytes = (w + 7) // 8
+            if len(data) < h * rowbytes:
                 return None
-            img = np.frombuffer(
-                data[:w * h], dtype=np.uint8).reshape(h, w)
-            return (255 - img) if dec_inv else img
+            bits = np.frombuffer(
+                data[:h * rowbytes],
+                dtype=np.uint8).reshape(h, rowbytes)
+            px = np.unpackbits(bits, axis=1)[:, :w]
+            if dec_inv:
+                px = 1 - px
+            return px * np.uint8(255)
+        if bpc != 8 or len(data) < w * h:
+            return None
+        img = np.frombuffer(
+            data[:w * h], dtype=np.uint8).reshape(h, w)
+        return (255 - img) if dec_inv else img
     except Exception:
         return None
-    return None
 
 
 def _ocr_page_images(objs: Dict[int, Tuple[bytes, Optional[bytes]]],

@@ -615,3 +615,46 @@ def test_decode_image_inversion_and_predictors():
     pred = _z.compress(b"".join(rows))
     headp = head8 + rb" /DecodeParms << /Predictor 12 /Columns 16 >>"
     assert (_decode_image(headp, pred) == grey).all()
+
+
+def test_decode_image_filter_chains():
+    # full byte-level chains on image streams: raw samples behind
+    # LZW / A85+Flate, and a chain prefix before the G4/JPEG codec
+    import numpy as np
+    import zlib as _z
+    import base64
+    from credit_ocr_system_spark.kernel.g4 import encode_g4
+    from credit_ocr_system_spark.kernel.pdf_text import _decode_image
+    ink = np.zeros((10, 16), bool)
+    ink[3:7, 2:14] = True
+    grey = np.where(ink, np.uint8(0), np.uint8(255))
+
+    def a85(data: bytes) -> bytes:
+        return base64.a85encode(data) + b"~>"
+
+    # [/ASCII85Decode /FlateDecode] on raw 8-bit samples
+    head = (rb"/Width 16 /Height 10 /BitsPerComponent 8"
+            rb" /Filter [/ASCII85Decode /FlateDecode]")
+    assert (_decode_image(head, a85(_z.compress(grey.tobytes())))
+            == grey).all()
+
+    # A85 prefix before CCITT G4
+    g4 = encode_g4(ink)
+    headg = (rb"/Width 16 /Height 10 /BitsPerComponent 1"
+             rb" /Filter [/ASCII85Decode /CCITTFaxDecode]"
+             rb" /DecodeParms [null << /K -1 >>]")
+    assert (_decode_image(headg, a85(g4)) == grey).all()
+
+    # Flate prefix before DCT (JPEG-in-Flate: some optimizers do this)
+    from credit_ocr_system_spark.kernel.jpeg import encode_jpeg
+    rgb = np.stack([grey, grey, grey], axis=-1)
+    jpg = encode_jpeg(rgb, 95)
+    headd = (rb"/Width 16 /Height 10 /BitsPerComponent 8"
+             rb" /Filter [/FlateDecode /DCTDecode]")
+    out = _decode_image(headd, _z.compress(jpg))
+    assert out is not None and out.shape == (10, 16)
+
+    # unsupported member in the chain -> None, never an exception
+    headu = (rb"/Width 16 /Height 10 /BitsPerComponent 8"
+             rb" /Filter [/JPXDecode /FlateDecode]")
+    assert _decode_image(headu, b"whatever") is None
