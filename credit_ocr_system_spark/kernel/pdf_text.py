@@ -23,6 +23,9 @@ Supported (the text-bearing core of ISO 32000):
 * text operators ``BT/ET  Tf  Tm  Td  TD  TL  T*  Tj  TJ  '  "``,
   literal strings (nesting, escapes, octal, line continuation) and
   hex strings, WinAnsi (cp1252) simple-font decoding;
+* Type3 glyph-stream fonts: ``/Differences`` code→glyph-name
+  decoding and GLYPH-SPACE ``/Widths`` mapped to text space through
+  ``/FontMatrix`` (simple fonts use the fixed 1/1000 em);
 * composite (Type0) fonts with ``/Encoding /Identity-H``: per-page
   ``/Resources → /Font`` resolution (inline dict or reference,
   inherited through ``/Parent``), 2-byte CID codes decoded through
@@ -836,6 +839,14 @@ def _simple_font(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                     if ch is not None:
                         charmap[code] = ch
                     code += 1
+    # Type3 widths are in GLYPH SPACE: /FontMatrix maps them to text
+    # space (simple fonts use the fixed 1/1000 em). Pre-scale so the
+    # downstream 1/1000 width consumer stays uniform.
+    if widths is not None and re.search(
+            rb"/Subtype\s*/Type3\b", fhead) is not None:
+        fmm = re.search(rb"/FontMatrix\s*\[\s*([-+\d.eE]+)", fhead)
+        a = float(fmm.group(1)) if fmm is not None else 0.001
+        widths = {k: v * a * 1000.0 for k, v in widths.items()}
     return _Font(cid=False, charmap=charmap, widths=widths)
 
 

@@ -457,6 +457,12 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
     cid = font == "cid"
+    type3 = font == "type3"
+    # Type3 glyph set is known up front, so the /CharProcs dict and
+    # per-glyph streams can reserve object numbers before the pages
+    t3_chars: List[str] = sorted(
+        {ch for toks in page_tokens for _x, _y, t, _fs in toks
+         for ch in t}) if type3 else []
     if scanned is not None:
         if scanned not in ("flate", "dct", "bilevel", "g4"):
             raise ValueError(f"unknown scanned mode {scanned!r}")
@@ -470,7 +476,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     # font, 5 ToUnicode stream,) then per page i (0-based): page obj +
     # content obj pairs
     objs: List[bytes] = []
-    first_page_obj = 6 if cid else 4
+    first_page_obj = (6 if cid
+                      else 5 + len(t3_chars) if type3
+                      else 4)
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     kids = b" ".join(b"%d 0 R" % (first_page_obj + 2 * i)
                      for i in range(n_pages))
@@ -496,6 +504,31 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         else:
             objs.append(b"<< /Length %d >>\nstream\n" % len(cmap)
                         + cmap + b"\nendstream")
+    elif type3:
+        # Type3: glyphs are content streams under /CharProcs, codes
+        # decode through /Encoding /Differences (uniXXXX names), and
+        # /Widths are in GLYPH SPACE — /FontMatrix [0.01 …] maps them
+        # to text space, so width 50 = 0.5 em (the default advance).
+        codes = [ch.encode("cp1252")[0] for ch in t3_chars]
+        by_code = sorted(zip(codes, t3_chars))
+        diffs = b" ".join(b"%d /uni%04X" % (c, ord(ch))
+                          for c, ch in by_code)
+        fc, lc = by_code[0][0], by_code[-1][0]
+        widths = b" ".join(b"50" for _ in range(fc, lc + 1))
+        objs.append(
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontMatrix [0.01 0 0 0.01 0 0]"
+            b" /FontBBox [0 0 100 100] /CharProcs 4 0 R"
+            b" /Encoding << /Type /Encoding /Differences ["
+            + diffs + b"] >> /FirstChar %d /LastChar %d"
+            b" /Widths [" % (fc, lc) + widths + b"] >>")
+        objs.append(b"<< " + b" ".join(
+            b"/uni%04X %d 0 R" % (ord(ch), 5 + i)
+            for i, (_c, ch) in enumerate(by_code)) + b" >>")
+        for _c, _ch in by_code:
+            glyph = b"50 0 d0"  # advance-only glyph description
+            objs.append(b"<< /Length %d >>\nstream\n" % len(glyph)
+                        + glyph + b"\nendstream")
     elif font == "widths":
         # explicit per-glyph metrics: the CHAR_W average everywhere
         # EXCEPT a deterministic detuned band, so the parser's

@@ -658,3 +658,30 @@ def test_decode_image_filter_chains():
     headu = (rb"/Width 16 /Height 10 /BitsPerComponent 8"
              rb" /Filter [/JPXDecode /FlateDecode]")
     assert _decode_image(headu, b"whatever") is None
+
+
+def test_type3_font_round_trips_like_simple():
+    # Type3: /CharProcs glyph streams, /Encoding /Differences with
+    # uniXXXX names, GLYPH-SPACE /Widths mapped through /FontMatrix
+    # [0.01 ...] (width 50 = 0.5 em). A parser that ignored the
+    # matrix would compute 0.05-em advances and shift every bbox.
+    want = parse_real_pdf(build_pdf(FIXTURE_TOKENS))
+    for kw in ({}, {"compress": True}, {"objstm": True},
+               {"encrypt": "rc4-128"}):
+        got = parse_real_pdf(build_pdf(FIXTURE_TOKENS, font="type3",
+                                       **kw))
+        assert got == want and len(got) > 0, kw
+
+
+def test_type3_fontmatrix_scales_detuned_widths():
+    # hand-build a Type3 with width 80 under FontMatrix 0.01: the
+    # advance must be 0.8 em, not 80/1000 em
+    pdf = build_pdf([[(40.0, 60.0, "AB", 10.0)]], font="type3")
+    wide = pdf.replace(b"/Widths [50 50]", b"/Widths [80 80]")
+    assert wide != pdf
+    e_narrow = parse_real_pdf(pdf)[0]
+    e_wide = parse_real_pdf(wide)[0]
+    assert e_narrow["text"] == e_wide["text"] == "AB"
+    # two glyphs at 10 pt: 0.5 em -> 10 wide, 0.8 em -> 16 wide
+    assert round(e_narrow["bbox"]["width"], 2) == 10.0
+    assert round(e_wide["bbox"]["width"], 2) == 16.0
