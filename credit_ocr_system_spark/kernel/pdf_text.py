@@ -719,6 +719,80 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
     return cmap
 
 
+def _cid_widths(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                fhead: bytes
+                ) -> Tuple[Optional[Dict[int, float]],
+                           Optional[float]]:
+    """(per-CID widths, /DW default) from the Type0 font's
+    descendant CIDFont — /W carries both forms of ISO 32000 §9.7.4.3
+    (``c [w1 w2 …]`` and ``cFirst cLast w``); widths are 1/1000 em,
+    /DW defaults to 1000."""
+    darr = _array_value(objs, fhead, rb"/DescendantFonts")
+    if darr is None:
+        return None, None
+    dm = re.search(rb"(\d+)\s+\d+\s+R", darr)
+    if dm is None:
+        return None, None
+    dhead = objs.get(int(dm.group(1)), (None, None))[0]
+    if dhead is None:
+        return None, None
+    dwm = re.search(rb"/DW\s+([-+\d.]+)", dhead)
+    try:
+        dw = float(dwm.group(1)) if dwm is not None else 1000.0
+    except ValueError:
+        dw = 1000.0
+    widths: Dict[int, float] = {}
+    # /W nests arrays (c [w1 w2 …]) — needs a depth-aware scan, not
+    # the first-']' slice _array_value takes
+    warr = None
+    wm = re.search(rb"/W\s*(\[|\d+\s+\d+\s+R)", dhead)
+    if wm is not None:
+        src, start = dhead, wm.start(1)
+        if wm.group(1) != b"[":
+            ihead = objs.get(int(wm.group(1).split()[0]),
+                             (None, None))[0]
+            im = re.search(rb"\[", ihead) if ihead else None
+            if im is not None:
+                src, start = ihead, im.start()
+            else:
+                src = None
+        if src is not None:
+            depth = 0
+            for j in range(start, len(src)):
+                if src[j] == 0x5B:
+                    depth += 1
+                elif src[j] == 0x5D:
+                    depth -= 1
+                    if depth == 0:
+                        warr = src[start + 1:j]
+                        break
+    if warr is not None:
+        toks = re.findall(rb"\[[^\]]*\]|[-+]?[\d.]+", warr)
+        i = 0
+        while i < len(toks):
+            if toks[i].startswith(b"["):
+                i += 1  # malformed: group with no leading CID
+                continue
+            try:
+                c1 = int(float(toks[i]))
+            except ValueError:
+                break
+            if i + 1 < len(toks) and toks[i + 1].startswith(b"["):
+                vals = re.findall(rb"[-+]?[\d.]+", toks[i + 1])
+                for k, v in enumerate(vals):
+                    widths[c1 + k] = float(v)
+                i += 2
+            elif i + 2 < len(toks):
+                c2 = min(int(float(toks[i + 1])), c1 + 0xFFFF)
+                w = float(toks[i + 2])
+                for c in range(c1, c2 + 1):
+                    widths[c] = w
+                i += 3
+            else:
+                break
+    return (widths or None), dw
+
+
 def _page_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                     page_obj: int) -> Optional[bytes]:
     """The page's ``/Resources`` dict bytes, inherited through
@@ -743,14 +817,16 @@ def _page_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
 # 1/1000 em (/FirstChar + /Widths) — ``None`` falls back to the
 # average-width model.
 class _Font:
-    __slots__ = ("cid", "charmap", "widths")
+    __slots__ = ("cid", "charmap", "widths", "dw")
 
     def __init__(self, cid: bool = False,
                  charmap: Optional[Dict[int, str]] = None,
-                 widths: Optional[Dict[int, float]] = None):
+                 widths: Optional[Dict[int, float]] = None,
+                 dw: Optional[float] = None):
         self.cid = cid
         self.charmap = charmap or {}
         self.widths = widths
+        self.dw = dw  # CID default width (/DW), 1/1000 em
 
 
 # Adobe Glyph List subset for /Differences names the algorithmic
@@ -874,7 +950,9 @@ def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                 if tstream is not None:
                     cid_map = _parse_tounicode(
                         _decode_stream(thead, tstream))
-            fonts[name] = _Font(cid=True, charmap=cid_map)
+            cw, dw = _cid_widths(objs, fhead)
+            fonts[name] = _Font(cid=True, charmap=cid_map,
+                                widths=cw, dw=dw)
         else:
             fonts[name] = _simple_font(objs, fhead)
     return fonts
@@ -1361,6 +1439,17 @@ def _extract_page_elements(content: bytes, page_num: int,
             default_w = CHAR_W_FRAC * 1000.0
             width = fs * sum(cur_font.widths.get(b, default_w)
                              for b in s) / 1000.0 - kern
+        elif (cur_font is not None and cur_font.cid
+              and (cur_font.widths is not None
+                   or cur_font.dw is not None)):
+            # composite font: per-CID /W metrics with the /DW
+            # default (1/1000 em, ISO 32000 §9.7.4.3)
+            dw = cur_font.dw if cur_font.dw is not None else 1000.0
+            wmap = cur_font.widths or {}
+            n2 = len(s) - (len(s) % 2)
+            width = fs * sum(
+                wmap.get(int.from_bytes(s[i:i + 2], "big"), dw)
+                for i in range(0, n2, 2)) / 1000.0 - kern
         else:
             width = CHAR_W_FRAC * fs * n_units - kern
         if text.strip():

@@ -685,3 +685,27 @@ def test_type3_fontmatrix_scales_detuned_widths():
     # two glyphs at 10 pt: 0.5 em -> 10 wide, 0.8 em -> 16 wide
     assert round(e_narrow["bbox"]["width"], 2) == 10.0
     assert round(e_wide["bbox"]["width"], 2) == 16.0
+
+
+def test_cid_w_array_drives_advances():
+    # composite-font /W per-CID metrics (ISO 32000 §9.7.4.3): both
+    # array forms must drive the advance; unlisted CIDs use /DW
+    pdf = build_pdf([[(40.0, 60.0, "AB", 10.0)]], font="cid")
+    assert b"/DW 500" in pdf
+    base = parse_real_pdf(pdf)[0]
+    assert base["text"] == "AB"
+    assert round(base["bbox"]["width"], 2) == 10.0  # 2 × 0.5 em @10pt
+    # form 1: c [w1 w2 ...] — A(65)→800, B(66)→300
+    wide = pdf.replace(b"/DW 500 >>", b"/DW 500 /W [65 [800 300]] >>")
+    assert wide != pdf
+    e = parse_real_pdf(wide)[0]
+    assert e["text"] == "AB"
+    assert round(e["bbox"]["width"], 2) == 11.0  # (0.8 + 0.3) em @10pt
+    # form 2: cFirst cLast w — 65..66 → 700
+    rng = pdf.replace(b"/DW 500 >>", b"/DW 500 /W [65 66 700] >>")
+    e2 = parse_real_pdf(rng)[0]
+    assert round(e2["bbox"]["width"], 2) == 14.0
+    # /DW honored for unlisted CIDs
+    dw = pdf.replace(b"/DW 500 >>", b"/DW 600 /W [65 [800]] >>")
+    e3 = parse_real_pdf(dw)[0]
+    assert round(e3["bbox"]["width"], 2) == 14.0  # 0.8 + 0.6 em @10pt
