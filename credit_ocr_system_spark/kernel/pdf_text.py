@@ -719,6 +719,39 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
     return cmap
 
 
+def _descendant_head(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                     fhead: bytes) -> Optional[bytes]:
+    darr = _array_value(objs, fhead, rb"/DescendantFonts")
+    if darr is None:
+        return None
+    dm = re.search(rb"(\d+)\s+\d+\s+R", darr)
+    if dm is None:
+        return None
+    return objs.get(int(dm.group(1)), (None, None))[0]
+
+
+def _fontfile_cid_map(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                      fhead: bytes) -> Dict[int, str]:
+    """GID → unicode recovered from the descendant CIDFont's embedded
+    TrueType program (``/FontDescriptor → /FontFile2``) by inverting
+    its cmap table — the text path for Type0 fonts that carry no
+    ``/ToUnicode`` (``{}`` when no usable font program exists)."""
+    dhead = _descendant_head(objs, fhead)
+    if dhead is None:
+        return {}
+    fd = _dict_value(objs, dhead, rb"/FontDescriptor")
+    if fd is None:
+        return {}
+    ff = _refs(rb"/FontFile2", fd)
+    if not ff or ff[0] not in objs:
+        return {}
+    phead, pstream = objs[ff[0]]
+    if pstream is None:
+        return {}
+    from .ttf import gid_to_unicode
+    return gid_to_unicode(_decode_stream(phead, pstream))
+
+
 def _cid_widths(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                 fhead: bytes
                 ) -> Tuple[Optional[Dict[int, float]],
@@ -727,13 +760,7 @@ def _cid_widths(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
     descendant CIDFont — /W carries both forms of ISO 32000 §9.7.4.3
     (``c [w1 w2 …]`` and ``cFirst cLast w``); widths are 1/1000 em,
     /DW defaults to 1000."""
-    darr = _array_value(objs, fhead, rb"/DescendantFonts")
-    if darr is None:
-        return None, None
-    dm = re.search(rb"(\d+)\s+\d+\s+R", darr)
-    if dm is None:
-        return None, None
-    dhead = objs.get(int(dm.group(1)), (None, None))[0]
+    dhead = _descendant_head(objs, fhead)
     if dhead is None:
         return None, None
     dwm = re.search(rb"/DW\s+([-+\d.]+)", dhead)
@@ -950,6 +977,12 @@ def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
                 if tstream is not None:
                     cid_map = _parse_tounicode(
                         _decode_stream(thead, tstream))
+            if not cid_map:
+                # ToUnicode-less font (common in older generators):
+                # Identity-H codes are GIDs into the embedded font
+                # program — invert its cmap table (Unicode → GID),
+                # the pdfminer/pdfium recovery path
+                cid_map = _fontfile_cid_map(objs, fhead)
             cw, dw = _cid_widths(objs, fhead)
             fonts[name] = _Font(cid=True, charmap=cid_map,
                                 widths=cw, dw=dw)

@@ -23,8 +23,9 @@ width model.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 from ..kernel.pdf_text import _ENC_PAD, _rc4, ASCENT_FRAC, CHAR_W_FRAC
 
@@ -55,14 +56,47 @@ def _escape_literal(text: str) -> bytes:
     return bytes(out)
 
 
-def _show_fragment(text: str, cid: bool) -> bytes:
+def _show_fragment(text: str, cid: bool,
+                   gid_map: Optional[Dict[str, int]] = None) -> bytes:
     """One show-string operand: literal for the simple font, a hex
-    string of 2-byte Identity-H CIDs (CID = BMP codepoint) for the
-    composite font."""
+    string of 2-byte Identity-H CIDs for the composite font (CID =
+    BMP codepoint, or the font's own GID when ``gid_map`` is given —
+    the ToUnicode-less shape where codes index the embedded font)."""
     if not cid:
         return b"(" + _escape_literal(text) + b")"
-    hexs = "".join(f"{min(ord(ch), 0xFFFD):04X}" for ch in text)
+    if gid_map is not None:
+        hexs = "".join(f"{gid_map[ch]:04X}" for ch in text)
+    else:
+        hexs = "".join(f"{min(ord(ch), 0xFFFD):04X}" for ch in text)
     return b"<" + hexs.encode("ascii") + b">"
+
+
+def _minimal_ttf(gid_map: Dict[str, int]) -> bytes:
+    """Tiny sfnt carrying ONLY a cmap table (format 4, one segment
+    per char + the 0xFFFF terminator) — enough for a parser's
+    GID→Unicode inversion; not a renderable font."""
+    import math
+
+    items = sorted((ord(ch), gid) for ch, gid in gid_map.items())
+    segs = [(c, c, (g - c) & 0xFFFF) for c, g in items]
+    segs.append((0xFFFF, 0xFFFF, 1))  # terminator → gid 0
+    sc = len(segs)
+    pw = 1 << int(math.log2(sc))
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * sc, 0, sc * 2,
+                      pw * 2, int(math.log2(pw)), sc * 2 - pw * 2)
+    sub += b"".join(struct.pack(">H", e) for _s, e, _d in segs)
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(struct.pack(">H", s) for s, _e, _d in segs)
+    sub += b"".join(struct.pack(">H", d) for _s, _e, d in segs)
+    sub += b"\x00\x00" * sc  # idRangeOffset: all delta-mapped
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) \
+        + sub
+    padded = cmap + bytes(-len(cmap) % 4)
+    cksum = sum(struct.unpack(">%dI" % (len(padded) // 4), padded)) \
+        & 0xFFFFFFFF
+    head = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    rec = b"cmap" + struct.pack(">III", cksum, 28, len(cmap))
+    return head + rec + cmap
 
 
 def _tounicode_cmap(chars: set) -> bytes:
@@ -102,7 +136,8 @@ def _tounicode_cmap(chars: set) -> bytes:
 
 
 def _content_stream(tokens: Sequence[Token], style: str,
-                    cid: bool = False) -> bytes:
+                    cid: bool = False,
+                    gid_map: Optional[Dict[str, int]] = None) -> bytes:
     """Text operators for one page.
 
     * ``tm``: absolute ``Tm`` placement per token, one ``Tj`` each;
@@ -129,10 +164,12 @@ def _content_stream(tokens: Sequence[Token], style: str,
                        + b" Tm")
         if style == "tj" and len(text) >= 2:
             half = len(text) // 2
-            out.append(b"[" + _show_fragment(text[:half], cid) + b" 0 "
-                       + _show_fragment(text[half:], cid) + b"] TJ")
+            out.append(b"[" + _show_fragment(text[:half], cid, gid_map)
+                       + b" 0 "
+                       + _show_fragment(text[half:], cid, gid_map)
+                       + b"] TJ")
         else:
-            out.append(_show_fragment(text, cid) + b" Tj")
+            out.append(_show_fragment(text, cid, gid_map) + b" Tj")
     out.append(b"ET")
     return b"\n".join(out)
 
@@ -386,7 +423,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               scan_specks: int = 0,
               scan_orient: int = 0,
               scan_inline: bool = False,
-              scan_invert: bool = False) -> bytes:
+              scan_invert: bool = False,
+              cid_tounicode: bool = True) -> bytes:
     """Assemble a complete one-font PDF from per-page token lists.
 
     ``font="cid"`` emits a composite (Type0 / Identity-H /
@@ -457,6 +495,14 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     page_tokens = [list(p) for p in pages] or [[]]
     n_pages = len(page_tokens)
     cid = font == "cid"
+    cid_gids: Optional[Dict[str, int]] = None
+    if cid and not cid_tounicode:
+        # ToUnicode-less fonts: show-string codes are GIDs into the
+        # embedded font program; assign NON-identity GIDs so text
+        # recovery genuinely requires inverting the TTF cmap
+        used = sorted({ch for toks in page_tokens
+                       for _x, _y, t, _fs in toks for ch in t})
+        cid_gids = {ch: i + 1 for i, ch in enumerate(used)}
     type3 = font == "type3"
     # Type3 glyph set is known up front, so the /CharProcs dict and
     # per-glyph streams can reserve object numbers before the pages
@@ -476,7 +522,8 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     # font, 5 ToUnicode stream,) then per page i (0-based): page obj +
     # content obj pairs
     objs: List[bytes] = []
-    first_page_obj = (6 if cid
+    first_page_obj = (7 if cid_gids is not None
+                      else 6 if cid
                       else 5 + len(t3_chars) if type3
                       else 4)
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -485,7 +532,23 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d"
                 b" /MediaBox [0 0 %s %s] >>"
                 % (n_pages, _num(PAGE_W), _num(PAGE_H)))
-    if cid:
+    if cid_gids is not None:
+        # ToUnicode-less composite font: text is only recoverable by
+        # inverting the embedded TrueType's cmap (/FontFile2)
+        objs.append(b"<< /Type /Font /Subtype /Type0"
+                    b" /BaseFont /GraftSans /Encoding /Identity-H"
+                    b" /DescendantFonts [4 0 R] >>")
+        objs.append(b"<< /Type /Font /Subtype /CIDFontType2"
+                    b" /BaseFont /GraftSans /CIDSystemInfo"
+                    b" << /Registry (Adobe) /Ordering (Identity)"
+                    b" /Supplement 0 >> /DW 500"
+                    b" /FontDescriptor 5 0 R >>")
+        objs.append(b"<< /Type /FontDescriptor /FontName /GraftSans"
+                    b" /Flags 4 /FontFile2 6 0 R >>")
+        ttf = _minimal_ttf(cid_gids)
+        objs.append(b"<< /Length %d >>\nstream\n" % len(ttf)
+                    + ttf + b"\nendstream")
+    elif cid:
         objs.append(b"<< /Type /Font /Subtype /Type0"
                     b" /BaseFont /GraftSans /Encoding /Identity-H"
                     b" /DescendantFonts [4 0 R] /ToUnicode 5 0 R >>")
@@ -648,7 +711,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
                         + b" 0 0 cm /Im1 Do Q")
         else:
-            data = _content_stream(tokens, style, cid)
+            data = _content_stream(tokens, style, cid, cid_gids)
         if form_xobject:
             form_data = data
             data = b"q /Fm1 Do Q"

@@ -709,3 +709,42 @@ def test_cid_w_array_drives_advances():
     dw = pdf.replace(b"/DW 500 >>", b"/DW 600 /W [65 [800]] >>")
     e3 = parse_real_pdf(dw)[0]
     assert round(e3["bbox"]["width"], 2) == 14.0  # 0.8 + 0.6 em @10pt
+
+
+def test_tounicode_less_cid_recovers_text_via_ttf_cmap():
+    # Type0/Identity-H with NO /ToUnicode (common in older
+    # generators): codes are GIDs into the embedded /FontFile2; text
+    # must be recovered by inverting the TTF's cmap. The writer
+    # assigns NON-identity GIDs (1..n in char order), so reading
+    # codes as codepoints would yield control-character garbage.
+    want = parse_real_pdf(build_pdf(FIXTURE_TOKENS))
+    for kw in ({}, {"compress": True}, {"objstm": True},
+               {"style": "tj"}):
+        pdf = build_pdf(FIXTURE_TOKENS, font="cid",
+                        cid_tounicode=False, **kw)
+        assert b"/ToUnicode" not in pdf and b"/FontFile2" in pdf
+        got = parse_real_pdf(pdf)
+        assert got == want and len(got) > 0, kw
+
+
+def test_ttf_cmap_format12_and_malformed():
+    import struct
+    from credit_ocr_system_spark.kernel.ttf import gid_to_unicode
+    # hand-built sfnt with a format-12 subtable: two groups, one
+    # supplementary-plane (emoji) — format 4 cannot express it
+    groups = [(0x41, 0x43, 10), (0x1F600, 0x1F601, 99)]
+    sub = struct.pack(">HHIII", 12, 0, 0, 16 + 12 * len(groups),
+                      len(groups))
+    for s, e, g in groups:
+        sub += struct.pack(">III", s, e, g)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) \
+        + sub
+    font = (struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+            + b"cmap" + struct.pack(">III", 0, 28, len(cmap)) + cmap)
+    inv = gid_to_unicode(font)
+    assert inv[10] == "A" and inv[12] == "C"
+    assert inv[99] == "😀" and inv[100] == "😁"
+    # malformed inputs: never raise, just {}
+    for bad in (b"", b"\x00\x01\x00\x00", font[:20], b"x" * 64,
+                font.replace(b"cmap", b"xxxx")):
+        assert gid_to_unicode(bad) == {}
