@@ -844,16 +844,18 @@ def _page_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
 # 1/1000 em (/FirstChar + /Widths) — ``None`` falls back to the
 # average-width model.
 class _Font:
-    __slots__ = ("cid", "charmap", "widths", "dw")
+    __slots__ = ("cid", "charmap", "widths", "dw", "base")
 
     def __init__(self, cid: bool = False,
                  charmap: Optional[Dict[int, str]] = None,
                  widths: Optional[Dict[int, float]] = None,
-                 dw: Optional[float] = None):
+                 dw: Optional[float] = None,
+                 base: str = "cp1252"):
         self.cid = cid
         self.charmap = charmap or {}
         self.widths = widths
         self.dw = dw  # CID default width (/DW), 1/1000 em
+        self.base = base  # simple-font byte codec (WinAnsi/MacRoman)
 
 
 # Adobe Glyph List subset for /Differences names the algorithmic
@@ -927,8 +929,19 @@ def _simple_font(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         vals = re.findall(rb"[-+]?[\d.]+", warr)
         widths = {int(fc.group(1)) + k: float(v)
                   for k, v in enumerate(vals)}
+    # base byte codec: WinAnsi (cp1252, the default and the dominant
+    # real-world case) or MacRoman (/Encoding /MacRomanEncoding as a
+    # name, or /BaseEncoding inside an /Encoding dict) — old Mac
+    # generators; /Differences then overrides on top
+    base = "cp1252"
+    enc_probe = re.search(rb"/Encoding\s*/(\w+)", fhead)
     charmap: Dict[int, str] = {}
     enc = _dict_value(objs, fhead, rb"/Encoding")
+    if (enc_probe is not None
+            and enc_probe.group(1) == b"MacRomanEncoding") or (
+            enc is not None and re.search(
+                rb"/BaseEncoding\s*/MacRomanEncoding\b", enc)):
+        base = "mac_roman"
     if enc is not None:
         darr = _array_value(objs, enc, rb"/Differences")
         if darr is not None:
@@ -950,7 +963,8 @@ def _simple_font(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
         fmm = re.search(rb"/FontMatrix\s*\[\s*([-+\d.eE]+)", fhead)
         a = float(fmm.group(1)) if fmm is not None else 0.001
         widths = {k: v * a * 1000.0 for k, v in widths.items()}
-    return _Font(cid=False, charmap=charmap, widths=widths)
+    return _Font(cid=False, charmap=charmap, widths=widths,
+                 base=base)
 
 
 def _fonts_from_resources(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
@@ -1448,13 +1462,14 @@ def _extract_page_elements(content: bytes, page_num: int,
         is per GLYPH, so composite and simple fonts land on the same
         CHAR_W grid unless the font carries real /Widths."""
         if cur_font is None or not cur_font.cid:
+            base = cur_font.base if cur_font is not None else "cp1252"
             cm = cur_font.charmap if cur_font is not None else {}
             if cm:
                 return ("".join(
                     cm.get(b) or s[i:i + 1].decode(
-                        "cp1252", errors="replace")
+                        base, errors="replace")
                     for i, b in enumerate(s)), len(s))
-            return s.decode("cp1252", errors="replace"), len(s)
+            return s.decode(base, errors="replace"), len(s)
         n = len(s) - (len(s) % 2)
         codes = [int.from_bytes(s[i:i + 2], "big")
                  for i in range(0, n, 2)]

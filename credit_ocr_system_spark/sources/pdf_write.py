@@ -43,8 +43,8 @@ def _num(v: float) -> bytes:
     return (s or "0").encode("ascii")
 
 
-def _escape_literal(text: str) -> bytes:
-    data = text.encode("cp1252", errors="replace")
+def _escape_literal(text: str, enc: str = "cp1252") -> bytes:
+    data = text.encode(enc, errors="replace")
     out = bytearray()
     for b in data:
         if b in (0x28, 0x29, 0x5C):  # ( ) \
@@ -57,13 +57,14 @@ def _escape_literal(text: str) -> bytes:
 
 
 def _show_fragment(text: str, cid: bool,
-                   gid_map: Optional[Dict[str, int]] = None) -> bytes:
+                   gid_map: Optional[Dict[str, int]] = None,
+                   enc: str = "cp1252") -> bytes:
     """One show-string operand: literal for the simple font, a hex
     string of 2-byte Identity-H CIDs for the composite font (CID =
     BMP codepoint, or the font's own GID when ``gid_map`` is given —
     the ToUnicode-less shape where codes index the embedded font)."""
     if not cid:
-        return b"(" + _escape_literal(text) + b")"
+        return b"(" + _escape_literal(text, enc) + b")"
     if gid_map is not None:
         hexs = "".join(f"{gid_map[ch]:04X}" for ch in text)
     else:
@@ -137,7 +138,8 @@ def _tounicode_cmap(chars: set) -> bytes:
 
 def _content_stream(tokens: Sequence[Token], style: str,
                     cid: bool = False,
-                    gid_map: Optional[Dict[str, int]] = None) -> bytes:
+                    gid_map: Optional[Dict[str, int]] = None,
+                    enc: str = "cp1252") -> bytes:
     """Text operators for one page.
 
     * ``tm``: absolute ``Tm`` placement per token, one ``Tj`` each;
@@ -164,12 +166,15 @@ def _content_stream(tokens: Sequence[Token], style: str,
                        + b" Tm")
         if style == "tj" and len(text) >= 2:
             half = len(text) // 2
-            out.append(b"[" + _show_fragment(text[:half], cid, gid_map)
+            out.append(b"[" + _show_fragment(text[:half], cid,
+                                             gid_map, enc)
                        + b" 0 "
-                       + _show_fragment(text[half:], cid, gid_map)
+                       + _show_fragment(text[half:], cid, gid_map,
+                                        enc)
                        + b"] TJ")
         else:
-            out.append(_show_fragment(text, cid, gid_map) + b" Tj")
+            out.append(_show_fragment(text, cid, gid_map, enc)
+                       + b" Tj")
     out.append(b"ET")
     return b"\n".join(out)
 
@@ -604,6 +609,12 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         objs.append(b"<< /Type /Font /Subtype /Type1"
                     b" /BaseFont /Helvetica /FirstChar 32"
                     b" /Widths [" + w_entries + b"] >>")
+    elif font == "macroman":
+        # the legacy-Mac-generator shape: simple font whose bytes
+        # decode through MacRomanEncoding, not WinAnsi
+        objs.append(b"<< /Type /Font /Subtype /Type1"
+                    b" /BaseFont /Helvetica"
+                    b" /Encoding /MacRomanEncoding >>")
     else:
         objs.append(b"<< /Type /Font /Subtype /Type1"
                     b" /BaseFont /Helvetica >>")
@@ -711,7 +722,9 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 data = (b"q " + _num(PAGE_W) + b" 0 0 " + _num(PAGE_H)
                         + b" 0 0 cm /Im1 Do Q")
         else:
-            data = _content_stream(tokens, style, cid, cid_gids)
+            data = _content_stream(
+                tokens, style, cid, cid_gids,
+                "mac_roman" if font == "macroman" else "cp1252")
         if form_xobject:
             form_data = data
             data = b"q /Fm1 Do Q"

@@ -748,3 +748,24 @@ def test_ttf_cmap_format12_and_malformed():
     for bad in (b"", b"\x00\x01\x00\x00", font[:20], b"x" * 64,
                 font.replace(b"cmap", b"xxxx")):
         assert gid_to_unicode(bad) == {}
+
+
+def test_macroman_encoded_simple_font():
+    # /Encoding /MacRomanEncoding: umlauts/accents live at different
+    # byte positions than WinAnsi — the emitted bytes differ, the
+    # parsed text must not. Tokens restricted to MacRoman's
+    # repertoire (² for instance does not exist there).
+    toks = [[(40.0, 20.0, "Grünbau & (Söhne) GmbH — café", 16.0),
+             (40.0, 60.0, "Darlehenssumme:", 12.0),
+             (300.0, 60.0, "1.250.000 ÷ 2 ≈ 625.000", 12.0)]]
+    want = [t for _x, _y, t, _fs in toks[0]]
+    pdf = build_pdf(toks, font="macroman")
+    assert b"/MacRomanEncoding" in pdf
+    # the umlaut/accent/math bytes genuinely differ from WinAnsi
+    # (≈ does not even exist in cp1252)
+    assert pdf.replace(b" /Encoding /MacRomanEncoding", b"") \
+        != build_pdf(toks)
+    for kw in ({}, {"compress": True}, {"style": "tj"},
+               {"objstm": True}):
+        got = parse_real_pdf(build_pdf(toks, font="macroman", **kw))
+        assert [e["text"] for e in got] == want, kw
