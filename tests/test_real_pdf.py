@@ -769,3 +769,20 @@ def test_macroman_encoded_simple_font():
                {"objstm": True}):
         got = parse_real_pdf(build_pdf(toks, font="macroman", **kw))
         assert [e["text"] for e in got] == want, kw
+
+
+def test_truncated_pdfs_degrade_gracefully():
+    # crawl data is full of cut-off downloads: a truncated PDF must
+    # never raise, and whatever objects survived the cut must still
+    # extract (monotone degradation, not all-or-nothing)
+    pdf = build_pdf(FIXTURE_TOKENS, compress=True)
+    full = parse_real_pdf(pdf)
+    assert len(full) > 0
+    prev = len(full)
+    for frac in (0.95, 0.8, 0.6, 0.4, 0.2, 0.05):
+        got = parse_real_pdf(pdf[:int(len(pdf) * frac)])
+        texts_full = {(e["page_num"], e["text"]) for e in full}
+        for e in got:  # anything recovered matches the full parse
+            assert (e["page_num"], e["text"]) in texts_full
+        assert len(got) <= prev  # monotone with deeper cuts
+        prev = len(got)
