@@ -22,7 +22,8 @@ Supported (the text-bearing core of ISO 32000):
   with ``/MediaBox`` inheritance through ``/Parent``;
 * text operators ``BT/ET  Tf  Tm  Td  TD  TL  T*  Tj  TJ  '  "``,
   literal strings (nesting, escapes, octal, line continuation) and
-  hex strings, WinAnsi (cp1252) simple-font decoding;
+  hex strings, WinAnsi (cp1252) or MacRoman simple-font decoding
+  (``/Encoding /MacRomanEncoding`` as a name or ``/BaseEncoding``);
 * Type3 glyph-stream fonts: ``/Differences`` code→glyph-name
   decoding and GLYPH-SPACE ``/Widths`` mapped to text space through
   ``/FontMatrix`` (simple fonts use the fixed 1/1000 em);
@@ -31,7 +32,10 @@ Supported (the text-bearing core of ISO 32000):
   inherited through ``/Parent``), 2-byte CID codes decoded through
   the font's ``/ToUnicode`` CMap (``bfchar``, ``bfrange`` in both the
   increment and array forms) — the dominant post-2010 real-world PDF
-  text encoding.
+  text encoding; ToUnicode-less fonts recover text by inverting the
+  embedded TrueType's cmap (``kernel/ttf.py``, formats 4 and 12);
+  per-CID advances honor the descendant CIDFont's ``/W`` (both
+  ISO 32000 §9.7.4.3 forms) with the ``/DW`` default.
 
 * encrypted files under the standard security handler with RC4
   (``/V`` 1–2, ``/R`` 2–3) and an empty user password — the common
