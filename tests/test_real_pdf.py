@@ -786,3 +786,48 @@ def test_truncated_pdfs_degrade_gracefully():
             assert (e["page_num"], e["text"]) in texts_full
         assert len(got) <= prev  # monotone with deeper cuts
         prev = len(got)
+
+
+def test_font_packaging_equivalence_property():
+    # one layout, every font representation and packaging: the parsed
+    # elements must be IDENTICAL — fonts and containers are encoding,
+    # never semantics. Alphabet restricted to the intersection of
+    # WinAnsi and MacRoman repertoires so every variant can carry it.
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                "0123456789 .,:;()&%/-äöüÄÖÜßéèàç")
+    token = st.tuples(
+        st.integers(2, 28), st.integers(1, 25),
+        st.text(alphabet, min_size=1, max_size=18),
+        st.sampled_from([10.0, 12.0, 16.0]))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=8))
+    def check(raw):
+        toks = [[(20.0 * gx, 28.0 * gy, t.strip() or "x", fs)
+                 for gx, gy, t, fs in raw]]
+        variants = [
+            dict(font="simple"),
+            dict(font="simple", style="td"),
+            dict(font="simple", style="tj", compress=True),
+            dict(font="cid"),
+            dict(font="cid", cid_tounicode=False),
+            dict(font="cid", objstm=True),
+            dict(font="type3"),
+            dict(font="macroman"),
+            dict(font="widths"),
+        ]
+        parses = [parse_real_pdf(build_pdf(toks, **kw))
+                  for kw in variants]
+        texts0 = [(e["page_num"], e["text"]) for e in parses[0]]
+        for kw, p in zip(variants, parses):
+            assert [(e["page_num"], e["text"]) for e in p] == texts0, kw
+        # geometry additionally identical for the fixed-metrics fonts
+        # (widths/detuned fonts legitimately differ in x2)
+        for kw, p in zip(variants[:8], parses[:8]):
+            assert [(e["bbox"]["x1"], e["bbox"]["y1"]) for e in p] \
+                == [(e["bbox"]["x1"], e["bbox"]["y1"])
+                    for e in parses[0]], kw
+
+    check()
