@@ -294,15 +294,32 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
             encrypt=rng.choices((None, "rc4-128"),
                                 weights=(85, 15))[0],
             objstm=rng.random() < 0.2)
+    # post-2010 real-world PDFs are mostly CID-encoded; the corpus
+    # carries the full font spread so x_extract_pages exercises
+    # every text-recovery path. The weight SPLITS are deliberate:
+    # the old bins were simple[0,40) cid[40,85) widths[85,100), and
+    # the new variants subdivide their extraction-identical parent
+    # bin (type3 ⊂ simple, ToUnicode-less ⊂ cid — equivalence pinned
+    # by tests/test_real_pdf.py::test_font_packaging_equivalence
+    # _property), so every prior draw outcome — hence every golden —
+    # is unchanged. rng.choices consumes one uniform draw regardless
+    # of the population, so downstream draws don't shift either.
+    # rng consumption order must stay exactly (compress, style, font,
+    # …) — argument order of the original call — or every downstream
+    # draw shifts and the goldens change
+    compress_draw = rng.random() < 0.5
+    style_draw = rng.choice(("tm", "td", "tj"))
+    fdraw = rng.choices(
+        ("simple", "type3", "cid", "cid_nototu", "widths"),
+        weights=(30, 10, 35, 10, 15))[0]
     return build_pdf(
         pages,
-        compress=rng.random() < 0.5,
-        style=rng.choice(("tm", "td", "tj")),
-        # post-2010 real-world PDFs are mostly CID-encoded; the
-        # corpus carries both so x_extract_pages exercises the
-        # Identity-H/ToUnicode path alongside WinAnsi simple fonts
-        font=rng.choices(("simple", "cid", "widths"),
-                         weights=(40, 45, 15))[0],
+        compress=compress_draw,
+        style=style_draw,
+        font="cid" if fdraw == "cid_nototu" else fdraw,
+        # ToUnicode-less CID: text is only recoverable through the
+        # embedded TrueType's cmap (kernel/ttf.py)
+        cid_tounicode=fdraw != "cid_nototu",
         # PDF >=1.5 writers pack dict objects into object streams —
         # a third of the genuine PDFs do here too
         objstm=rng.random() < 0.34,

@@ -510,9 +510,14 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         cid_gids = {ch: i + 1 for i, ch in enumerate(used)}
     type3 = font == "type3"
     # Type3 glyph set is known up front, so the /CharProcs dict and
-    # per-glyph streams can reserve object numbers before the pages
+    # per-glyph streams can reserve object numbers before the pages.
+    # Chars dedupe through their cp1252 BYTE (collisions collapse to
+    # '?', matching the simple font's replace-encode), so the glyph
+    # count equals the code count.
     t3_chars: List[str] = sorted(
-        {ch for toks in page_tokens for _x, _y, t, _fs in toks
+        {bytes([ch.encode("cp1252", "replace")[0]]).decode(
+            "cp1252", "replace")
+         for toks in page_tokens for _x, _y, t, _fs in toks
          for ch in t}) if type3 else []
     if scanned is not None:
         if scanned not in ("flate", "dct", "bilevel", "g4"):
@@ -577,8 +582,14 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
         # decode through /Encoding /Differences (uniXXXX names), and
         # /Widths are in GLYPH SPACE — /FontMatrix [0.01 …] maps them
         # to text space, so width 50 = 0.5 em (the default advance).
-        codes = [ch.encode("cp1252")[0] for ch in t3_chars]
-        by_code = sorted(zip(codes, t3_chars))
+        # glyph names derive from the CODE's cp1252 meaning (not the
+        # source char), so chars outside cp1252 collapse to the same
+        # '?' the simple font's replace-encode produces — the two
+        # fonts stay extraction-identical on ANY input
+        codes = sorted({ch.encode("cp1252", "replace")[0]
+                        for ch in t3_chars})
+        by_code = [(c, bytes([c]).decode("cp1252", "replace"))
+                   for c in codes]
         diffs = b" ".join(b"%d /uni%04X" % (c, ord(ch))
                           for c, ch in by_code)
         fc, lc = by_code[0][0], by_code[-1][0]
