@@ -23,15 +23,18 @@ Baseline **JPEG** (sequential DCT, 4:4:4 / greyscale) decodes and
 encodes via ``kernel/jpeg.py`` (stdlib + numpy; data-derived huffman
 tables, generated zigzag/DCT).
 
-**Video** is MJPEG-in-AVI (round-4): a RIFF/AVI container walker
-(``decode_avi_mjpeg`` — hdrl/strl headers, movi ``00dc`` chunks,
-idx1 index) whose per-frame payloads decode through the baseline
-JPEG decoder, plus a deterministic encoder (``encode_avi_mjpeg``) so
-the frame-sampling operator finally sees a REAL video byte-stream.
-Out-of-scope variants (sampling factors >2, arithmetic-coded
-JPEG, MP4/H.264, non-MJPEG AVI streams) still raise — on a real cluster
-those route to PIL/pyav at the same seam
-(``operators/multimodal.py::decode_media``).
+**Video** is Motion-JPEG in both real containers (round-4): a
+RIFF/AVI walker (``decode_avi_mjpeg`` — hdrl/strl headers, movi
+``00dc`` chunks, idx1 index) and an ISO-BMFF/MP4 walker
+(``decode_mp4_mjpeg`` — box tree, 'vide' trak, general
+stsc/stsz/stco(co64) sample-table reconstruction) whose per-frame
+payloads decode through the baseline JPEG decoder, plus
+deterministic encoders (``encode_avi_mjpeg`` / ``encode_mp4_mjpeg``)
+so the frame-sampling operator sees REAL video byte-streams.
+Out-of-scope variants (sampling factors >2, arithmetic-coded JPEG,
+H.264/HEVC sample entries, non-MJPEG AVI streams) still raise with
+the codec named — on a real cluster those route to PIL/pyav at the
+same seam (``operators/multimodal.py::decode_media``).
 
 The reference consumes media through PIL
 (``/root/reference/src/ocr/easyocr_client.py:17-58``, PIL page images
@@ -521,6 +524,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "avi"
     if payload[:3] == b"\xff\xd8\xff":                 # SOI + first marker
         return "jpeg"
+    if payload[4:8] == b"ftyp":                        # ISO BMFF / MP4
+        return "mp4"
     return None
 
 
@@ -658,4 +663,235 @@ def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
     shape0 = frames[0].shape
     if any(f.shape != shape0 for f in frames):
         raise ValueError("AVI frames disagree on geometry")
+    return np.stack(frames)
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (Motion-JPEG) — the other video container
+# ---------------------------------------------------------------------------
+
+# ISO base-media files (ISO/IEC 14496-12) are big-endian boxes:
+# u32 size + fourcc + body, where size==1 switches to a u64
+# "largesize" and size==0 means "to end of file". A Motion-JPEG MP4
+# (QuickTime's 'jpeg' VisualSampleEntry, the layout cameras and
+# ffmpeg's ``-c:v mjpeg -f mp4`` emit) is ftyp + mdat (the
+# concatenated JPEG frames) + moov, whose single video trak's sample
+# tables (stsd/stts/stsc/stsz/stco) map samples back to byte ranges
+# in mdat. Every sample is a complete baseline JPEG, so decode once
+# again reuses kernel/jpeg.py unchanged — no inter-frame state, same
+# reason MJPEG-in-AVI was the stdlib-feasible codec. H.264/HEVC
+# sample entries (avc1/hev1/...) raise with the codec named and route
+# to pyav at the decode seam.
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full_box(tag: bytes, version: int, flags: int,
+              body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                          0, 0, 0x40000000)
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = _AVI_FPS,
+                     quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 → deterministic Motion-JPEG MP4 bytes.
+
+    Layout is ftyp + mdat + moov with one video trak; one sample per
+    chunk so stco carries each frame's absolute offset (mdat precedes
+    moov, so offsets never depend on moov's size). Timescale is
+    ``fps`` with a sample delta of 1 — exact integer timing at any
+    rate. Creation/modification times are 0 (deterministic bytes, the
+    same contract as ``encode_avi_mjpeg``).
+    """
+    from .jpeg import encode_jpeg
+
+    if frames.ndim != 4 or frames.shape[3] != 3 \
+            or frames.dtype != np.uint8:
+        raise ValueError("encode_mp4_mjpeg wants (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isom" + b"mp42")
+    mdat_body = b"".join(jpegs)
+    offsets, pos = [], len(ftyp) + 8
+    for j in jpegs:
+        offsets.append(pos)
+        pos += len(j)
+    mdat = _box(b"mdat", mdat_body)
+
+    # sample tables: one entry each — n samples of delta 1, one
+    # sample per chunk, explicit per-sample sizes and chunk offsets
+    stsd_entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+        + struct.pack(">H", 1)              # data_reference_index
+        + b"\x00" * 16                      # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)   # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)       # frame_count
+        + b"\x00" * 32                      # compressorname
+        + struct.pack(">Hh", 24, -1))       # depth, pre_defined
+    stbl = _box(b"stbl", b"".join((
+        _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry),
+        _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1)),
+        _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1)),
+        _full_box(b"stsz", 0, 0, struct.pack(
+            ">II", 0, n) + b"".join(
+                struct.pack(">I", len(j)) for j in jpegs)),
+        _full_box(b"stco", 0, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">I", o) for o in offsets)),
+    )))
+    dinf = _box(b"dinf", _full_box(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
+    minf = _box(b"minf", _full_box(
+        b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + dinf + stbl)
+    mdhd = _full_box(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, fps, n, 0x55C4, 0))       # language 'und'
+    hdlr = _full_box(b"hdlr", 0, 0, struct.pack(
+        ">I4s", 0, b"vide") + b"\x00" * 12 + b"MJPEG\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 7, struct.pack(
+        ">IIIIIQHHHH", 0, 0, 1, 0, n, 0, 0, 0, 0, 0)
+        + _MP4_MATRIX + struct.pack(">II", w << 16, h << 16))
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, fps, n)
+        + struct.pack(">iH", 0x10000, 0x100) + b"\x00" * 10
+        + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in
+    data[start:end], honoring largesize and size-0 ('to end')."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4 largesize box truncated")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            raise ValueError(f"mp4 box {tag!r} size smaller than "
+                             "its header")
+        yield tag, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, tag: bytes):
+    for t, b0, b1 in _mp4_boxes(data, start, end):
+        if t == tag:
+            return b0, b1
+    return None
+
+
+def _mp4_sample_ranges(data: bytes, b0: int, b1: int):
+    """stbl body → list of (offset, size) per sample, in sample
+    order, via the general stsc chunk map (not assuming one sample
+    per chunk) and stco or co64 offsets."""
+    stsz = _mp4_find(data, b0, b1, b"stsz")
+    if stsz is None:
+        raise ValueError("mp4 stbl missing stsz")
+    const_size, count = struct.unpack_from(">II", data, stsz[0] + 4)
+    if const_size:
+        sizes = [const_size] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", data,
+                                        stsz[0] + 12))
+    co = _mp4_find(data, b0, b1, b"stco")
+    if co is not None:
+        n_chunks = struct.unpack_from(">I", data, co[0] + 4)[0]
+        chunk_offs = struct.unpack_from(f">{n_chunks}I", data,
+                                        co[0] + 8)
+    else:
+        co = _mp4_find(data, b0, b1, b"co64")
+        if co is None:
+            raise ValueError("mp4 stbl missing stco/co64")
+        n_chunks = struct.unpack_from(">I", data, co[0] + 4)[0]
+        chunk_offs = struct.unpack_from(f">{n_chunks}Q", data,
+                                        co[0] + 8)
+    stsc = _mp4_find(data, b0, b1, b"stsc")
+    if stsc is None:
+        raise ValueError("mp4 stbl missing stsc")
+    n_ent = struct.unpack_from(">I", data, stsc[0] + 4)[0]
+    ents = [struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)
+            for i in range(n_ent)]          # (first_chunk, spc, desc)
+    ranges, si = [], 0
+    for ci in range(n_chunks):
+        spc = 0
+        for first, per, _desc in ents:
+            if first <= ci + 1:
+                spc = per
+        off = chunk_offs[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            ranges.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError("mp4 sample tables disagree: stsc chunks "
+                         f"cover {si} of {len(sizes)} stsz samples")
+    return ranges
+
+
+def decode_mp4_mjpeg(payload: bytes) -> np.ndarray:
+    """Motion-JPEG MP4 bytes → (n, h, w, 3) uint8 frame stack.
+
+    Walks the box tree from the bytes alone: finds the first trak
+    whose hdlr is 'vide', requires a 'jpeg' sample entry (H.264/HEVC
+    and friends raise with the fourcc named — route to pyav at the
+    ``decode_media`` seam), then reconstructs each sample's byte
+    range from the general stsc/stsz/stco(co64) tables and decodes
+    it as a complete baseline JPEG.
+    """
+    from .jpeg import decode_jpeg
+
+    if sniff_format(payload) != "mp4":
+        raise ValueError("not an ISO-BMFF/MP4 stream (no ftyp)")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4 has no moov box")
+    frames: list[np.ndarray] = []
+    for tag, t0, t1 in _mp4_boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _mp4_find(payload, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_find(payload, *mdia, b"minf")
+        stbl = minf and _mp4_find(payload, *minf, b"stbl")
+        stsd = stbl and _mp4_find(payload, *stbl, b"stsd")
+        if not stsd:
+            raise ValueError("mp4 video trak missing stbl/stsd")
+        fourcc = payload[stsd[0] + 12:stsd[0] + 16]
+        if fourcc not in (b"jpeg", b"mjpa"):
+            raise ValueError(
+                f"mp4 video codec {fourcc!r} out of scope (only "
+                "Motion-JPEG 'jpeg') — route to pyav at the decode "
+                "seam")
+        for off, size in _mp4_sample_ranges(payload, *stbl):
+            if off + size > len(payload):
+                raise ValueError("mp4 sample range beyond EOF")
+            frames.append(decode_jpeg(payload[off:off + size]))
+        break
+    if not frames:
+        raise ValueError("mp4 contains no video frames")
+    shape0 = frames[0].shape
+    if any(f.shape != shape0 for f in frames):
+        raise ValueError("mp4 frames disagree on geometry")
     return np.stack(frames)

@@ -98,8 +98,9 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
     PNG (row filters cycling 0..4, a third Adam7-interlaced), BMP,
     JPEG (baseline and progressive, 4:4:4/4:2:0, restart intervals —
     ``kernel/jpeg.py``), WAV (16/24-bit PCM and IEEE float32), and
-    MJPEG-in-AVI video bytes, so the decode path exercised is the
-    real zlib-inflate/unfilter/entropy-decode/PCM-scale/RIFF-walk
+    Motion-JPEG video in BOTH real containers (RIFF/AVI and
+    ISO-BMFF/MP4), so the decode path exercised is the real
+    zlib-inflate/unfilter/entropy-decode/PCM-scale/container-walk
     one, not the stand-in. Pixel and sample content derives purely
     from seed+id; the same ~18% duplicate structure as
     ``gen_media_rows`` feeds the near-dup operators.
@@ -124,12 +125,17 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
             body = np.frombuffer(
                 (h * (need // len(h) + 1))[:need], dtype=np.uint8)
             frames = body.reshape(n_frames, ht, w, 3)
+            # half the videos arrive in each real container — RIFF/AVI
+            # and ISO-BMFF/MP4 — carrying the same Motion-JPEG samples
+            encode = (codecs.encode_mp4_mjpeg if h[12] % 2
+                      else codecs.encode_avi_mjpeg)
             rows.append({
                 "media_id": i, "kind": "video",
-                "payload": codecs.encode_avi_mjpeg(
-                    frames, quality=85 + h[4] % 15),
+                "payload": encode(frames, quality=85 + h[4] % 15),
                 "meta": {"width": w, "height": ht, "sample_rate": None,
-                         "n_frames": n_frames, "mime": "video/avi"},
+                         "n_frames": n_frames,
+                         "mime": "video/mp4" if h[12] % 2
+                         else "video/avi"},
             })
         elif fmt in ("png", "bmp", "jpeg"):
             w, ht = 8 + h[2] % 25, 8 + h[3] % 25
@@ -189,16 +195,17 @@ def real_media_df(spark, n: int, seed: int = 42,
 def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
     """Real codec dispatch — honest decoders where they exist.
 
-    PNG / BMP / WAV / baseline-JPEG / MJPEG-AVI payloads (sniffed by
-    magic bytes) decode for real via ``kernel/codecs.py`` +
-    ``kernel/jpeg.py`` — zlib-inflated, unfiltered,
-    huffman/IDCT-reconstructed, PCM-scaled actual bytes, not a
-    stand-in (the reference consumes media through PIL,
-    ``/root/reference/src/ocr/easyocr_client.py:17-58``; these return
-    the same ``(h, w, 3) uint8`` / float32-sample /
-    ``(n, h, w, 3) uint8`` ndarrays). Out-of-scope variants
-    (arithmetic-coded JPEG, MP4/H.264, non-MJPEG AVI) still raise;
-    a cluster with PIL/pyav swaps them in at this same seam.
+    PNG / BMP / WAV / baseline-JPEG / Motion-JPEG video (RIFF/AVI
+    and ISO-BMFF/MP4 containers, sniffed by magic bytes) decode for
+    real via ``kernel/codecs.py`` + ``kernel/jpeg.py`` —
+    zlib-inflated, unfiltered, huffman/IDCT-reconstructed,
+    PCM-scaled actual bytes, not a stand-in (the reference consumes
+    media through PIL, ``/root/reference/src/ocr/easyocr_client.py:
+    17-58``; these return the same ``(h, w, 3) uint8`` /
+    float32-sample / ``(n, h, w, 3) uint8`` ndarrays). Out-of-scope
+    variants (arithmetic-coded JPEG, H.264/HEVC sample entries,
+    non-MJPEG AVI streams) still raise with the codec named; a
+    cluster with PIL/pyav swaps them in at this same seam.
     ``fake_decode`` remains the deterministic stand-in for the opaque
     synthetic payloads.
     """
@@ -212,9 +219,11 @@ def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
         return samples
     if fmt == "avi":
         return codecs.decode_avi_mjpeg(payload)
+    if fmt == "mp4":
+        return codecs.decode_mp4_mjpeg(payload)
     raise NotImplementedError(
         f"real {kind} decode: no stdlib codec for this payload "
-        "(MP4/H.264 need PIL/pyav); use fake_decode for the "
+        "(H.264/HEVC need pyav); use fake_decode for the "
         "deterministic test path")
 
 

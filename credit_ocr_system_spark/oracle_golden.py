@@ -206,8 +206,9 @@ def _media_goldens() -> None:
     _write("x_media_real.parquet",
            [media_feature_row(r, decode_media) for r in real],
            _PA_FEATURES)
-    # real video: MJPEG-AVI payloads frame-sampled through the actual
-    # RIFF walk + JPEG decode (not the stand-in)
+    # real video: Motion-JPEG payloads in both containers (RIFF/AVI
+    # and ISO-BMFF/MP4), frame-sampled through the actual container
+    # walk + JPEG decode (not the stand-in)
     real_frames: list[dict] = []
     for r in real:
         real_frames.extend(

@@ -337,3 +337,124 @@ def test_avi_rejects_out_of_scope_and_malformed():
     empty = empty.replace(b"00dc", b"00xx")
     with pytest.raises(ValueError, match="no video frames"):
         codecs.decode_avi_mjpeg(empty)
+
+
+# --- MP4 / ISO BMFF (Motion-JPEG) -------------------------------------------
+
+
+def test_mp4_roundtrip_and_determinism():
+    frames = _frames()
+    mp4 = codecs.encode_mp4_mjpeg(frames)
+    assert codecs.sniff_format(mp4) == "mp4"
+    assert codecs.encode_mp4_mjpeg(frames) == mp4  # byte-deterministic
+    dec = codecs.decode_mp4_mjpeg(mp4)
+    assert dec.shape == frames.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(np.float64) - frames.astype(np.float64))
+    assert err.mean() < 8.0
+    # the two containers carry identical Motion-JPEG samples: the
+    # decoded stacks are bit-equal across AVI and MP4
+    avi = codecs.decode_avi_mjpeg(codecs.encode_avi_mjpeg(frames))
+    np.testing.assert_array_equal(dec, avi)
+    one = codecs.decode_mp4_mjpeg(codecs.encode_mp4_mjpeg(frames[:1]))
+    np.testing.assert_array_equal(one[0], dec[0])
+
+
+def test_mp4_box_tree_is_wellformed():
+    frames = _frames(n=3, h=8, w=8)
+    mp4 = codecs.encode_mp4_mjpeg(frames, fps=10)
+    # top-level boxes tile the file exactly: ftyp, mdat, moov
+    tops = list(codecs._mp4_boxes(mp4, 0, len(mp4)))
+    assert [t for t, _, _ in tops] == [b"ftyp", b"mdat", b"moov"]
+    assert tops[-1][2] == len(mp4)
+    # every stco offset lands on a JPEG SOI marker
+    moov = codecs._mp4_find(mp4, 0, len(mp4), b"moov")
+    trak = codecs._mp4_find(mp4, *moov, b"trak")
+    mdia = codecs._mp4_find(mp4, *trak, b"mdia")
+    minf = codecs._mp4_find(mp4, *mdia, b"minf")
+    stbl = codecs._mp4_find(mp4, *minf, b"stbl")
+    ranges = codecs._mp4_sample_ranges(mp4, *stbl)
+    assert len(ranges) == 3
+    for off, size in ranges:
+        assert mp4[off:off + 3] == b"\xff\xd8\xff"
+        assert mp4[off + size - 2:off + size] == b"\xff\xd9"
+
+
+def _remux_stbl(mp4: bytes, stsc_entries, stco_offsets,
+                co64: bool = False) -> bytes:
+    """Rebuild the encoder's moov with custom stsc/stco tables (the
+    mdat bytes and sample sizes stay as encoded)."""
+    import struct as _s
+    moov = codecs._mp4_find(mp4, 0, len(mp4), b"moov")
+    trak = codecs._mp4_find(mp4, *moov, b"trak")
+    mdia = codecs._mp4_find(mp4, *trak, b"mdia")
+    minf = codecs._mp4_find(mp4, *mdia, b"minf")
+    stbl = codecs._mp4_find(mp4, *minf, b"stbl")
+    keep = {t: mp4[b0 - 8:b1]
+            for t, b0, b1 in codecs._mp4_boxes(mp4, *stbl)}
+    stsc = codecs._full_box(b"stsc", 0, 0, _s.pack(
+        ">I", len(stsc_entries)) + b"".join(
+        _s.pack(">III", *e) for e in stsc_entries))
+    fmt, tag = (">Q", b"co64") if co64 else (">I", b"stco")
+    stco = codecs._full_box(tag, 0, 0, _s.pack(
+        ">I", len(stco_offsets)) + b"".join(
+        _s.pack(fmt, o) for o in stco_offsets))
+    new_stbl = codecs._box(b"stbl", keep[b"stsd"] + keep[b"stts"]
+                           + stsc + keep[b"stsz"] + stco)
+    # splice the new stbl into minf/mdia/trak/moov, inside out
+    out = mp4[:stbl[0] - 8] + new_stbl + mp4[stbl[1]:]
+    # fix ancestor box sizes (each grew/shrank by the same delta)
+    delta = len(new_stbl) - (stbl[1] - (stbl[0] - 8))
+    for b0, _b1 in (moov, trak, mdia, minf):
+        at = b0 - 8
+        old = _s.unpack_from(">I", out, at)[0]
+        out = out[:at] + _s.pack(">I", old + delta) + out[at + 4:]
+    return out
+
+
+def test_mp4_general_sample_tables_decode():
+    """Third-party muxers pack several samples per chunk and may use
+    co64 — the decoder honors the general stsc map, not just the
+    encoder's one-sample-per-chunk layout."""
+    frames = _frames(n=4, h=8, w=8)
+    mp4 = codecs.encode_mp4_mjpeg(frames)
+    want = codecs.decode_mp4_mjpeg(mp4)
+    moov = codecs._mp4_find(mp4, 0, len(mp4), b"moov")
+    trak = codecs._mp4_find(mp4, *moov, b"trak")
+    mdia = codecs._mp4_find(mp4, *trak, b"mdia")
+    minf = codecs._mp4_find(mp4, *mdia, b"minf")
+    stbl = codecs._mp4_find(mp4, *minf, b"stbl")
+    ranges = codecs._mp4_sample_ranges(mp4, *stbl)
+    # samples are contiguous in mdat: two chunks of two samples each
+    two_per = _remux_stbl(mp4, [(1, 2, 1)],
+                          [ranges[0][0], ranges[2][0]])
+    np.testing.assert_array_equal(
+        codecs.decode_mp4_mjpeg(two_per), want)
+    # same, with 64-bit chunk offsets
+    with_co64 = _remux_stbl(mp4, [(1, 2, 1)],
+                            [ranges[0][0], ranges[2][0]], co64=True)
+    np.testing.assert_array_equal(
+        codecs.decode_mp4_mjpeg(with_co64), want)
+
+
+def test_mp4_rejects_out_of_scope_and_malformed():
+    import struct as _s
+    frames = _frames(n=2, h=8, w=8)
+    mp4 = codecs.encode_mp4_mjpeg(frames)
+    with pytest.raises(ValueError, match="ftyp"):
+        codecs.decode_mp4_mjpeg(b"\x00\x00\x00\x08free")
+    # an H.264 sample entry must name the codec, not mis-decode
+    entry = _s.pack(">I", 86) + b"jpeg"
+    avc = mp4.replace(entry, _s.pack(">I", 86) + b"avc1")
+    with pytest.raises(ValueError, match="avc1"):
+        codecs.decode_mp4_mjpeg(avc)
+    # no moov
+    moov = codecs._mp4_find(mp4, 0, len(mp4), b"moov")
+    headless = mp4[:moov[0] - 8]
+    with pytest.raises(ValueError, match="moov"):
+        codecs.decode_mp4_mjpeg(headless)
+    # a sample range pointing past EOF must raise, not wrap
+    truncated = mp4[:moov[0] - 8 - 40] + mp4[moov[0] - 8:]
+    # (dropping mdat tail shifts nothing — moov still references the
+    # original offsets, which now exceed the file)
+    with pytest.raises(ValueError):
+        codecs.decode_mp4_mjpeg(truncated)

@@ -97,8 +97,12 @@ def test_real_video_frames_through_spark(spark):
     n = 60
     rows = gen_real_media_rows(n)
     vids = [r for r in rows if r["kind"] == "video"]
-    assert vids, "generator must emit MJPEG-AVI rows"
-    assert all(r["payload"][8:12] == b"AVI " for r in vids)
+    assert vids, "generator must emit Motion-JPEG video rows"
+    containers = {r["payload"][8:12] if r["payload"][:4] == b"RIFF"
+                  else r["payload"][4:8] for r in vids}
+    assert containers <= {b"AVI ", b"ftyp"}
+    assert containers == {b"AVI ", b"ftyp"}, \
+        "corpus must carry BOTH video containers (AVI and MP4)"
 
     want = []
     for r in rows:
@@ -146,6 +150,10 @@ def test_real_media_corpus_carries_new_codec_variants():
                 seen.add("jpeg_rst")
         elif p[:8] == b"\x89PNG\r\n\x1a\n":
             seen.add("png_adam7" if p[28] == 1 else "png_seq")
+        elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            seen.add("video_avi")
+        elif p[4:8] == b"ftyp":
+            seen.add("video_mp4")
         elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             import struct as _s
             at = p.index(b"fmt ")
@@ -155,4 +163,5 @@ def test_real_media_corpus_carries_new_codec_variants():
         out = decode_media(p, r["kind"], r["meta"])
         assert out.size > 0
     assert {"jpeg_prog", "jpeg_base", "jpeg_rst", "png_adam7",
-            "png_seq", "wav_1_16", "wav_1_24", "wav_3_32"} <= seen, seen
+            "png_seq", "wav_1_16", "wav_1_24", "wav_3_32",
+            "video_avi", "video_mp4"} <= seen, seen
