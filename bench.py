@@ -132,6 +132,10 @@ HEADLINE = [
     # sketch percentile scale path with its in-plan error audit
     "incremental_dedup",
     "approx_percentiles",
+    # round 4, late: concat-and-chunk sequence packing + DSIR
+    # hashed-ngram importance resampling
+    "pack_sequences",
+    "dsir_importance",
 ]
 
 

@@ -1736,3 +1736,201 @@ def quality_filter(documents: DataFrame) -> DataFrame:
              & ~F.col("is_repetitive") & ~F.col("is_dup_span")
              & ~F.col("is_contaminated")).alias("kept"))
     )
+
+
+# --- sequence packing (concat-and-chunk) ----------------------------------
+
+PACK_SEQ_LEN = 512  # tokens per training sequence
+
+
+def pack_sequences(documents: DataFrame,
+                   seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    curated document set into fixed-length training sequences
+    (GPT-style pretraining: tokenize, concatenate in a deterministic
+    order, slice every ``seq_len`` tokens; documents may span
+    sequence boundaries).
+
+    Each document's placement is a pure function of the running token
+    offset within its pack group, so the whole operator is one
+    prefix-sum window — integer arithmetic only, no floats anywhere,
+    hence trivially engine-portable.
+
+    Pack groups are ``source`` (one window partition per source,
+    ordered by doc_id): real pipelines pack per shard precisely so
+    the prefix sum never becomes one global ordered chain. At 10^12
+    rows a hot source is a hot window partition; the fix is the same
+    salting used everywhere else — pack by (source, salt_bucket) and
+    accept per-bucket boundary waste of < seq_len tokens, amortized
+    to nothing at shard sizes. The per-source variant is kept here
+    because its output is exactly checkable.
+
+    Output per document: (doc_id, source, n_tokens, start_off,
+    start_seq, end_seq, n_seqs) where start_off is the token offset
+    within the source's concatenated stream, start_seq/end_seq the
+    first/last training sequence the document lands in, and n_seqs
+    how many sequences it touches (0 for empty documents).
+    """
+    counts = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        counts
+        .withColumn("start_off", start)
+        .select(
+            "doc_id", "source", "n_tokens", "start_off",
+            F.floor(F.col("start_off") / seq_len).alias("start_seq"),
+            F.floor((F.col("start_off")
+                     + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                    / seq_len).alias("end_seq"))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+             .otherwise(F.col("end_seq") - F.col("start_seq") + 1))
+    )
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+# Hashed-ngram importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): featurize documents
+# as hashed unigram+bigram counts, fit bag-of-buckets models on a
+# target sample and on the raw corpus, and weight each document by the
+# log-likelihood ratio. The published recipe uses 10k buckets; the
+# bucket count is a parameter and only tunes resolution.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_IDS = 50       # target-domain sample: doc_id < this
+DSIR_KEEP_FRAC = 0.25      # fraction of the corpus to keep
+DSIR_SAMPLE_HEX = "80000000"  # threshold-estimation sample (~50%)
+DSIR_LOGP_DIGITS = 9       # ln() quantization (see portable.pround)
+
+
+def _hex_bucket(hex_col, n_buckets: int):
+    """First 4 hex chars of a lowercase hex string -> int bucket in
+    [0, n_buckets). ascii-arithmetic only ('0'-'9' -> 48..57,
+    'a'-'f' -> 97..102), so any engine computes the identical bucket
+    from the identical md5 hex — no engine-specific hash functions.
+    """
+    v = F.lit(0)
+    for i in range(1, 5):
+        c = F.ascii(F.substring(hex_col, i, 1))
+        hv = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
+        v = v * 16 + hv
+    return (v % n_buckets).cast("int")
+
+
+def dsir_log_weights(documents: DataFrame,
+                     n_buckets: int = DSIR_BUCKETS,
+                     n_target: int = DSIR_TARGET_IDS) -> DataFrame:
+    """The DSIR scoring stage: per-document importance log-weight
+    ``log p_target(feats) − log p_raw(feats)`` over hashed
+    unigram+bigram bucket counts. Pipeline, all shuffle-light:
+
+    * **featurize**: unigram + bigram -> md5 -> ``_hex_bucket`` ->
+      per-(doc, bucket) counts (one map-side-combinable groupBy);
+    * **fit**: bucket counts over the target sample and over the raw
+      corpus, Laplace-smoothed ``(c + 1) / (total + n_buckets)``;
+      each ln() is quantized with ``pround(.., 9)`` BEFORE the
+      subtraction (transcendentals are the one non-exactly-rounded
+      primitive — same discipline as ``unigram_lm_score``), giving a
+      per-bucket log-ratio table of at most ``n_buckets`` rows that
+      joins back as a BROADCAST — the corpus never shuffles against
+      the model;
+    * **score**: log-weight = ordered fold over bucket index of
+      count x log-ratio (document-sized lists, never corpus-sized).
+
+    Documents with zero tokens have no features and are absent from
+    the output (both engines drop them identically). Output:
+    (doc_id, n_feats, log_weight) with log_weight rounded at the emit
+    boundary so every downstream comparison is on the ROUNDED value.
+    """
+    toks = _tokens(F.col("text"))
+    grams = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.concat(toks, _shingles(toks, width=2)))
+         .alias("gram"))
+    feats = (grams
+             .select("doc_id",
+                     _hex_bucket(F.md5(F.col("gram")), n_buckets)
+                     .alias("bucket"))
+             .groupBy("doc_id", "bucket")
+             .agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=True))  # feeds raw-fit AND score
+    raw = feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = (feats.where(F.col("doc_id") < n_target)
+           .groupBy("bucket").agg(F.sum("c").alias("ct")))
+    totals = feats.agg(
+        F.sum("c").cast("double").alias("tr"),
+        F.sum(F.when(F.col("doc_id") < n_target, F.col("c"))
+              .otherwise(F.lit(0))).cast("double").alias("tt"))
+    lam = (raw.join(tgt, "bucket", "left")
+           .crossJoin(F.broadcast(totals))
+           .select(
+               "bucket",
+               (pround(F.log((F.coalesce(F.col("ct"), F.lit(0))
+                              .cast("double") + 1.0)
+                             / (F.col("tt") + float(n_buckets))),
+                       DSIR_LOGP_DIGITS)
+                - pround(F.log((F.col("cr").cast("double") + 1.0)
+                               / (F.col("tr") + float(n_buckets))),
+                         DSIR_LOGP_DIGITS)).alias("lam")))
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("n_feats"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(F.struct(
+                     "bucket",
+                     (F.col("c").cast("double") * F.col("lam"))
+                     .alias("t")))),
+                 F.lit(0.0), lambda acc, s: acc + s["t"]).alias("s"))
+        .select("doc_id", "n_feats",
+                pround(F.col("s"), 6).alias("log_weight"))
+    )
+
+
+def dsir_importance(documents: DataFrame,
+                    n_buckets: int = DSIR_BUCKETS,
+                    n_target: int = DSIR_TARGET_IDS,
+                    keep_frac: float = DSIR_KEEP_FRAC,
+                    sample_hex: str = DSIR_SAMPLE_HEX) -> DataFrame:
+    """DSIR data selection: weight every document by how much more
+    likely its hashed-ngram profile is under the target distribution
+    than under the raw-corpus distribution (``dsir_log_weights``),
+    then keep the top ``keep_frac`` by weight.
+
+    Here the target sample is ``doc_id < n_target`` (standing in for
+    a high-quality reference corpus, the same stand-in pattern as
+    ``decontaminate``'s benchmark set). The keep threshold is the
+    ``keep_frac`` quantile of log-weights over a deterministic
+    md5-Bernoulli sample — the scale story: rank the SAMPLE (small by
+    construction), broadcast one threshold row, filter map-side —
+    never a global sort of the corpus. Ties compare on the ROUNDED
+    weight with >=, so both engines keep the same rows.
+
+    Output: (doc_id, n_feats, log_weight, kept).
+    """
+    scored = (
+        dsir_log_weights(documents, n_buckets=n_buckets,
+                         n_target=n_target)
+        .localCheckpoint(eager=True))  # feeds threshold AND verdict
+    samp = scored.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")),
+                    1, len(sample_hex)) < sample_hex)
+    n_s = samp.agg(F.count("*").cast("double").alias("ns"))
+    ranked = samp.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.desc("log_weight"), "doc_id")))
+    thr = (ranked.crossJoin(F.broadcast(n_s))
+           .where(F.col("rn") == F.greatest(
+               F.lit(1).cast("bigint"),
+               F.ceil(F.lit(float(keep_frac)) * F.col("ns"))))
+           .select(F.col("log_weight").alias("thr")))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select("doc_id", "n_feats", "log_weight",
+                (F.col("log_weight") >= F.col("thr")).alias("kept"))
+    )

@@ -302,6 +302,25 @@ _TOKS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
          "t -> t <> '')")
 _EN_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+# unigrams + word bigrams as one list, the DSIR feature space
+# (mirrors textops._shingles(width=2) appended to the token list)
+_UNI_BI = ("list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+           "[toks[i] || ' ' || toks[i+1] "
+           "FOR i IN generate_series(1, len(toks) - 1)] "
+           "ELSE CAST([] AS VARCHAR[]) END)")
+
+
+def _hex_bucket_sql(col: str, n_buckets: int) -> str:
+    # The SQL twin of textops._hex_bucket: first 4 hex chars ->
+    # bucket, via the identical ascii arithmetic.
+    v = "0"
+    for i in range(1, 5):
+        hv = (f"(ascii(substr({col}, {i}, 1)) - 48 - "
+              f"CASE WHEN ascii(substr({col}, {i}, 1)) >= 97 "
+              f"THEN 39 ELSE 0 END)")
+        v = f"({v} * 16 + {hv})"
+    return f"CAST({v} % {n_buckets} AS INT)"
+
 
 def _simhash_oracle() -> str:
     # Mirrors textops.simhash: 64 parity votes over the two md5
@@ -1066,6 +1085,77 @@ SELECT r.doc_id, r.source, qu.n_src,
  CAST(r.rn AS INT) AS src_rank, r.rn <= qu.cap AS kept
 FROM ranked r JOIN quotas qu USING (source)
 """,
+    # mirrors textops.pack_sequences: per-source prefix sum over
+    # doc_id order, integer arithmetic only
+    "pack_sequences": f"""
+WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+ o AS (SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS start_off
+       FROM c),
+ s AS (SELECT doc_id, source, n_tokens, start_off,
+        CAST(floor(start_off / {T.PACK_SEQ_LEN}) AS BIGINT)
+          AS start_seq,
+        CAST(floor((start_off + greatest(n_tokens - 1, 0))
+                   / {T.PACK_SEQ_LEN}) AS BIGINT) AS end_seq
+       FROM o)
+SELECT doc_id, source, n_tokens, start_off, start_seq, end_seq,
+ CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      ELSE end_seq - start_seq + 1 END AS n_seqs
+FROM s
+""",
+    # mirrors textops.dsir_importance: hashed unigram+bigram buckets,
+    # Laplace-smoothed target/raw log-ratio with each ln() quantized
+    # to {T.DSIR_LOGP_DIGITS} digits BEFORE the subtraction, ordered
+    # fold over bucket index, threshold = the keep-frac quantile of
+    # the md5-Bernoulli sample, comparisons on the ROUNDED weight
+    "dsir_importance": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+           FROM documents),
+ g AS (SELECT doc_id, unnest({_UNI_BI}) AS gram FROM t),
+ feats AS (SELECT doc_id, {_hex_bucket_sql("md5(gram)", T.DSIR_BUCKETS)}
+             AS bucket, COUNT(*) AS c
+           FROM g GROUP BY 1, 2),
+ raw AS (SELECT bucket, SUM(c) AS cr FROM feats GROUP BY bucket),
+ tgt AS (SELECT bucket, SUM(c) AS ct FROM feats
+         WHERE doc_id < {T.DSIR_TARGET_IDS} GROUP BY bucket),
+ tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tr,
+          CAST(SUM(CASE WHEN doc_id < {T.DSIR_TARGET_IDS}
+                    THEN c ELSE 0 END) AS DOUBLE) AS tt
+         FROM feats),
+ lam AS (SELECT raw.bucket,
+   {sql_pround(
+       "ln((CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0)"
+       f" / (tot.tt + {float(T.DSIR_BUCKETS)!r}))",
+       T.DSIR_LOGP_DIGITS)}
+   - {sql_pround(
+       "ln((CAST(raw.cr AS DOUBLE) + 1.0)"
+       f" / (tot.tr + {float(T.DSIR_BUCKETS)!r}))",
+       T.DSIR_LOGP_DIGITS)} AS lam
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+ scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+   {sql_pround(
+       "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+       " list(CAST(c AS DOUBLE) * lam ORDER BY bucket)),"
+       " (a, b) -> a + b)", 6)} AS log_weight
+  FROM feats JOIN lam USING (bucket) GROUP BY doc_id),
+ samp AS (SELECT doc_id, log_weight,
+           row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rn
+          FROM scored
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                       {len(T.DSIR_SAMPLE_HEX)})
+                < '{T.DSIR_SAMPLE_HEX}'),
+ ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM samp),
+ thr AS (SELECT log_weight AS thr FROM samp CROSS JOIN ns
+         WHERE rn = greatest(CAST(1 AS BIGINT),
+                             CAST(ceil({T.DSIR_KEEP_FRAC!r} * ns)
+                                  AS BIGINT)))
+SELECT doc_id, n_feats, log_weight, log_weight >= thr AS kept
+FROM scored CROSS JOIN thr
+""",
     "inverted_index": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
@@ -1597,6 +1687,10 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "temperature_mixture": lambda s, d: T.temperature_mixture(
             R.load(s, d, "documents")),
+        "pack_sequences": lambda s, d: T.pack_sequences(
+            R.load(s, d, "documents")),
+        "dsir_importance": lambda s, d: T.dsir_importance(
+            R.load(s, d, "documents")),
         "remove_duplicate_spans": lambda s, d: T.remove_duplicate_spans(
             R.load(s, d, "documents")),
         "quality_filter": lambda s, d: T.quality_filter(
@@ -1664,6 +1758,7 @@ _DRIVER_PRIORITY = [
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
+    "pack_sequences", "dsir_importance",
     # changed in r4 (hyperplane LSH / sampled training / CID corpus)
     "bucketed_near_dup", "media_near_dup", "bucketed_topk",
     "cosine_near_dup", "cosine_topk", "ivf_assign", "ivf_topk",

@@ -342,3 +342,55 @@ def test_quality_filter_composes_without_nested_loops(spark, sf_dir):
         assert "BuildRight" in ln or "BuildLeft" in ln, ln
     # doc_id joins are hash-based
     assert sum("HashJoin" in ln for ln in tree) >= 5
+
+
+def test_pack_sequences_is_one_window_no_join(spark, sf_dir):
+    """Sequence packing is a single per-source prefix-sum window —
+    no join of any kind, integer arithmetic only."""
+    from credit_ocr_system_spark.operators.textops import pack_sequences
+
+    plan = plan_of(pack_sequences(R.load(spark, sf_dir, "documents")))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dsir_scores_broadcast_model_onto_corpus(spark, sf_dir):
+    """DSIR scoring: the <= n_buckets-row log-ratio model must join
+    the per-doc bucket counts by BROADCAST hash (the corpus never
+    shuffles against the model); the bucket counts are materialized
+    once (lineage cut — they feed both the raw fit and the scoring
+    probe) and aggregate map-side."""
+    from credit_ocr_system_spark.operators.textops import (
+        dsir_log_weights,
+    )
+
+    plan = plan_of(dsir_log_weights(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan    # lam onto feats
+    assert "Scan ExistingRDD" in plan     # feats cut, derived once
+    assert "partial_sum" in plan          # map-side combine
+    # the only nested-loop node is the 1-row corpus-totals broadcast
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or ":-" in ln]
+    assert len([ln for ln in tree
+                if "BroadcastNestedLoopJoin" in ln]) <= 1
+
+
+def test_dsir_threshold_is_broadcast_scalar(spark, sf_dir):
+    """DSIR selection: the verdict stage reads the checkpointed
+    scores (never re-derives the corpus subtree) and applies the
+    threshold as 1-row broadcast scalars — no sort of the corpus, no
+    shuffle join."""
+    from credit_ocr_system_spark.operators.textops import (
+        dsir_importance,
+    )
+
+    plan = plan_of(dsir_importance(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    # sample-size and threshold rows: every BNLJ builds a broadcast
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or ":-" in ln]
+    assert len([ln for ln in tree
+                if "BroadcastNestedLoopJoin" in ln]) <= 2
