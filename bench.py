@@ -136,6 +136,7 @@ HEADLINE = [
     # hashed-ngram importance resampling
     "pack_sequences",
     "dsir_importance",
+    "leakage_safe_split",
 ]
 
 

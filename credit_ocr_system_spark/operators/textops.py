@@ -1934,3 +1934,47 @@ def dsir_importance(documents: DataFrame,
         .select("doc_id", "n_feats", "log_weight",
                 (F.col("log_weight") >= F.col("thr")).alias("kept"))
     )
+
+
+# --- leakage-safe train/valid/test split -----------------------------------
+
+# 2-hex-char md5 prefix boundaries: test = [00, 0d) ~ 5.1%,
+# valid = [0d, 1a) ~ 5.1%, train = the rest. Literal strings compared
+# lexicographically on both engines (the deterministic_sample trick).
+SPLIT_TEST_HEX = "0d"
+SPLIT_VALID_HEX = "1a"
+
+
+def leakage_safe_split(documents: DataFrame,
+                       threshold: float = VERIFY_JACCARD_THRESHOLD,
+                       n_bands: int = N_BANDS,
+                       rows_per_band: int = 1) -> DataFrame:
+    """Train/valid/test assignment that cannot leak near-duplicates
+    across splits: the split is a hash of the document's verified
+    near-dup CLUSTER ROOT, not of the document itself.
+
+    A per-doc hash split (the naive ``md5(doc_id)`` rule) puts ~10% of
+    every near-dup cluster's members into valid/test — at web scale
+    that is test-set contamination by construction, since crawl
+    corpora are 30–50% near-duplicate. Hashing the cluster root
+    instead guarantees every member of a verified cluster (candidates
+    → exact-Jaccard verify → connected components, the
+    :func:`verified_near_dup_clusters` chain) lands in the SAME split;
+    singleton documents hash their own id (their root). The boundary
+    constants are literal hex strings compared lexicographically, so
+    any engine reproduces the identical assignment.
+
+    Scale shape: the split column is a pure map-side projection over
+    the clusters output — zero exchanges beyond what the clustering
+    itself already does (plan-guarded).
+
+    Output: (doc_id, cluster_root, split) for every document.
+    """
+    clusters = verified_near_dup_clusters(
+        documents, threshold, n_bands, rows_per_band)
+    h = F.substring(F.md5(F.col("cluster_root").cast("string")), 1, 2)
+    return clusters.select(
+        "doc_id", "cluster_root",
+        F.when(h < SPLIT_TEST_HEX, F.lit("test"))
+         .when(h < SPLIT_VALID_HEX, F.lit("valid"))
+         .otherwise(F.lit("train")).alias("split"))

@@ -1669,6 +1669,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "dedup_keep_best": lambda s, d: T.dedup_keep_best(
             R.load(s, d, "documents")),
+        "leakage_safe_split": lambda s, d: T.leakage_safe_split(
+            R.load(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: T.tfidf_top_terms(
             R.load(s, d, "documents")),
         "duplicate_spans": lambda s, d: T.duplicate_spans(
@@ -1758,7 +1760,7 @@ _DRIVER_PRIORITY = [
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
-    "pack_sequences", "dsir_importance",
+    "pack_sequences", "dsir_importance", "leakage_safe_split",
     # changed in r4 (hyperplane LSH / sampled training / CID corpus)
     "bucketed_near_dup", "media_near_dup", "bucketed_topk",
     "cosine_near_dup", "cosine_topk", "ivf_assign", "ivf_topk",
@@ -1813,6 +1815,21 @@ FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 # the batch SQL above IS its oracle — the Spark side earns the row by
 # computing it the delta-restricted way
 ORACLES["incremental_dedup"] = ORACLES["verified_dedup_clusters"]
+
+# the split hashes the CLUSTER ROOT (leakage guard: a verified
+# near-dup cluster can never straddle splits); the clusters CTE is the
+# exact verified_dedup_clusters oracle string, and the boundary hex
+# literals are the same module constants the Spark side compares
+ORACLES["leakage_safe_split"] = f"""
+WITH clusters AS ({ORACLES["verified_dedup_clusters"]})
+SELECT doc_id, cluster_root,
+ CASE WHEN substr(md5(CAST(cluster_root AS VARCHAR)), 1, 2)
+           < '{T.SPLIT_TEST_HEX}' THEN 'test'
+      WHEN substr(md5(CAST(cluster_root AS VARCHAR)), 1, 2)
+           < '{T.SPLIT_VALID_HEX}' THEN 'valid'
+      ELSE 'train' END AS split
+FROM clusters
+"""
 
 # keep-best composes the verified-clusters and quality oracles
 # STRUCTURALLY (both CTEs are the exact oracle strings of their own

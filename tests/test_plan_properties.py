@@ -394,3 +394,20 @@ def test_dsir_threshold_is_broadcast_scalar(spark, sf_dir):
     tree = [ln for ln in plan.splitlines() if "+-" in ln or ":-" in ln]
     assert len([ln for ln in tree
                 if "BroadcastNestedLoopJoin" in ln]) <= 2
+
+
+def test_split_adds_no_exchange_over_clusters(spark, sf_dir):
+    """leakage_safe_split is a pure map-side projection over the
+    verified-clusters output: exactly the same exchange count as the
+    clustering itself, and no join/cartesian of its own."""
+    from credit_ocr_system_spark.operators.textops import (
+        leakage_safe_split,
+        verified_near_dup_clusters,
+    )
+
+    docs = R.load(spark, sf_dir, "documents")
+    base = plan_of(verified_near_dup_clusters(docs))
+    split = plan_of(leakage_safe_split(docs))
+    assert "CartesianProduct" not in split
+    assert split.count("Exchange") == base.count("Exchange")
+    assert split.count("Join") == base.count("Join")
