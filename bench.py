@@ -137,6 +137,11 @@ HEADLINE = [
     "pack_sequences",
     "dsir_importance",
     "leakage_safe_split",
+    # round 4, late: crawl-log canonicalization + collapse (the stage
+    # that precedes every content-level operator at web scale)
+    "canonical_pages",
+    "blocklist_filter",
+    "domain_stats",
 ]
 
 

@@ -1,0 +1,179 @@
+"""URL canonicalization and crawl-log collapse operators.
+
+The first stage of every published web-corpus pipeline (C4,
+RefinedWeb, Common Crawl's own dedup): 10^12 fetch records collapse
+to one row per *canonical* page before any content-level dedup runs.
+The reference service has no crawl notion (it ingests one upload at a
+time, ``/root/reference/src/dms/service.py``); this family belongs to
+the training-data-pipeline surface the builder brief adds on top.
+
+Canonicalization rule (applied identically by the DuckDB oracles in
+``queries.py``, which re-derive it with an independent SQL
+implementation):
+
+1. drop the ``#fragment``;
+2. lowercase scheme and host; strip a leading ``www.``;
+3. drop the port when it is the scheme default (``https``/443,
+   ``http``/80); keep any other explicit port;
+4. path: strip a trailing ``/index.html`` (→ directory), then ALL
+   trailing slashes; an emptied path becomes ``/``;
+5. query: split on ``&``, drop empty params and tracking params
+   (key starts with ``utm_`` or key ∈ :data:`TRACKING_KEYS`), sort
+   the survivors lexicographically, rejoin; drop the ``?`` when
+   nothing survives.
+
+Scale shape: canonicalization is pure per-row expression work
+(whole-stage codegen, no Python), and the collapse is ONE hash
+exchange on the canonical key with map-side partial aggregation —
+``max_by(url, warc_ts)`` replaces the window-rank idiom, so there is
+no sort anywhere. ``warc_ts`` is unique per fetch (strictly
+increasing in the generator; dedupe ties upstream in a real log), so
+``max_by`` is deterministic under partial aggregation. The two exact
+``COUNT(DISTINCT …)`` columns ride the same single shuffle via
+Spark's Expand rewrite (3× map output, still one exchange round —
+the honest price of exact variant counts; swap to HLL sketches at
+10^12 if ±2% is acceptable). Blocklist filtering is a broadcast
+LEFT ANTI join applied BEFORE the collapse — a real blocklist is
+~10^5 domains, far under the broadcast threshold, and filtering
+early means blocked domains never enter the shuffle.
+
+Grammar assumption (holds for WARC-style logs): the authority is
+always followed by ``/`` — i.e. every URL carries an explicit path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .portable import pround
+
+# Tracking-param keys dropped by canonicalization (plus any key with
+# the ``utm_`` prefix). Shared with the SQL oracle generator so the
+# two implementations cannot drift on the list itself.
+TRACKING_KEYS = ("fbclid", "gclid", "ref")
+
+# (scheme, default port) pairs — rule 3.
+DEFAULT_PORTS = (("https", "443"), ("http", "80"))
+
+# Demo blocklist for the filter operator (a real deployment loads
+# ~10^5 registered domains from a table; the JOIN shape is the same).
+BLOCKLIST = ("hot-forum.example", "shop-world.example")
+
+
+def with_canonical(visits: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url`` and ``canonical_host`` per the module
+    rule. Pure per-row built-ins — stays inside whole-stage codegen."""
+    df = (visits
+          .withColumn("_base", F.substring_index(F.col(url_col), "#", 1))
+          .withColumn("_rest", F.regexp_replace(
+              F.col("_base"), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""))
+          .withColumn("_hostport", F.substring_index(F.col("_rest"),
+                                                     "/", 1))
+          .withColumn("_pathq",
+                      F.expr("substr(_rest, length(_hostport) + 1)")))
+
+    scheme = F.lower(F.regexp_extract(
+        F.col("_base"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(                                     # rule 2
+        F.lower(F.substring_index(F.col("_hostport"), ":", 1)),
+        r"^www\.", "")
+    port = F.regexp_extract(F.col("_hostport"), r":(\d+)$", 1)
+    is_default = F.lit(False)
+    for sch, prt in DEFAULT_PORTS:                               # rule 3
+        is_default = is_default | ((scheme == sch) & (port == prt))
+    portc = F.when((port == "") | is_default, "").otherwise(
+        F.concat(F.lit(":"), port))
+
+    path0 = F.substring_index(F.col("_pathq"), "?", 1)
+    qraw = F.when(F.instr(F.col("_pathq"), "?") > 0,
+                  F.expr("substr(_pathq, instr(_pathq, '?') + 1)")
+                  ).otherwise(F.lit(""))
+    p1 = F.regexp_replace(path0, r"/index\.html$", "/")          # rule 4
+    p2 = F.regexp_replace(p1, r"/+$", "")
+    path = F.when(p2 == "", F.lit("/")).otherwise(p2)
+
+    def _keep(p):                                                # rule 5
+        key = F.split(p, "=")[0]
+        return (p != "") & ~key.startswith("utm_") & \
+            ~key.isin(*TRACKING_KEYS)
+
+    qcanon = F.array_join(
+        F.array_sort(F.filter(F.split(qraw, "&"), _keep)), "&")
+    canonical = F.concat(
+        scheme, F.lit("://"), host, portc, path,
+        F.when(qcanon == "", "").otherwise(F.concat(F.lit("?"), qcanon)))
+    return (df.withColumn("canonical_host", host)
+              .withColumn("canonical_url", canonical)
+              .drop("_base", "_rest", "_hostport", "_pathq"))
+
+
+def _collapse(canon: DataFrame) -> DataFrame:
+    # Distinct counts as size(collect_set(…)), NOT countDistinct: the
+    # key is ONE page, so its variant/revision sets are a handful of
+    # strings (fetches of a single page per crawl window), and the
+    # set-buffer keeps the whole collapse a single exchange with
+    # map-side partials (ObjectHashAggregate). countDistinct would
+    # trigger the Expand rewrite — 3× map output, a second exchange,
+    # and (mixed with max_by) a SortAggregate fallback. That shape is
+    # right when per-key cardinality is unbounded (see domain_stats),
+    # wrong here. Plan-guarded in tests/test_weburl.py.
+    return (canon.groupBy("canonical_url", "canonical_host")
+            .agg(F.count("*").alias("n_visits"),
+                 F.size(F.collect_set("url")).cast("long")
+                  .alias("n_variants"),
+                 F.size(F.collect_set("content_sha")).cast("long")
+                  .alias("n_revisions"),
+                 # epoch seconds, not raw timestamps: bigint compares
+                 # identically across engines/timezone configs
+                 F.min("warc_ts").cast("long").alias("first_seen_epoch"),
+                 F.max("warc_ts").cast("long").alias("last_seen_epoch"),
+                 F.max_by("url", "warc_ts").alias("last_raw_url"),
+                 F.max_by("content_sha", "warc_ts").alias("last_sha")))
+
+
+def canonical_pages(visits: DataFrame) -> DataFrame:
+    """Collapse a crawl log to one row per canonical page: visit /
+    variant / revision counts, first/last seen, and the latest
+    snapshot's raw URL + content hash. One exchange, no sort."""
+    ok = visits.filter(F.col("fetch_status") == 200)
+    return _collapse(with_canonical(ok))
+
+
+def blocklist_df(spark, domains=BLOCKLIST) -> DataFrame:
+    return spark.createDataFrame(
+        [(d,) for d in domains], "blocked_host string")
+
+
+def blocklist_filter(visits: DataFrame, blocked: DataFrame) -> DataFrame:
+    """:func:`canonical_pages` over the log minus blocked domains —
+    broadcast LEFT ANTI before the collapse, so blocked domains never
+    reach the shuffle."""
+    ok = visits.filter(F.col("fetch_status") == 200)
+    c = with_canonical(ok)
+    kept = c.join(F.broadcast(blocked),
+                  c.canonical_host == blocked.blocked_host,
+                  "left_anti")
+    return _collapse(kept)
+
+
+def domain_stats(visits: DataFrame) -> DataFrame:
+    """Per registered host: fetch/error volume, distinct canonical
+    pages, revisit rate, and the blocklist flag — the domain-prior
+    table quality pipelines join against. One exchange (Expand for
+    the exact distinct)."""
+    c = with_canonical(visits)
+    ok_url = F.when(F.col("fetch_status") == 200,
+                    F.col("canonical_url"))
+    agg = (c.groupBy("canonical_host")
+            .agg(F.count("*").alias("n_fetches"),
+                 F.sum(F.when(F.col("fetch_status") == 200, 1)
+                       .otherwise(0)).alias("n_ok"),
+                 F.sum(F.when(F.col("fetch_status") == 404, 1)
+                       .otherwise(0)).alias("n_404"),
+                 F.countDistinct(ok_url).alias("n_pages")))
+    rate = F.col("n_ok").cast("double") / \
+        F.nullif(F.col("n_pages"), F.lit(0)).cast("double")
+    return (agg.withColumn("fetches_per_page", pround(rate, 6))
+               .withColumn("is_blocked",
+                           F.col("canonical_host").isin(*BLOCKLIST)))

@@ -57,6 +57,7 @@ X_N_PAGES = 200
 X_SCAN_ROWS = (557, 567, 651, 713, 909, 973, 1346, 2577, 2723,
                3800, 3924, 7898)
 X_N_MEDIA = 240
+X_N_VISITS = 20_000  # crawl-log rows for the weburl operator family
 X_FRAME_EVERY_N = 4
 X_RESIZE_W = 8
 X_RESIZE_H = 8
@@ -216,9 +217,26 @@ def _media_goldens() -> None:
     _write("x_media_real_frames.parquet", real_frames, _PA_FRAMES)
 
 
+def _visits_golden() -> None:
+    # crawl-log rows for the weburl family: the raw table only —
+    # canonicalization/collapse is re-derived INDEPENDENTLY in SQL by
+    # the oracles (queries.py), so unlike the kernel goldens this
+    # cross-checks the operator logic itself, not just the plumbing
+    from .sources.visits import gen_visit, visit_pool
+
+    pool = visit_pool(X_N_VISITS)
+    rows = [gen_visit(i, n_pages=pool) for i in range(X_N_VISITS)]
+    _write("visits.parquet", rows, pa.schema([
+        ("visit_id", pa.int64()), ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("fetch_status", pa.int32()), ("content_sha", pa.string()),
+    ]))
+
+
 def materialize() -> str:
     """(Re)write every golden parquet; returns the directory."""
     _kernel_goldens()
     _config_golden()
     _media_goldens()
+    _visits_golden()
     return GOLDEN_DIR

@@ -269,6 +269,36 @@ def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(media_df(spark, G.X_N_MEDIA))
 
 
+def _visits(spark: SparkSession) -> DataFrame:
+    from .sources.visits import visits_df
+
+    # both sides derive the page pool via visits.visit_pool(n): the
+    # Spark generator here, the golden writer in oracle_golden
+    return visits_df(spark, G.X_N_VISITS, partitions=16)
+
+
+def q_canonical_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled BOTH ways: the raw crawl log is golden-materialized
+    (same generator code), and DuckDB re-derives canonicalization +
+    collapse with an independent SQL implementation — this checks the
+    operator's logic, not just plumbing."""
+    from .operators.weburl import canonical_pages
+
+    return canonical_pages(_visits(spark))
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.weburl import blocklist_df, blocklist_filter
+
+    return blocklist_filter(_visits(spark), blocklist_df(spark))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.weburl import domain_stats
+
+    return domain_stats(_visits(spark))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the extraction engine applied to driver testdata —
     documents wrapped as HTML pages, through kernel + field join."""
@@ -1697,6 +1727,10 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "quality_filter": lambda s, d: T.quality_filter(
             R.load(s, d, "documents")),
+        # web-URL crawl-log family (canonicalize + collapse)
+        "canonical_pages": q_canonical_pages,
+        "blocklist_filter": q_blocklist_filter,
+        "domain_stats": q_domain_stats,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1757,6 +1791,8 @@ def build_queries() -> Dict[str, QueryFn]:
 _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
+    # new in r4 (late): web-URL crawl-log family
+    "canonical_pages", "blocklist_filter", "domain_stats",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -1927,9 +1963,110 @@ GROUP BY 1, 2
 """
 
 
+def _weburl_ctes(visits_path: str) -> str:
+    """Independent DuckDB derivation of the weburl canonicalization
+    rule (operators/weburl.py module docstring, rules 1-5). Only the
+    literal constants (tracking keys, default ports) are shared with
+    the Spark implementation — the parsing/normalization logic is
+    written twice on purpose, so the hash-compare checks the rule."""
+    from .operators.weburl import DEFAULT_PORTS, TRACKING_KEYS
+
+    trk = ", ".join(f"'{k}'" for k in TRACKING_KEYS)
+    dflt = " OR ".join(f"(scheme = '{s}' AND port = '{p}')"
+                       for s, p in DEFAULT_PORTS)
+    return f"""
+v AS (SELECT * FROM read_parquet('{visits_path}')),
+p1 AS (SELECT *, split_part(url, '#', 1) AS base FROM v),
+p2 AS (SELECT *,
+        lower(regexp_extract(base,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM p1),
+p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+        substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+       FROM p2),
+p4 AS (SELECT *,
+        regexp_replace(lower(split_part(hostport, ':', 1)),
+                       '^www\\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        split_part(pathq, '?', 1) AS path0,
+        CASE WHEN strpos(pathq, '?') > 0
+             THEN substr(pathq, strpos(pathq, '?') + 1)
+             ELSE '' END AS qraw
+       FROM p3),
+p5 AS (SELECT *,
+        regexp_replace(regexp_replace(path0, '/index\\.html$', '/'),
+                       '/+$', '') AS pstrip,
+        -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+        -- array_join gives '') — coalesce to keep the || chain non-NULL
+        COALESCE(array_to_string(
+          list_sort(list_filter(string_split(qraw, '&'),
+            q -> q <> ''
+                 AND NOT starts_with(split_part(q, '=', 1), 'utm_')
+                 AND split_part(q, '=', 1) NOT IN ({trk}))),
+          '&'), '') AS qcanon,
+        CASE WHEN port = '' OR {dflt}
+             THEN '' ELSE ':' || port END AS portc
+       FROM p4),
+canon AS (SELECT visit_id, url, warc_ts, fetch_status, content_sha,
+        host AS canonical_host,
+        scheme || '://' || host || portc
+          || CASE WHEN pstrip = '' THEN '/' ELSE pstrip END
+          || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
+          AS canonical_url
+       FROM p5)"""
+
+
+def _canonical_pages_sql(visits_path: str, extra_where: str = "") -> str:
+    return f"""
+WITH {_weburl_ctes(visits_path)}
+SELECT canonical_url, canonical_host,
+ COUNT(*) AS n_visits,
+ COUNT(DISTINCT url) AS n_variants,
+ COUNT(DISTINCT content_sha) AS n_revisions,
+ CAST(epoch(MIN(warc_ts)) AS BIGINT) AS first_seen_epoch,
+ CAST(epoch(MAX(warc_ts)) AS BIGINT) AS last_seen_epoch,
+ max_by(url, warc_ts) AS last_raw_url,
+ max_by(content_sha, warc_ts) AS last_sha
+FROM canon WHERE fetch_status = 200{extra_where}
+GROUP BY canonical_url, canonical_host
+"""
+
+
+def _weburl_oracles() -> Dict[str, str]:
+    from .operators.weburl import BLOCKLIST
+
+    visits = G.golden_path("visits.parquet")
+    blk = ", ".join(f"'{d}'" for d in BLOCKLIST)
+    n_pages = ("COUNT(DISTINCT CASE WHEN fetch_status = 200 "
+               "THEN canonical_url END)")
+    n_ok = "SUM(CASE WHEN fetch_status = 200 THEN 1 ELSE 0 END)"
+    rate = (f"CAST({n_ok} AS DOUBLE) / "
+            f"CAST(NULLIF({n_pages}, 0) AS DOUBLE)")
+    return {
+        "canonical_pages": _canonical_pages_sql(visits),
+        # structural reuse: the blocklist variant IS the same collapse
+        # SQL with the host predicate injected before aggregation
+        "blocklist_filter": _canonical_pages_sql(
+            visits, f" AND canonical_host NOT IN ({blk})"),
+        "domain_stats": f"""
+WITH {_weburl_ctes(visits)}
+SELECT canonical_host,
+ COUNT(*) AS n_fetches,
+ CAST({n_ok} AS BIGINT) AS n_ok,
+ CAST(SUM(CASE WHEN fetch_status = 404 THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_404,
+ {n_pages} AS n_pages,
+ {sql_pround(rate, 6)} AS fetches_per_page,
+ canonical_host IN ({blk}) AS is_blocked
+FROM canon GROUP BY canonical_host
+""",
+    }
+
+
 def build_oracles() -> Dict[str, str]:
     # (Re)materialize the kernel-output goldens before handing out the
     # SQL that reads them — they can never be stale relative to the
     # kernel code, and they exist before DuckDB runs.
     G.materialize()
-    return {**ORACLES, **_x_oracles()}
+    return {**ORACLES, **_x_oracles(), **_weburl_oracles()}

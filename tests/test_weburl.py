@@ -1,0 +1,131 @@
+"""URL canonicalization + crawl-log collapse (operators/weburl.py).
+
+The oracle-parity gate cross-checks the full queries against an
+independent DuckDB SQL derivation (test_oracle_parity.py); this file
+pins the rule on handcrafted edge cases the synthetic log never
+draws, the generator's determinism, and the tuned plan shapes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from credit_ocr_system_spark.operators import weburl as W
+from credit_ocr_system_spark.sources.visits import gen_visit, visits_df
+
+# (raw, canonical) — every rule from the module docstring, including
+# cases the generator never emits (http, non-default port, root
+# index.html, doubled slashes, params without '=')
+CASES = [
+    ("HTTPS://WWW.Example.COM:443/a/b/index.html?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("https://example.com:8443/x/", "https://example.com:8443/x"),
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    ("https://example.com/index.html", "https://example.com/"),
+    ("https://example.com/a//?fbclid=z", "https://example.com/a"),
+    ("https://example.com/a?ref=home&page=2",
+     "https://example.com/a?page=2"),
+    ("https://example.com/a?utm_campaign=s&utm_medium=m",
+     "https://example.com/a"),
+    ("https://www.example.com/a?z=1&y=2&x=3",
+     "https://example.com/a?x=3&y=2&z=1"),
+    ("https://example.com/a/index.html/b", "https://example.com/a/index.html/b"),
+]
+
+
+def test_canonicalization_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r.canonical_url
+           for r in W.with_canonical(df).select("canonical_url").collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_canonical_host_strips_www_port_case(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Foo.Example:443/a",), ("https://foo.example/b",)],
+        "url string")
+    hosts = {r.canonical_host
+             for r in W.with_canonical(df).select("canonical_host").collect()}
+    assert hosts == {"foo.example"}
+
+
+def test_generator_is_pure_and_messy():
+    a = [gen_visit(i, n_pages=50) for i in range(200)]
+    b = [gen_visit(i, n_pages=50) for i in range(200)]
+    assert a == b
+    urls = [r["url"] for r in a]
+    assert any("utm_" in u for u in urls)
+    assert any("#" in u for u in urls)
+    assert any(":443" in u for u in urls)
+    assert any("/index.html" in u for u in urls)
+    assert any("www." in u for u in urls)
+    # strictly increasing timestamps → max_by needs no tie-break
+    ts = [r["warc_ts"] for r in a]
+    assert all(x < y for x, y in zip(ts, ts[1:]))
+
+
+def test_collapse_counts_one_page(spark):
+    # three renderings + one changed revision of a single page, plus
+    # a 404 that must not count
+    rows = [
+        (1, "https://www.ex.example/a?utm_source=x", "2024-01-01 00:00:01",
+         200, "s1"),
+        (2, "HTTPS://EX.EXAMPLE/a", "2024-01-01 00:00:02", 200, "s1"),
+        (3, "https://ex.example:443/a/", "2024-01-01 00:00:03", 200, "s2"),
+        (4, "https://ex.example/a", "2024-01-01 00:00:04", 404, "s3"),
+    ]
+    df = spark.createDataFrame(
+        rows, "visit_id long, url string, warc_ts string, "
+              "fetch_status int, content_sha string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = W.canonical_pages(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.canonical_url == "https://ex.example/a"
+    assert r.n_visits == 3 and r.n_variants == 3 and r.n_revisions == 2
+    assert r.last_sha == "s2"
+    assert r.last_raw_url == "https://ex.example:443/a/"
+
+
+def test_blocklist_filter_drops_hosts(spark):
+    v = visits_df(spark, 400, partitions=4)
+    kept = W.blocklist_filter(v, W.blocklist_df(spark))
+    hosts = {r.canonical_host
+             for r in kept.select("canonical_host").distinct().collect()}
+    assert hosts and not (hosts & set(W.BLOCKLIST))
+    assert not any(h.startswith("www.") for h in hosts)
+
+
+@pytest.fixture(scope="module")
+def small_visits(spark):
+    return visits_df(spark, 400, partitions=4)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_canonical_pages_plan_single_exchange(spark, small_visits):
+    p = _plan(W.canonical_pages(small_visits))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortAggregate" not in p and "Expand" not in p
+    assert "ObjectHashAggregate" in p  # map-side partial set buffers
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_blocklist_plan_broadcast_anti_before_collapse(spark, small_visits):
+    p = _plan(W.blocklist_filter(small_visits, W.blocklist_df(spark)))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_domain_stats_plan_two_level_distinct(spark, small_visits):
+    # per-host page cardinality is unbounded, so the exact distinct
+    # goes through the two-level (host, url) → host rewrite: two
+    # exchanges, hash aggregation throughout, no sorts, no joins
+    p = _plan(W.domain_stats(small_visits))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+    assert "Join" not in p and "CartesianProduct" not in p
