@@ -58,6 +58,8 @@ X_SCAN_ROWS = (557, 567, 651, 713, 909, 973, 1346, 2577, 2723,
                3800, 3924, 7898)
 X_N_MEDIA = 240
 X_N_VISITS = 20_000  # crawl-log rows for the weburl operator family
+X_N_WARC_PAGES = 240  # response records across the WARC golden corpus
+X_N_WARC_FILES = 4
 X_FRAME_EVERY_N = 4
 X_RESIZE_W = 8
 X_RESIZE_H = 8
@@ -233,10 +235,74 @@ def _visits_golden() -> None:
     ]))
 
 
+def ensure_warc_corpus() -> str:
+    """(Re)write the deterministic .warc.gz corpus under
+    ``GOLDEN_DIR/warc``; returns the directory. Bytes are a pure
+    function of the pages generator, so staleness is detected by
+    comparing regenerated bytes against disk — the rewrite (atomic
+    tmp+rename per file) only happens when the generator changed.
+    Called by BOTH the Spark query (before its scan) and the golden
+    writer, so the two sides always read identical files regardless
+    of the order the driver invokes them in."""
+    from .sources.warc import build_warc_gz
+    from .sources.pages import DEFAULT_SEED, gen_page
+
+    warc_dir = os.path.join(GOLDEN_DIR, "warc")
+    per = -(-X_N_WARC_PAGES // X_N_WARC_FILES)
+    fresh = True
+    for fi in range(X_N_WARC_FILES):
+        p = os.path.join(warc_dir, f"crawl-{fi:05d}.warc.gz")
+        lo, hi = fi * per, min((fi + 1) * per, X_N_WARC_PAGES)
+        want = build_warc_gz(
+            [gen_page(i, DEFAULT_SEED) for i in range(lo, hi)])
+        try:
+            with open(p, "rb") as f:
+                have = f.read()
+        except OSError:
+            have = None
+        if have != want:
+            os.makedirs(warc_dir, exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(want)
+            os.replace(tmp, p)
+    return warc_dir
+
+
+def _warc_golden() -> None:
+    """Parse the WARC corpus driver-side (single process, same reader
+    code as the executors — the plumbing-check pattern, cf. module
+    docstring) and materialize digests per response record."""
+    import hashlib
+
+    from .sources.warc import read_warc_file
+
+    warc_dir = ensure_warc_corpus()
+    rows = []
+    for fname in sorted(os.listdir(warc_dir)):
+        if not fname.endswith(".warc.gz"):
+            continue
+        for rec in read_warc_file(os.path.join(warc_dir, fname)):
+            rows.append({
+                "url": rec["url"], "warc_ts": rec["warc_ts"],
+                "html_md5": hashlib.md5(rec["html"]).hexdigest(),
+                "n_bytes": len(rec["html"]),
+                "warc_file": fname,
+                "record_idx": rec["record_idx"],
+            })
+    _write("x_warc_pages.parquet", rows, pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html_md5", pa.string()), ("n_bytes", pa.int64()),
+        ("warc_file", pa.string()), ("record_idx", pa.int32()),
+    ]))
+
+
 def materialize() -> str:
     """(Re)write every golden parquet; returns the directory."""
     _kernel_goldens()
     _config_golden()
     _media_goldens()
     _visits_golden()
+    _warc_golden()
     return GOLDEN_DIR

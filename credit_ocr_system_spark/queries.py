@@ -194,6 +194,23 @@ def x_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height")
 
 
+def x_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the WARC container scan (``sources/warc.py``)
+    — binaryFile path listing + streaming member-at-a-time gzip parse
+    in ONE mapInArrow stage — against a driver-side single-process
+    parse of the identical files. Payloads travel as digests (raw
+    binary is unhashable in the driver's canonicalizer)."""
+    from .sources.warc import warc_pages
+
+    warc_dir = G.ensure_warc_corpus()
+    return warc_pages(spark, warc_dir).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        F.md5("html").alias("html_md5"),
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        "warc_file", "record_idx")
+
+
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the SVG overlays from the
     materialized kernel elements (integer-pixel coords + pinned
@@ -1547,6 +1564,11 @@ SELECT media_id, frame_idx, md5(hex(frame)) AS frame_md5,
        CAST(octet_length(frame) AS INT) AS frame_bytes, width, height
 FROM read_parquet('{G.golden_path("x_media_real_frames.parquet")}')
 """,
+        "x_warc_pages": f"""
+SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
+       html_md5, n_bytes, warc_file, record_idx
+FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
+""",
         "x_annotations": f"""
 WITH shaped AS (
   SELECT url, page_num, elem_idx,
@@ -1770,6 +1792,9 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_processing_summary": x_processing_summary,
         # annotation overlay sink
         "x_annotations": x_annotations,
+        # WARC container ingestion (binaryFile listing + streaming
+        # gzip-member parse)
+        "x_warc_pages": x_warc_pages,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1791,7 +1816,8 @@ def build_queries() -> Dict[str, QueryFn]:
 _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
-    # new in r4 (late): web-URL crawl-log family
+    # new in r4 (late): WARC container scan + web-URL crawl-log family
+    "x_warc_pages",
     "canonical_pages", "blocklist_filter", "domain_stats",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path

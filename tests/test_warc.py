@@ -1,0 +1,177 @@
+"""WARC container source: writer/reader round-trip, dirty-tail
+robustness, the Spark scan vs a driver-side parse, and the plan shape
+(path-only binaryFile listing, one mapInArrow stage)."""
+
+import io
+import zlib
+
+import pytest
+
+from credit_ocr_system_spark.sources import warc as W
+from credit_ocr_system_spark.sources.pages import gen_page
+
+N = 30
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return [gen_page(i) for i in range(N)]
+
+
+@pytest.fixture(scope="module")
+def data(rows):
+    return W.build_warc_gz(rows)
+
+
+def _parse(data):
+    return list(W.iter_warc_records(io.BytesIO(data).read))
+
+
+def test_round_trip(rows, data):
+    got = _parse(data)
+    assert len(got) == N
+    for want, rec in zip(rows, got):
+        assert rec["url"] == want["url"]
+        assert rec["warc_ts"] == want["warc_ts"]
+        assert rec["html"] == want["html"]
+
+
+def test_writer_is_deterministic(rows, data):
+    assert W.build_warc_gz(rows) == data
+
+
+def test_chunked_bodies_present_and_decoded(rows):
+    # the writer frames hash(url)%5==0 bodies as chunked — make sure
+    # the corpus actually exercises that path and decodes identically
+    chunked = [r for r in rows if W._stable_mod(r["url"], 5) == 0]
+    assert chunked, "corpus draw produced no chunked bodies"
+    got = {r["url"]: r["html"] for r in _parse(W.build_warc_gz(rows))}
+    for r in chunked:
+        assert got[r["url"]] == r["html"]
+
+
+def test_non_response_records_skipped(rows, data):
+    # writer interleaves warcinfo + one request per response; only
+    # responses come back, and record_idx counts responses only
+    got = _parse(data)
+    assert [r["record_idx"] for r in got] == list(range(N))
+    no_req = _parse(W.build_warc_gz(rows, with_requests=False))
+    assert [(r["url"], r["html"]) for r in no_req] == \
+           [(r["url"], r["html"]) for r in got]
+
+
+def test_truncated_tail_yields_complete_prefix(data):
+    assert len(_parse(data[:-50])) == N - 1
+    assert len(_parse(data[: len(data) // 2])) < N
+    assert _parse(data[:10]) == []
+    assert _parse(b"") == []
+
+
+def test_corrupt_member_stops_cleanly(data):
+    # flip bytes inside the LAST response's member: complete prefix
+    # still parses, nothing raises
+    bad = bytearray(data)
+    bad[-60:-40] = b"\x00" * 20
+    got = _parse(bytes(bad))
+    assert len(got) in (N - 1, N)  # tail record lost or survived CRC
+
+
+def test_multi_record_member(rows):
+    # some writers concatenate several records into ONE gzip member
+    recs = []
+    for i, r in enumerate(rows[:4]):
+        block = W._http_response(r["html"], chunked=False)
+        recs.append(W._warc_record("response", [
+            ("WARC-Target-URI", r["url"]),
+            ("WARC-Date", W._warc_date(r["warc_ts"])),
+            ("WARC-Record-ID", f"<urn:uuid:{i:032x}>"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ], block))
+    co = zlib.compressobj(6, zlib.DEFLATED, W._GZ_WBITS)
+    member = co.compress(b"".join(recs)) + co.flush()
+    got = _parse(member)
+    assert [(r["url"], r["html"]) for r in got] == \
+           [(r["url"], r["html"]) for r in rows[:4]]
+
+
+def test_mangled_http_envelope_yields_empty_not_raise():
+    rec = W._warc_record("response", [
+        ("WARC-Target-URI", "https://x.example/a"),
+        ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ("Content-Type", "application/http; msgtype=response"),
+    ], b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ")
+    co = zlib.compressobj(6, zlib.DEFLATED, W._GZ_WBITS)
+    got = _parse(co.compress(rec) + co.flush())
+    assert len(got) == 1 and got[0]["html"] == b""
+
+
+def test_small_read_granularity(data, rows):
+    class Tiny:
+        def __init__(self, b):
+            self.b, self.p = b, 0
+
+        def read(self, n):
+            n = min(n, 17)
+            out = self.b[self.p:self.p + n]
+            self.p += len(out)
+            return out
+
+    got = list(W.iter_warc_records(Tiny(data).read))
+    assert len(got) == N
+    assert got[-1]["html"] == rows[-1]["html"]
+
+
+# ----------------------------------------------------------- Spark scan
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc_corpus")
+    W.write_warc_corpus(str(d), n_pages=40, n_files=3)
+    return str(d)
+
+
+def test_spark_scan_matches_driver_parse(spark, corpus_dir, rows):
+    import os
+
+    got = {r["url"]: r for r in
+           W.warc_pages(spark, corpus_dir).collect()}
+    want = []
+    for f in sorted(os.listdir(corpus_dir)):
+        want.extend(W.read_warc_file(os.path.join(corpus_dir, f)))
+    assert len(got) == len(want) == 40
+    for w in want:
+        g = got[w["url"]]
+        assert bytes(g["html"]) == w["html"]
+        assert g["warc_ts"].replace(tzinfo=w["warc_ts"].tzinfo) \
+            == w["warc_ts"]
+
+
+def test_warc_feeds_extraction(spark, corpus_dir):
+    # the full CC ingestion path: WARC scan → extraction kernel
+    from credit_ocr_system_spark.operators.extraction import (
+        extract_pages,
+    )
+    from credit_ocr_system_spark.kernel.extract import extract_document
+
+    docs = extract_pages(
+        W.warc_pages(spark, corpus_dir).select("url", "html"))
+    got = {r["url"]: r for r in
+           docs.select("url", "n_elements", "extracted_text")
+               .collect()}
+    assert len(got) == 40
+    probe = gen_page(7)
+    res = extract_document(probe["url"], probe["html"])
+    assert got[probe["url"]]["n_elements"] == len(res["elements"])
+    assert got[probe["url"]]["extracted_text"] \
+        == res["extracted_text"]
+
+
+def test_scan_plan_paths_only_single_arrow_stage(spark, corpus_dir):
+    df = W.warc_pages(spark, corpus_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "Exchange" not in plan  # map-only: no shuffle anywhere
+    # the binaryFile scan must read path metadata only — never the
+    # file content column (files stream inside the Arrow stage)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "content" not in scan[0]
