@@ -289,12 +289,14 @@ def _warc_golden() -> None:
                 "n_bytes": len(rec["html"]),
                 "warc_file": fname,
                 "record_idx": rec["record_idx"],
+                "offset": rec["offset"],
             })
     _write("x_warc_pages.parquet", rows, pa.schema([
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html_md5", pa.string()), ("n_bytes", pa.int64()),
         ("warc_file", pa.string()), ("record_idx", pa.int32()),
+        ("offset", pa.int64()),
     ]))
 
 

@@ -211,6 +211,24 @@ def x_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_file", "record_idx")
 
 
+def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the SPLITTABLE WARC scan (offset-index slices,
+    ``records_per_slice=25`` → multiple tasks per file) must produce
+    exactly the rows of the whole-file scan — the same golden parquet
+    as ``x_warc_pages``, keyed on the member offset (the CDX seek
+    key) instead of the whole-file ordinal."""
+    from .sources.warc import warc_pages_sliced
+
+    warc_dir = G.ensure_warc_corpus()
+    return warc_pages_sliced(spark, warc_dir,
+                             records_per_slice=25).select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_us"),
+        F.md5("html").alias("html_md5"),
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        "warc_file", "offset")
+
+
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the SVG overlays from the
     materialized kernel elements (integer-pixel coords + pinned
@@ -1569,6 +1587,11 @@ SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
        html_md5, n_bytes, warc_file, record_idx
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,
+        "x_warc_sliced": f"""
+SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
+       html_md5, n_bytes, warc_file, "offset"
+FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
+""",
         "x_annotations": f"""
 WITH shaped AS (
   SELECT url, page_num, elem_idx,
@@ -1793,8 +1816,9 @@ def build_queries() -> Dict[str, QueryFn]:
         # annotation overlay sink
         "x_annotations": x_annotations,
         # WARC container ingestion (binaryFile listing + streaming
-        # gzip-member parse)
+        # gzip-member parse; _sliced = offset-index splittable scan)
         "x_warc_pages": x_warc_pages,
+        "x_warc_sliced": x_warc_sliced,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1817,7 +1841,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
-    "x_warc_pages",
+    "x_warc_pages", "x_warc_sliced",
     "canonical_pages", "blocklist_filter", "domain_stats",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path

@@ -166,6 +166,63 @@ def test_warc_feeds_extraction(spark, corpus_dir):
         == res["extracted_text"]
 
 
+def test_offsets_are_seek_keys(data, rows):
+    # the offset of every response record must be enterable cold: a
+    # reader starting there sees that record first (the CDX contract)
+    got = _parse(data)
+    offs = [r["offset"] for r in got]
+    assert offs == sorted(offs) and offs[0] > 0  # warcinfo precedes
+    for rec in got[::7]:
+        tail = _parse(data[rec["offset"]:])
+        assert tail[0]["url"] == rec["url"]
+        assert tail[0]["html"] == rec["html"]
+
+
+def test_member_limit_stops_before_decompress(data):
+    got = _parse(data)
+    cut = got[10]["offset"]
+    import io as _io
+    members = list(W._iter_members_with_offsets(
+        _io.BytesIO(data).read, limit=cut))
+    assert members and members[-1][0] < cut
+    # responses before the cut: exactly the first 10
+    n = sum(1 for _, m in members
+            for r in W._records_in_member(m) if r["type"] == "response")
+    assert n == 10
+
+
+def test_sliced_scan_equals_full_scan(spark, corpus_dir):
+    full = {r["url"]: (bytes(r["html"]), r["warc_ts"], r["offset"])
+            for r in W.warc_pages(spark, corpus_dir).collect()}
+    sliced = {r["url"]: (bytes(r["html"]), r["warc_ts"], r["offset"])
+              for r in W.warc_pages_sliced(
+                  spark, corpus_dir, records_per_slice=7).collect()}
+    assert sliced == full and len(full) == 40
+
+
+def test_slices_partition_each_file(spark, corpus_dir):
+    sl = W.warc_slices(spark, corpus_dir, records_per_slice=7)
+    rows = sorted((r["path"], r["start"], r["end"])
+                  for r in sl.collect())
+    # 40 pages over 3 files: 14+14+12 records → ceil(14/7)=2 slices
+    # per file; consecutive slices tile [first_offset, file_length)
+    assert len(rows) == 6
+    by_file = {}
+    for p, s, e in rows:
+        assert s < e
+        by_file.setdefault(p, []).append((s, e))
+    for spans in by_file.values():
+        for (_, e0), (s1, _) in zip(spans, spans[1:]):
+            assert e0 == s1
+
+
+def test_index_reuse_skips_reindex(spark, corpus_dir):
+    idx = W.warc_index(spark, corpus_dir)
+    out = W.warc_pages_sliced(spark, corpus_dir,
+                              records_per_slice=9, index=idx)
+    assert out.count() == 40
+
+
 def test_scan_plan_paths_only_single_arrow_stage(spark, corpus_dir):
     df = W.warc_pages(spark, corpus_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
