@@ -96,6 +96,9 @@ def _kernel_goldens() -> None:
             "n_elements": len(res["elements"]),
             "n_pairs": len(res["pairs"]),
             "bytes_in": len(p["html"]),
+            # capture time as epoch micros (engine-portable; the WET
+            # oracle rebuilds the WARC-Date header from it)
+            "warc_us": int(p["warc_ts"].timestamp()) * 1_000_000,
         })
         for idx, e in enumerate(res["elements"]):
             row = {"url": p["url"], "elem_idx": idx,
@@ -114,7 +117,7 @@ def _kernel_goldens() -> None:
         ("url", pa.string()), ("doc_kind", pa.string()),
         ("page_count", pa.int32()), ("extracted_text", pa.string()),
         ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
-        ("bytes_in", pa.int64()),
+        ("bytes_in", pa.int64()), ("warc_us", pa.int64()),
     ]))
 
     scan_rows = []
@@ -244,17 +247,14 @@ def ensure_warc_corpus() -> str:
     Called by BOTH the Spark query (before its scan) and the golden
     writer, so the two sides always read identical files regardless
     of the order the driver invokes them in."""
-    from .sources.warc import build_warc_gz
-    from .sources.pages import DEFAULT_SEED, gen_page
+    from .sources.warc import build_warc_gz, corpus_rows
 
     warc_dir = os.path.join(GOLDEN_DIR, "warc")
     per = -(-X_N_WARC_PAGES // X_N_WARC_FILES)
-    fresh = True
     for fi in range(X_N_WARC_FILES):
         p = os.path.join(warc_dir, f"crawl-{fi:05d}.warc.gz")
         lo, hi = fi * per, min((fi + 1) * per, X_N_WARC_PAGES)
-        want = build_warc_gz(
-            [gen_page(i, DEFAULT_SEED) for i in range(lo, hi)])
+        want = build_warc_gz(corpus_rows(lo, hi))
         try:
             with open(p, "rb") as f:
                 have = f.read()
@@ -287,6 +287,8 @@ def _warc_golden() -> None:
                 "url": rec["url"], "warc_ts": rec["warc_ts"],
                 "html_md5": hashlib.md5(rec["html"]).hexdigest(),
                 "n_bytes": len(rec["html"]),
+                "http_status": rec["http_status"],
+                "mime": rec["mime"],
                 "warc_file": fname,
                 "record_idx": rec["record_idx"],
                 "offset": rec["offset"],
@@ -295,6 +297,7 @@ def _warc_golden() -> None:
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html_md5", pa.string()), ("n_bytes", pa.int64()),
+        ("http_status", pa.int32()), ("mime", pa.string()),
         ("warc_file", pa.string()), ("record_idx", pa.int32()),
         ("offset", pa.int64()),
     ]))

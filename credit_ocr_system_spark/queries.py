@@ -208,7 +208,7 @@ def x_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("warc_ts").alias("warc_us"),
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
-        "warc_file", "record_idx")
+        "http_status", "mime", "warc_file", "record_idx")
 
 
 def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +226,29 @@ def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("warc_ts").alias("warc_us"),
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
-        "warc_file", "offset")
+        "http_status", "mime", "warc_file", "offset")
+
+
+def x_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: the WET ``conversion`` record column
+    (``sources/warc.py::wet_record_col`` — what :func:`write_wet`
+    serializes per extracted document, Common Crawl's .warc.wet
+    layout) re-assembled independently by DuckDB from the driver-side
+    kernel goldens. Records travel as (md5, byte-length) digests; the
+    byte count doubles as the Content-Length/UTF-8 check (the golden
+    corpus draws non-ASCII text, so ``octet_length`` vs
+    ``char_length`` mistakes hash-mismatch here)."""
+    from .operators.extraction import extract_pages
+    from .sources.warc import wet_record_col
+
+    pages = _x_pages(spark)
+    docs = extract_pages(pages).join(
+        pages.select("url", "warc_ts"), "url")
+    rec = docs.select("url", wet_record_col().alias("rec"))
+    return rec.select(
+        "url",
+        F.md5(F.col("rec").cast("binary")).alias("rec_md5"),
+        F.octet_length("rec").cast("int").alias("rec_bytes"))
 
 
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,13 +1606,34 @@ FROM read_parquet('{G.golden_path("x_media_real_frames.parquet")}')
 """,
         "x_warc_pages": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
-       html_md5, n_bytes, warc_file, record_idx
+       html_md5, n_bytes, http_status, mime, warc_file, record_idx
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,
         "x_warc_sliced": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
-       html_md5, n_bytes, warc_file, "offset"
+       html_md5, n_bytes, http_status, mime, warc_file, "offset"
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
+""",
+        # the WET record re-assembled from the kernel goldens: header
+        # order/CRLFs mirror wet_record_col, WARC-Date rebuilt from
+        # epoch micros, Content-Length = strlen (UTF-8 BYTES)
+        "x_wet_records": f"""
+WITH rec AS (
+  SELECT url,
+    'WARC/1.0' || E'\\r\\n' ||
+    'WARC-Type: conversion' || E'\\r\\n' ||
+    'WARC-Target-URI: ' || url || E'\\r\\n' ||
+    'WARC-Date: ' ||
+      strftime(make_timestamp(warc_us), '%Y-%m-%dT%H:%M:%SZ') ||
+      E'\\r\\n' ||
+    'WARC-Record-ID: <urn:uuid:' || md5(url) || '>' || E'\\r\\n' ||
+    'Content-Type: text/plain' || E'\\r\\n' ||
+    'Content-Length: ' || CAST(strlen(extracted_text) AS VARCHAR) ||
+    E'\\r\\n\\r\\n' || extracted_text || E'\\r\\n\\r\\n' AS rec
+  FROM read_parquet('{docs}'))
+SELECT url, md5(rec) AS rec_md5,
+       CAST(strlen(rec) AS INT) AS rec_bytes
+FROM rec
 """,
         "x_annotations": f"""
 WITH shaped AS (
@@ -1819,6 +1862,7 @@ def build_queries() -> Dict[str, QueryFn]:
         # gzip-member parse; _sliced = offset-index splittable scan)
         "x_warc_pages": x_warc_pages,
         "x_warc_sliced": x_warc_sliced,
+        "x_wet_records": x_wet_records,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1841,7 +1885,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
-    "x_warc_pages", "x_warc_sliced",
+    "x_warc_pages", "x_warc_sliced", "x_wet_records",
     "canonical_pages", "blocklist_filter", "domain_stats",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path

@@ -25,8 +25,11 @@ as WARC files. This module closes that ingestion seam from scratch
   ``tests/test_warc.py``), then an Arrow-batched ``mapInArrow`` opens
   each file through ``pyarrow.fs`` (file://, hdfs://, s3:// — the
   same URI the Spark scan listed) and streams it. Output is exactly
-  the engine's input table shape ``(url, warc_ts, html)`` plus
-  ``(warc_file, record_idx)`` lineage columns.
+  the engine's input table shape ``(url, warc_ts, html)`` plus the
+  stored HTTP envelope's ``(http_status, mime)`` — a real fetch log
+  carries 404s and redirects, and :func:`ok_pages` is the standard
+  pre-extraction gate — and ``(warc_file, record_idx, offset)``
+  lineage columns.
 
 Scale shape: gzip is not splittable, so parallelism = file count —
 one task per .warc.gz, the same contract Spark itself applies to
@@ -43,6 +46,7 @@ deduplication records (skipped like request/metadata), and non-gzip
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from datetime import datetime, timezone
@@ -78,15 +82,24 @@ def _chunked(body: bytes, size: int = 100) -> bytes:
     return b"".join(out)
 
 
-def _http_response(payload: bytes, chunked: bool) -> bytes:
+_STATUS_REASON = {200: "OK", 301: "Moved Permanently",
+                  404: "Not Found", 500: "Internal Server Error"}
+
+
+def _http_response(payload: bytes, chunked: bool, status: int = 200,
+                   mime: str = "text/html",
+                   extra: Tuple[Tuple[str, str], ...] = ()) -> bytes:
+    reason = _STATUS_REASON.get(status, "Unknown")
+    lines = [f"HTTP/1.1 {status} {reason}".encode("ascii"),
+             b"Content-Type: " + mime.encode("ascii")]
+    lines += [k.encode("ascii") + b": " + v.encode("ascii")
+              for k, v in extra]
     if chunked:
-        head = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                b"Transfer-Encoding: chunked\r\n\r\n")
-        return head + _chunked(payload)
-    head = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: " + str(len(payload)).encode("ascii")
-            + _CRLF * 2)
-    return head + payload
+        lines.append(b"Transfer-Encoding: chunked")
+        return _CRLF.join(lines) + _CRLF * 2 + _chunked(payload)
+    lines.append(b"Content-Length: "
+                 + str(len(payload)).encode("ascii"))
+    return _CRLF.join(lines) + _CRLF * 2 + payload
 
 
 def _warc_date(ts: datetime) -> str:
@@ -98,7 +111,12 @@ def build_warc_gz(rows: List[Dict[str, Any]], *,
     """Serialize page rows ``{url, warc_ts, html}`` as a .warc.gz
     byte-stream: a ``warcinfo`` head record, then per page an HTTP
     ``request`` record (when ``with_requests``) followed by the
-    ``response`` record. Every record is its own gzip member
+    ``response`` record. Rows may carry optional ``http_status``
+    (default 200), ``mime`` (default by payload magic: ``%PDF`` →
+    application/pdf else text/html), and ``http_headers`` (extra
+    ``(k, v)`` response headers, e.g. a redirect Location) — the
+    writer records faithfully what the row says, like a crawler
+    records what the server sent. Every record is its own gzip member
     (``mtime=0`` so output is byte-deterministic). Bodies alternate
     deterministically between Content-Length and chunked framing on
     ``hash(url) % 5 == 0`` — stable across runs and processes because
@@ -126,7 +144,13 @@ def build_warc_gz(rows: List[Dict[str, Any]], *,
                 ("WARC-Record-ID", f"<urn:uuid:req-{i:028x}>"),
                 ("Content-Type", "application/http; msgtype=request"),
             ], req))
-        block = _http_response(payload, chunked=_stable_mod(url, 5) == 0)
+        mime = row.get("mime") or (
+            "application/pdf" if payload[:4] == b"%PDF"
+            else "text/html")
+        block = _http_response(
+            payload, chunked=_stable_mod(url, 5) == 0,
+            status=row.get("http_status", 200), mime=mime,
+            extra=tuple(row.get("http_headers", ())))
         gz(_warc_record("response", [
             ("WARC-Target-URI", url), ("WARC-Date", date),
             ("WARC-Record-ID", rid),
@@ -194,17 +218,27 @@ def _iter_member_bytes(read: Callable[[int], bytes]
         yield member
 
 
-def _parse_http_payload(block: bytes) -> Optional[bytes]:
-    """Payload bytes of a stored HTTP response block: split the header
-    envelope, honor Content-Length / chunked framing."""
+def _parse_http_payload(block: bytes
+                        ) -> Optional[Tuple[bytes, int, str]]:
+    """``(payload, status, mime)`` of a stored HTTP response block:
+    split the header envelope, honor Content-Length / chunked
+    framing, read the status line and Content-Type."""
     sep = block.find(_CRLF * 2)
     if sep < 0:
         return None
     headers, body = block[:sep], block[sep + 4:]
+    lines = headers.split(_CRLF)
+    toks = lines[0].split()
+    try:
+        status = int(toks[1])
+    except (IndexError, ValueError):
+        return None
     hmap = {}
-    for line in headers.split(_CRLF)[1:]:
+    for line in lines[1:]:
         k, _, v = line.partition(b":")
         hmap[k.strip().lower()] = v.strip()
+    mime = (hmap.get(b"content-type", b"")
+            .split(b";")[0].strip().decode("ascii", "replace"))
     if hmap.get(b"transfer-encoding", b"").lower() == b"chunked":
         out, pos = [], 0
         while True:
@@ -216,15 +250,15 @@ def _parse_http_payload(block: bytes) -> Optional[bytes]:
             except ValueError:
                 return None
             if n == 0:
-                return b"".join(out)
+                return b"".join(out), status, mime
             out.append(body[nl + 2:nl + 2 + n])
             pos = nl + 2 + n + 2  # skip data + trailing CRLF
     if b"content-length" in hmap:
         try:
-            return body[:int(hmap[b"content-length"])]
+            return body[:int(hmap[b"content-length"])], status, mime
         except ValueError:
             return None
-    return body
+    return body, status, mime
 
 
 def _records_in_member(data: bytes) -> Iterator[Dict[str, Any]]:
@@ -256,13 +290,21 @@ def _records_in_member(data: bytes) -> Iterator[Dict[str, Any]]:
                "url": fields.get(b"warc-target-uri",
                                  b"").decode("utf-8"),
                "date": fields.get(b"warc-date", b"").decode("ascii"),
+               "ctype": fields.get(b"content-type",
+                                   b"").decode("ascii", "replace"),
                "block": block}
 
 
-def _response_row(rec: Dict[str, Any]) -> Optional[Dict[str, Any]]:
-    """``{url, warc_ts, html}`` of a parsed record, or None when it is
-    not a response / carries an unparseable capture date."""
-    if rec["type"] != "response":
+def _response_row(rec: Dict[str, Any],
+                  types: Tuple[str, ...] = ("response",)
+                  ) -> Optional[Dict[str, Any]]:
+    """``{url, warc_ts, html, http_status, mime}`` of a parsed record,
+    or None when its WARC-Type is not in ``types`` / the capture date
+    is unparseable. Records whose WARC Content-Type is not
+    ``application/http`` (e.g. WET ``conversion`` records) carry no
+    HTTP envelope: the block IS the payload, status is NULL, and the
+    WARC-level Content-Type is the mime."""
+    if rec["type"] not in types:
         return None
     try:
         ts = datetime.strptime(
@@ -270,23 +312,35 @@ def _response_row(rec: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         ).replace(tzinfo=timezone.utc)
     except ValueError:
         return None
-    payload = _parse_http_payload(rec["block"])
-    return {"url": rec["url"], "warc_ts": ts,
-            "html": payload if payload is not None else b""}
+    if not rec["ctype"].startswith("application/http"):
+        return {"url": rec["url"], "warc_ts": ts,
+                "html": rec["block"], "http_status": None,
+                "mime": rec["ctype"].split(";")[0].strip()}
+    parsed = _parse_http_payload(rec["block"])
+    if parsed is None:
+        return {"url": rec["url"], "warc_ts": ts, "html": b"",
+                "http_status": None, "mime": ""}
+    payload, status, mime = parsed
+    return {"url": rec["url"], "warc_ts": ts, "html": payload,
+            "http_status": status, "mime": mime}
 
 
-def iter_warc_records(read: Callable[[int], bytes]
+def iter_warc_records(read: Callable[[int], bytes],
+                      types: Tuple[str, ...] = ("response",)
                       ) -> Iterator[Dict[str, Any]]:
-    """Stream ``response`` records from a .warc.gz ``read`` callable
-    as ``{url, warc_ts, html, record_idx, offset}`` — ``offset`` is
-    the compressed byte offset of the record's gzip member (the CDX
-    seek key: a reader can enter the file there). Non-response records
-    (warcinfo / request / metadata / revisit) are skipped; a truncated
-    final member ends iteration after the complete prefix. Records
-    whose HTTP envelope cannot be parsed yield ``html=b""`` rather
-    than raising — one mangled capture must never poison a 1 GiB
-    file's task (same contract as the extraction kernel's
-    poison-document guard)."""
+    """Stream records of the requested WARC types (default
+    ``response``; pass ``("conversion",)`` for WET files) from a
+    .warc.gz ``read`` callable as ``{url, warc_ts, html, http_status,
+    mime, record_idx, offset}`` — ``offset`` is the compressed byte
+    offset of the record's gzip member (the CDX seek key: a reader
+    can enter the file there); ``http_status``/``mime`` come from the
+    stored HTTP envelope (status None for non-HTTP blocks). Records
+    of other types (warcinfo / request / metadata / revisit) are
+    skipped; a truncated final member ends iteration after the
+    complete prefix. Records whose HTTP envelope cannot be parsed
+    yield ``html=b""`` rather than raising — one mangled capture must
+    never poison a 1 GiB file's task (same contract as the extraction
+    kernel's poison-document guard)."""
     idx = 0
     gen = _iter_members_with_offsets(read)
     while True:
@@ -295,7 +349,7 @@ def iter_warc_records(read: Callable[[int], bytes]
         except (StopIteration, _Truncated):
             return
         for rec in _records_in_member(member):
-            row = _response_row(rec)
+            row = _response_row(rec, types)
             if row is None:
                 continue
             row["record_idx"] = idx
@@ -304,15 +358,18 @@ def iter_warc_records(read: Callable[[int], bytes]
             idx += 1
 
 
-def read_warc_file(path: str) -> List[Dict[str, Any]]:
-    """Driver-side convenience: all response rows of one local file."""
+def read_warc_file(path: str,
+                   types: Tuple[str, ...] = ("response",)
+                   ) -> List[Dict[str, Any]]:
+    """Driver-side convenience: all matching rows of one local file."""
     with open(path, "rb") as f:
-        return list(iter_warc_records(f.read))
+        return list(iter_warc_records(f.read, types))
 
 
 # ----------------------------------------------------------- Spark scan
 
 WARC_PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                     "http_status int, mime string, "
                      "warc_file string, record_idx int, offset long")
 
 
@@ -331,7 +388,8 @@ def _open_stream(uri: str):
         return open(re.sub(r"^file:(//)?", "", uri), "rb")
 
 
-def warc_pages(spark, path: str, glob: str = "*.warc.gz"):
+def warc_pages(spark, path: str, glob: str = "*.warc.gz",
+               types: Tuple[str, ...] = ("response",)):
     """Distributed WARC scan → the engine's input table shape.
 
     ``binaryFile`` does the file listing (its ``content`` column is
@@ -339,7 +397,10 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz"):
     guard asserts ``content`` is absent from ReadSchema); each path
     then streams through :func:`iter_warc_records` inside one
     ``mapInArrow`` stage, emitting :data:`BATCH_ROWS`-row Arrow
-    batches so a million-record file never accumulates in memory."""
+    batches so a million-record file never accumulates in memory.
+    Pass ``glob="*.warc.wet.gz", types=("conversion",)`` to scan WET
+    extracted-text output (:func:`write_wet`) back in — the text
+    arrives UTF-8-encoded in ``html`` with ``mime='text/plain'``."""
     import pyarrow as pa
 
     files = (spark.read.format("binaryFile")
@@ -350,6 +411,8 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz"):
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html", pa.binary()),
+        ("http_status", pa.int32()),
+        ("mime", pa.string()),
         ("warc_file", pa.string()),
         ("record_idx", pa.int32()),
         ("offset", pa.int64()),
@@ -366,7 +429,7 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz"):
                 stream = _open_stream(uri)
                 try:
                     rows: List[Dict[str, Any]] = []
-                    for rec in iter_warc_records(stream.read):
+                    for rec in iter_warc_records(stream.read, types):
                         rec["warc_file"] = name
                         rows.append(rec)
                         if len(rows) >= BATCH_ROWS:
@@ -378,6 +441,25 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz"):
                     stream.close()
 
     return files.mapInArrow(parse, WARC_PAGES_SCHEMA)
+
+
+# MIME types the extraction kernel can turn into text (HTML branch +
+# the %PDF magic-dispatch branch).
+EXTRACTABLE_MIMES = ("text/html", "application/pdf")
+
+
+def ok_pages(pages):
+    """The standard pre-extraction gate over a WARC scan: keep
+    successful fetches of extractable content (status 200, mime in
+    :data:`EXTRACTABLE_MIMES`, non-empty payload). Pure codegen
+    predicates that fuse into the scan's output — error pages and
+    redirect stubs never reach the extraction kernel."""
+    from pyspark.sql import functions as F
+
+    return pages.filter(
+        (F.col("http_status") == 200)
+        & F.col("mime").isin(*EXTRACTABLE_MIMES)
+        & (F.octet_length("html") > 0))
 
 
 # ------------------------------------ offset index + splittable scan
@@ -496,6 +578,8 @@ def warc_pages_sliced(spark, path: str,
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html", pa.binary()),
+        ("http_status", pa.int32()),
+        ("mime", pa.string()),
         ("warc_file", pa.string()),
         ("offset", pa.int64()),
     ])
@@ -540,31 +624,133 @@ def warc_pages_sliced(spark, path: str,
     n = max(slices.count(), 1)
     return (slices.repartition(n, "path", "start")
             .mapInArrow(parse, "url string, warc_ts timestamp, "
-                               "html binary, warc_file string, "
+                               "html binary, http_status int, "
+                               "mime string, warc_file string, "
                                "offset long"))
+
+
+# ----------------------------------------------------- WET output sink
+
+def wet_record_col(url_col: str = "url", ts_col: str = "warc_ts",
+                   text_col: str = "extracted_text"):
+    """The WET ``conversion`` record for one extracted document, as a
+    pure-codegen string Column (Common Crawl's .warc.wet layout: WARC
+    headers + the plain text as the block). Record-ID is
+    ``md5(url)`` so the record is a deterministic function of the
+    row. Content-Length counts UTF-8 BYTES (``octet_length``), not
+    characters — the mistake that breaks non-ASCII corpora."""
+    from pyspark.sql import functions as F
+
+    u, t = F.col(url_col), F.col(text_col)
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+              "WARC-Target-URI: "), u,
+        F.lit("\r\nWARC-Date: "),
+        # to_utc_timestamp(current_timezone) renders the instant in
+        # UTC under ANY session timezone; bare date_format would emit
+        # session-local wall time and shift dates on a non-UTC driver
+        F.date_format(
+            F.to_utc_timestamp(F.col(ts_col), F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"), F.md5(u.cast("binary")),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(t).cast("string"),
+        F.lit("\r\n\r\n"), t, F.lit("\r\n\r\n"))
+
+
+def write_wet(docs, out_dir: str, prefix: str = "extract") -> int:
+    """Write extracted documents ``(url, warc_ts, extracted_text)``
+    as .warc.wet.gz files — one file per partition, one gzip member
+    per record (so WET output is seekable/splittable exactly like the
+    input WARCs; :func:`warc_pages` reads it back with
+    ``types=("conversion",)`` via :func:`iter_warc_records`). Returns
+    the number of records written. Partition-parallel, no driver
+    data; repartition upstream to choose the file count/size."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches: Iterator[pa.RecordBatch]
+             ) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.wet.gz")
+        tmp = path + ".tmp"
+        n = 0
+        with open(tmp, "wb") as f:
+            for batch in batches:
+                for row in batch.to_pylist():
+                    text = (row["extracted_text"] or "").encode("utf-8")
+                    rid = hashlib.md5(
+                        row["url"].encode("utf-8")).hexdigest()
+                    rec = _warc_record("conversion", [
+                        ("WARC-Target-URI", row["url"]),
+                        ("WARC-Date", _warc_date(row["warc_ts"])),
+                        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                        ("Content-Type", "text/plain"),
+                    ], text)
+                    co = zlib.compressobj(6, zlib.DEFLATED, _GZ_WBITS)
+                    f.write(co.compress(rec) + co.flush())
+                    n += 1
+        if n:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)  # no empty files for empty partitions
+        yield pa.RecordBatch.from_pylist(
+            [{"n": n}], schema=pa.schema([("n", pa.int64())]))
+
+    counts = (docs.select("url", "warc_ts", "extracted_text")
+              .mapInArrow(dump, "n long").collect())
+    return sum(r["n"] for r in counts)
 
 
 # ------------------------------------------------- deterministic corpus
 
-def write_warc_corpus(out_dir: str, n_pages: int, n_files: int,
-                      seed: Optional[int] = None) -> List[str]:
-    """Materialize a deterministic .warc.gz corpus from the synthetic
-    pages source (``sources/pages.py`` — byte-stable per (seed,
-    row_id)), split contiguously across ``n_files``. Returns the file
-    paths. Used by the golden materializer and the tests; benches can
-    point :func:`warc_pages` at the same directory."""
-    import os
-
+def corpus_rows(lo: int, hi: int,
+                seed: Optional[int] = None) -> List[Dict[str, Any]]:
+    """Synthetic crawl rows [lo, hi): the pages source decorated with
+    the failure modes a real fetch log carries — ~1/19 of URLs came
+    back 404 (an error page body, no extractable content) and ~1/19
+    redirected 301 (empty body + Location). Draws key on the URL via
+    :func:`_stable_mod`, so they are byte-stable everywhere."""
     from .pages import DEFAULT_SEED, gen_page
 
     seed = DEFAULT_SEED if seed is None else seed
+    rows = []
+    for i in range(lo, hi):
+        row = gen_page(i, seed)
+        d = _stable_mod(row["url"] + "#status", 19)
+        if d == 0:
+            row["http_status"] = 404
+            row["html"] = (b"<html><body><h1>404 Not Found</h1>"
+                           b"</body></html>")
+        elif d == 1:
+            row["http_status"] = 301
+            row["html"] = b""
+            row["http_headers"] = (("Location",
+                                    row["url"] + "/moved"),)
+        rows.append(row)
+    return rows
+
+
+def write_warc_corpus(out_dir: str, n_pages: int, n_files: int,
+                      seed: Optional[int] = None) -> List[str]:
+    """Materialize a deterministic .warc.gz corpus from
+    :func:`corpus_rows`, split contiguously across ``n_files``.
+    Returns the file paths. Used by the golden materializer and the
+    tests; benches can point :func:`warc_pages` at the same
+    directory."""
+    import os
+
     os.makedirs(out_dir, exist_ok=True)
     per = -(-n_pages // n_files)  # ceil
     paths = []
     for fi in range(n_files):
         lo, hi = fi * per, min((fi + 1) * per, n_pages)
-        rows = [gen_page(i, seed) for i in range(lo, hi)]
-        data = build_warc_gz(rows)
+        data = build_warc_gz(corpus_rows(lo, hi, seed))
         p = os.path.join(out_dir, f"crawl-{fi:05d}.warc.gz")
         tmp = p + ".tmp"
         with open(tmp, "wb") as f:

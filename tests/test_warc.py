@@ -166,6 +166,39 @@ def test_warc_feeds_extraction(spark, corpus_dir):
         == res["extracted_text"]
 
 
+def test_status_and_mime_parse(rows):
+    # writer records what the row says; reader recovers it from the
+    # stored envelope — including the PDF mime by payload magic
+    decorated = [dict(r) for r in rows]
+    decorated[3]["http_status"] = 404
+    decorated[3]["html"] = b"<html>gone</html>"
+    decorated[4]["http_status"] = 301
+    decorated[4]["html"] = b""
+    decorated[4]["http_headers"] = (("Location", "https://y/"),)
+    got = _parse(W.build_warc_gz(decorated))
+    assert got[0]["http_status"] == 200
+    assert got[3]["http_status"] == 404
+    assert got[3]["html"] == b"<html>gone</html>"
+    assert got[4]["http_status"] == 301 and got[4]["html"] == b""
+    for w, g in zip(decorated, got):
+        want_mime = ("application/pdf" if w["html"][:4] == b"%PDF"
+                     else "text/html")
+        assert g["mime"] == want_mime, g["url"]
+
+
+def test_corpus_draws_failures_and_ok_pages_gates(spark, corpus_dir):
+    pages = W.warc_pages(spark, corpus_dir)
+    by_status = {r["http_status"]: r["cnt"] for r in
+                 pages.groupBy("http_status").count()
+                      .withColumnRenamed("count", "cnt").collect()}
+    assert by_status.get(404) and by_status.get(301)
+    ok = W.ok_pages(pages)
+    assert ok.count() == by_status[200]
+    kept = ok.select("http_status", "mime").distinct().collect()
+    assert all(r["http_status"] == 200
+               and r["mime"] in W.EXTRACTABLE_MIMES for r in kept)
+
+
 def test_offsets_are_seek_keys(data, rows):
     # the offset of every response record must be enterable cold: a
     # reader starting there sees that record first (the CDX contract)
@@ -232,3 +265,86 @@ def test_scan_plan_paths_only_single_arrow_stage(spark, corpus_dir):
     # file content column (files stream inside the Arrow stage)
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan and "content" not in scan[0]
+
+
+# ------------------------------------------------------------ WET sink
+
+@pytest.fixture(scope="module")
+def wet_docs(spark):
+    from datetime import datetime, timezone
+
+    rows = [("https://ex.org/a", datetime(2024, 5, 1, 12, 0, 0,
+                                          tzinfo=timezone.utc),
+             "plain ascii body"),
+            ("https://ex.org/b", datetime(2024, 5, 2, 3, 4, 5,
+                                          tzinfo=timezone.utc),
+             "umlauts äöü and € signs"),
+            ("https://ex.org/c", datetime(2024, 5, 3, 23, 59, 59,
+                                          tzinfo=timezone.utc),
+             ""),  # empty extraction still gets a record
+            ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, extracted_text string")
+
+
+def test_wet_round_trip(spark, wet_docs, tmp_path):
+    # write_wet → warc_pages(types=conversion) is a lossless cycle:
+    # the text comes back UTF-8 in `html`, mime text/plain, no status
+    out = str(tmp_path / "wet")
+    n = W.write_wet(wet_docs.repartition(2), out)
+    assert n == 3
+    back = {r["url"]: r for r in
+            W.warc_pages(spark, out, glob="*.warc.wet.gz",
+                         types=("conversion",)).collect()}
+    want = {r["url"]: r for r in wet_docs.collect()}
+    assert back.keys() == want.keys()
+    for url, w in want.items():
+        g = back[url]
+        assert bytes(g["html"]).decode("utf-8") == w["extracted_text"]
+        assert g["mime"] == "text/plain"
+        assert g["http_status"] is None  # no HTTP envelope in WET
+        assert g["warc_ts"].replace(tzinfo=None) \
+            == w["warc_ts"].replace(tzinfo=None)
+
+
+def test_wet_record_col_matches_writer(spark, wet_docs, tmp_path):
+    # the pure-codegen record column and the Python sink must emit
+    # byte-identical records — one contract, two implementations
+    out = str(tmp_path / "wet1")
+    W.write_wet(wet_docs.coalesce(1), out)
+    import glob as _g
+    import os
+
+    files = _g.glob(os.path.join(out, "*.warc.wet.gz"))
+    assert len(files) == 1
+    # each gzip member is exactly one record: the member iterator
+    # recovers the per-record bytes the sink emitted
+    members = list(W._iter_member_bytes(open(files[0], "rb").read))
+    got_cols = {r["url"]: r["rec"] for r in wet_docs.select(
+        "url", W.wet_record_col().alias("rec")).collect()}
+    assert len(members) == len(got_cols)
+    for m in members:
+        # WARC-Target-URI line identifies the record
+        uri = [ln for ln in m.split(b"\r\n")
+               if ln.startswith(b"WARC-Target-URI: ")][0]
+        url = uri.split(b": ", 1)[1].decode()
+        assert got_cols[url].encode("utf-8") == m, url
+
+
+def test_wet_empty_partitions_write_no_files(spark, wet_docs, tmp_path):
+    out = str(tmp_path / "wet2")
+    n = W.write_wet(wet_docs.repartition(8), out)
+    import glob as _g
+    import os
+
+    files = _g.glob(os.path.join(out, "*.warc.wet.gz"))
+    assert n == 3 and 0 < len(files) <= 3  # no empty-partition files
+
+
+def test_ok_pages_fuses_into_scan_stage(spark, corpus_dir):
+    # the pre-extraction gate is pure codegen predicates: it must not
+    # add an Exchange or a second Python stage over the WARC scan
+    df = W.ok_pages(W.warc_pages(spark, corpus_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "Exchange" not in plan
