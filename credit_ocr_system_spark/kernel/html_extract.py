@@ -29,6 +29,8 @@ from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Dict, List
 
+from .charset import decode_html
+
 STRIP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "svg", "head",
      "nav", "header", "footer", "aside", "iframe", "form", "button"}
@@ -400,7 +402,7 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
     8px/char with a single-space gap, so the downstream row/merge/pair
     kernel sees HTML and PDF documents through one interface.
     """
-    blocks = _collect_blocks(payload.decode("utf-8", errors="replace"))
+    blocks = _collect_blocks(decode_html(payload))
     kept = [b for b in blocks if _is_content(b)]
 
     elements: List[Dict[str, Any]] = []

@@ -36,11 +36,14 @@ Content design (exercises every kernel path, cf. FIXTURES.md §2):
 
 from __future__ import annotations
 
+import codecs
 import random
 from datetime import datetime, timedelta, timezone
 from typing import Any, Dict, Iterator, List
 
 import pandas as pd
+
+from .warc import _stable_mod as stable_mod
 
 DEFAULT_SEED = 42
 
@@ -384,6 +387,37 @@ def _pdf_page(rng: random.Random, values: Dict[str, str],
     return "\n".join(lines)
 
 
+def _encode_html(url: str, html: str) -> bytes:
+    """Encode an HTML page the way the legacy web does: most pages
+    ship plain UTF-8, but a deterministic URL-keyed slice goes out as
+    windows-1252 (labeled honestly, or under the classic
+    ``iso-8859-1`` lie), UTF-16LE behind a BOM, or BOM'd UTF-8 — the
+    spread ``kernel/charset.py`` must resolve before the DOM parse.
+
+    Keyed on :func:`stable_mod` of the url, NOT an rng draw: the
+    generator's draw stream is golden-pinned (same number and order
+    of draws), and these are encoding-ONLY variants — the decoded
+    text, and therefore every checked-in extraction golden, stays
+    byte-identical (a ``<meta>`` in head contributes no text block).
+    German pages carry umlauts/€/em-dashes, so the 1252 branches
+    exercise real non-ASCII transcoding, not an ASCII no-op."""
+    d = stable_mod(url + "#charset", 12)
+    if d in (0, 1):
+        tag = ('<meta charset="windows-1252">' if d == 0 else
+               '<meta http-equiv="Content-Type" '
+               'content="text/html; charset=iso-8859-1">')
+        try:
+            return html.replace("<head>", "<head>" + tag,
+                                1).encode("cp1252")
+        except UnicodeEncodeError:
+            return html.encode("utf-8")  # rare non-1252 char: ship utf-8
+    if d == 2:
+        return codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+    if d == 3:
+        return codecs.BOM_UTF8 + html.encode("utf-8")
+    return html.encode("utf-8")
+
+
 def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     """Generate one pages-table row as a plain dict."""
     rng = _row_rng(seed, row_id)
@@ -404,7 +438,8 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
     else:
-        payload = _html_page(rng, values, fields, title).encode("utf-8")
+        payload = _encode_html(url, _html_page(rng, values, fields,
+                                               title))
     return {
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=row_id),
