@@ -289,6 +289,9 @@ def _warc_golden() -> None:
                 "n_bytes": len(rec["html"]),
                 "http_status": rec["http_status"],
                 "mime": rec["mime"],
+                "charset": rec["charset"],
+                "content_encoding": rec["content_encoding"],
+                "redirect_to": rec["redirect_to"],
                 "warc_file": fname,
                 "record_idx": rec["record_idx"],
                 "offset": rec["offset"],
@@ -298,6 +301,8 @@ def _warc_golden() -> None:
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html_md5", pa.string()), ("n_bytes", pa.int64()),
         ("http_status", pa.int32()), ("mime", pa.string()),
+        ("charset", pa.string()), ("content_encoding", pa.string()),
+        ("redirect_to", pa.string()),
         ("warc_file", pa.string()), ("record_idx", pa.int32()),
         ("offset", pa.int64()),
     ]))

@@ -208,7 +208,9 @@ def x_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("warc_ts").alias("warc_us"),
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
-        "http_status", "mime", "warc_file", "record_idx")
+        "http_status", "mime", "charset", "content_encoding",
+        "redirect_to",
+        "warc_file", "record_idx")
 
 
 def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +228,9 @@ def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("warc_ts").alias("warc_us"),
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
-        "http_status", "mime", "warc_file", "offset")
+        "http_status", "mime", "charset", "content_encoding",
+        "redirect_to",
+        "warc_file", "offset")
 
 
 def x_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,12 +1610,16 @@ FROM read_parquet('{G.golden_path("x_media_real_frames.parquet")}')
 """,
         "x_warc_pages": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
-       html_md5, n_bytes, http_status, mime, warc_file, record_idx
+       html_md5, n_bytes, http_status, mime, charset, content_encoding,
+       redirect_to,
+       warc_file, record_idx
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,
         "x_warc_sliced": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
-       html_md5, n_bytes, http_status, mime, warc_file, "offset"
+       html_md5, n_bytes, http_status, mime, charset, content_encoding,
+       redirect_to,
+       warc_file, "offset"
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,
         # the WET record re-assembled from the kernel goldens: header

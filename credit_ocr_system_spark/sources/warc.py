@@ -88,10 +88,23 @@ _STATUS_REASON = {200: "OK", 301: "Moved Permanently",
 
 def _http_response(payload: bytes, chunked: bool, status: int = 200,
                    mime: str = "text/html",
+                   content_encoding: str = "",
                    extra: Tuple[Tuple[str, str], ...] = ()) -> bytes:
     reason = _STATUS_REASON.get(status, "Unknown")
     lines = [f"HTTP/1.1 {status} {reason}".encode("ascii"),
              b"Content-Type: " + mime.encode("ascii")]
+    if content_encoding:
+        # Content-Encoding applies BEFORE transfer framing (RFC 9110
+        # ordering): the framed body is the encoded representation
+        if content_encoding in ("gzip", "x-gzip"):
+            co = zlib.compressobj(6, zlib.DEFLATED, _GZ_WBITS)
+            payload = co.compress(payload) + co.flush()
+        elif content_encoding == "deflate":
+            payload = zlib.compress(payload, 6)
+        else:
+            raise ValueError(f"unsupported encoding {content_encoding}")
+        lines.append(b"Content-Encoding: "
+                     + content_encoding.encode("ascii"))
     lines += [k.encode("ascii") + b": " + v.encode("ascii")
               for k, v in extra]
     if chunked:
@@ -150,6 +163,7 @@ def build_warc_gz(rows: List[Dict[str, Any]], *,
         block = _http_response(
             payload, chunked=_stable_mod(url, 5) == 0,
             status=row.get("http_status", 200), mime=mime,
+            content_encoding=row.get("content_encoding", ""),
             extra=tuple(row.get("http_headers", ())))
         gz(_warc_record("response", [
             ("WARC-Target-URI", url), ("WARC-Date", date),
@@ -218,11 +232,39 @@ def _iter_member_bytes(read: Callable[[int], bytes]
         yield member
 
 
-def _parse_http_payload(block: bytes
-                        ) -> Optional[Tuple[bytes, int, str]]:
-    """``(payload, status, mime)`` of a stored HTTP response block:
-    split the header envelope, honor Content-Length / chunked
-    framing, read the status line and Content-Type."""
+def _content_decode(payload: bytes, encoding: bytes) -> bytes:
+    """Undo the HTTP Content-Encoding of a framed body. gzip and
+    deflate inflate via zlib — including the classic broken-server
+    raw-deflate (servers that send DEFLATE data without the zlib
+    wrapper; browsers tolerate it, so crawls contain it). br/zstd
+    need external codecs this container does not ship: their bytes
+    pass through UNDECODED (the encoding survives in the ``charset``-
+    sibling ``content_encoding`` column so a downstream stage can
+    gate or route them — the honest seam). A body that fails to
+    inflate yields ``b""`` (poison-guard contract)."""
+    enc = encoding.strip().lower()
+    if enc in (b"", b"identity"):
+        return payload
+    try:
+        if enc in (b"gzip", b"x-gzip"):
+            return zlib.decompress(payload, _GZ_WBITS)
+        if enc == b"deflate":
+            try:
+                return zlib.decompress(payload)
+            except zlib.error:
+                return zlib.decompress(payload, -zlib.MAX_WBITS)
+    except zlib.error:
+        return b""
+    return payload  # br / zstd / unknown: pass through, column names it
+
+
+def _parse_http_payload(block: bytes) -> Optional[Dict[str, Any]]:
+    """The stored HTTP response block parsed to ``{payload, status,
+    mime, charset, content_encoding, location}``: split the header
+    envelope, honor Content-Length / chunked framing, undo
+    Content-Encoding, and read status line, Content-Type (+ its
+    charset parameter — the transport-layer input to
+    ``kernel/charset.py``) and Location."""
     sep = block.find(_CRLF * 2)
     if sep < 0:
         return None
@@ -237,8 +279,25 @@ def _parse_http_payload(block: bytes
     for line in lines[1:]:
         k, _, v = line.partition(b":")
         hmap[k.strip().lower()] = v.strip()
-    mime = (hmap.get(b"content-type", b"")
-            .split(b";")[0].strip().decode("ascii", "replace"))
+    ctype = hmap.get(b"content-type", b"")
+    parts = ctype.split(b";")
+    mime = parts[0].strip().decode("ascii", "replace")
+    charset = ""
+    for part in parts[1:]:
+        k, _, v = part.partition(b"=")
+        if k.strip().lower() == b"charset":
+            charset = v.strip().strip(b'"').decode("ascii", "replace")
+    enc = hmap.get(b"content-encoding", b"")
+
+    def done(payload: bytes) -> Dict[str, Any]:
+        return {"payload": _content_decode(payload, enc),
+                "status": status, "mime": mime, "charset": charset,
+                "content_encoding":
+                    enc.strip().lower().decode("ascii", "replace"),
+                "location":
+                    hmap.get(b"location", b"").decode("utf-8",
+                                                      "replace")}
+
     if hmap.get(b"transfer-encoding", b"").lower() == b"chunked":
         out, pos = [], 0
         while True:
@@ -250,15 +309,15 @@ def _parse_http_payload(block: bytes
             except ValueError:
                 return None
             if n == 0:
-                return b"".join(out), status, mime
+                return done(b"".join(out))
             out.append(body[nl + 2:nl + 2 + n])
             pos = nl + 2 + n + 2  # skip data + trailing CRLF
     if b"content-length" in hmap:
         try:
-            return body[:int(hmap[b"content-length"])], status, mime
+            return done(body[:int(hmap[b"content-length"])])
         except ValueError:
             return None
-    return body, status, mime
+    return done(body)
 
 
 def _records_in_member(data: bytes) -> Iterator[Dict[str, Any]]:
@@ -315,14 +374,21 @@ def _response_row(rec: Dict[str, Any],
     if not rec["ctype"].startswith("application/http"):
         return {"url": rec["url"], "warc_ts": ts,
                 "html": rec["block"], "http_status": None,
-                "mime": rec["ctype"].split(";")[0].strip()}
+                "mime": rec["ctype"].split(";")[0].strip(),
+                "charset": None, "content_encoding": None,
+                "redirect_to": None}
     parsed = _parse_http_payload(rec["block"])
     if parsed is None:
         return {"url": rec["url"], "warc_ts": ts, "html": b"",
-                "http_status": None, "mime": ""}
-    payload, status, mime = parsed
-    return {"url": rec["url"], "warc_ts": ts, "html": payload,
-            "http_status": status, "mime": mime}
+                "http_status": None, "mime": "",
+                "charset": None, "content_encoding": None,
+                "redirect_to": None}
+    return {"url": rec["url"], "warc_ts": ts,
+            "html": parsed["payload"],
+            "http_status": parsed["status"], "mime": parsed["mime"],
+            "charset": parsed["charset"] or None,
+            "content_encoding": parsed["content_encoding"] or None,
+            "redirect_to": parsed["location"] or None}
 
 
 def iter_warc_records(read: Callable[[int], bytes],
@@ -369,7 +435,8 @@ def read_warc_file(path: str,
 # ----------------------------------------------------------- Spark scan
 
 WARC_PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
-                     "http_status int, mime string, "
+                     "http_status int, mime string, charset string, "
+                     "content_encoding string, redirect_to string, "
                      "warc_file string, record_idx int, offset long")
 
 
@@ -413,6 +480,9 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz",
         ("html", pa.binary()),
         ("http_status", pa.int32()),
         ("mime", pa.string()),
+        ("charset", pa.string()),
+        ("content_encoding", pa.string()),
+        ("redirect_to", pa.string()),
         ("warc_file", pa.string()),
         ("record_idx", pa.int32()),
         ("offset", pa.int64()),
@@ -580,6 +650,9 @@ def warc_pages_sliced(spark, path: str,
         ("html", pa.binary()),
         ("http_status", pa.int32()),
         ("mime", pa.string()),
+        ("charset", pa.string()),
+        ("content_encoding", pa.string()),
+        ("redirect_to", pa.string()),
         ("warc_file", pa.string()),
         ("offset", pa.int64()),
     ])
@@ -625,8 +698,10 @@ def warc_pages_sliced(spark, path: str,
     return (slices.repartition(n, "path", "start")
             .mapInArrow(parse, "url string, warc_ts timestamp, "
                                "html binary, http_status int, "
-                               "mime string, warc_file string, "
-                               "offset long"))
+                               "mime string, charset string, "
+                               "content_encoding string, "
+                               "redirect_to string, "
+                               "warc_file string, offset long"))
 
 
 # ----------------------------------------------------- WET output sink
@@ -712,9 +787,13 @@ def write_wet(docs, out_dir: str, prefix: str = "extract") -> int:
 def corpus_rows(lo: int, hi: int,
                 seed: Optional[int] = None) -> List[Dict[str, Any]]:
     """Synthetic crawl rows [lo, hi): the pages source decorated with
-    the failure modes a real fetch log carries — ~1/19 of URLs came
-    back 404 (an error page body, no extractable content) and ~1/19
-    redirected 301 (empty body + Location). Draws key on the URL via
+    the envelope realities a real fetch log carries — ~1/19 of URLs
+    came back 404 (an error page body, no extractable content), ~1/19
+    redirected 301 (empty body + Location), ~2/9 of successful bodies
+    ship Content-Encoding gzip/deflate, and pages the generator
+    encoded as windows-1252 (``pages._encode_html``, SAME hash key)
+    carry the matching — or classically lying ``iso-8859-1`` —
+    charset parameter on Content-Type. Draws key on the URL via
     :func:`_stable_mod`, so they are byte-stable everywhere."""
     from .pages import DEFAULT_SEED, gen_page
 
@@ -732,6 +811,18 @@ def corpus_rows(lo: int, hi: int,
             row["html"] = b""
             row["http_headers"] = (("Location",
                                     row["url"] + "/moved"),)
+        else:
+            e = _stable_mod(row["url"] + "#ce", 9)
+            if e == 0:
+                row["content_encoding"] = "gzip"
+            elif e == 1:
+                row["content_encoding"] = "deflate"
+            if row["html"][:4] != b"%PDF":
+                c = _stable_mod(row["url"] + "#charset", 12)
+                if c == 0:
+                    row["mime"] = "text/html; charset=windows-1252"
+                elif c == 1:
+                    row["mime"] = "text/html; charset=iso-8859-1"
         rows.append(row)
     return rows
 

@@ -348,3 +348,101 @@ def test_ok_pages_fuses_into_scan_stage(spark, corpus_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan
+
+
+# -------------------------------------- HTTP envelope: encoding/charset
+
+def test_content_encoding_round_trip(rows):
+    decorated = [dict(r) for r in rows]
+    decorated[0]["content_encoding"] = "gzip"
+    decorated[1]["content_encoding"] = "deflate"
+    got = _parse(W.build_warc_gz(decorated))
+    for i in (0, 1):
+        assert got[i]["html"] == rows[i]["html"], i  # inflated back
+
+
+def test_broken_raw_deflate_tolerated():
+    import io
+    import zlib as _z
+
+    # the classic broken server: DEFLATE bits without the zlib wrapper
+    payload = b"<html><body>Label: value body text</body></html>"
+    co = _z.compressobj(6, _z.DEFLATED, -_z.MAX_WBITS)
+    raw = co.compress(payload) + co.flush()
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Content-Encoding: deflate\r\nContent-Length: "
+             + str(len(raw)).encode() + b"\r\n\r\n" + raw)
+    rec = W._warc_record("response", [
+        ("WARC-Target-URI", "https://x/"),
+        ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ("Content-Type", "application/http; msgtype=response"),
+    ], block)
+    co2 = _z.compressobj(6, _z.DEFLATED, W._GZ_WBITS)
+    data = co2.compress(rec) + co2.flush()
+    got = _parse(data)
+    assert got[0]["html"] == payload
+
+
+def test_unknown_encoding_passes_through():
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX")
+    rec = W._warc_record("response", [
+        ("WARC-Target-URI", "https://x/"),
+        ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ("Content-Type", "application/http; msgtype=response"),
+    ], block)
+    import zlib as _z
+
+    co = _z.compressobj(6, _z.DEFLATED, W._GZ_WBITS)
+    got = _parse(co.compress(rec) + co.flush())
+    assert got[0]["html"] == b"XXXX"  # undecoded, not dropped
+
+
+def test_charset_param_and_location_surface(rows):
+    decorated = [dict(r) for r in rows]
+    decorated[0]["mime"] = "text/html; charset=windows-1252"
+    decorated[1]["http_status"] = 301
+    decorated[1]["html"] = b""
+    decorated[1]["http_headers"] = (("Location", "https://y/new"),)
+    got = _parse(W.build_warc_gz(decorated))
+    assert got[0]["mime"] == "text/html"  # param split off
+    assert got[0]["charset"] == "windows-1252"
+    assert got[1]["redirect_to"] == "https://y/new"
+    assert got[2]["charset"] is None and got[2]["redirect_to"] is None
+
+
+def test_corpus_charset_header_matches_page_bytes(corpus_dir, spark):
+    # the header charset must truthfully describe the page bytes the
+    # generator emitted (same url-hash key on both sides): decoding
+    # with the DECLARED charset must round-trip the meta-tagged text
+    from credit_ocr_system_spark.kernel.charset import decode_html
+
+    rows = W.warc_pages(spark, corpus_dir).filter(
+        "charset is not null").collect()
+    assert rows, "corpus drew no charset-labeled pages"
+    for r in rows:
+        text = decode_html(bytes(r["html"]),
+                           f"text/html; charset={r['charset']}")
+        assert "�" not in text, r["url"]
+        assert "charset" in text[:200]  # the injected meta tag
+
+
+def test_corpus_draws_content_encodings(corpus_dir, spark):
+    # ~2/9 of OK rows gzip/deflate; the scan must inflate them all:
+    # every OK html row DECODES to markup (a BOM-or-< opener) — a body
+    # that survived un-inflated would decode to compressor noise
+    from credit_ocr_system_spark.kernel.charset import decode_html
+
+    pages = W.ok_pages(W.warc_pages(spark, corpus_dir))
+    rows = pages.filter("mime = 'text/html'").collect()
+    assert rows
+    for r in rows:
+        assert decode_html(bytes(r["html"])).lstrip()[:1] == "<", \
+            r["url"]
+
+
+def test_content_encoding_column_and_coverage(corpus_dir, spark):
+    pages = W.warc_pages(spark, corpus_dir)
+    enc = {r["content_encoding"] for r in
+           pages.select("content_encoding").distinct().collect()}
+    assert {"gzip", "deflate", None} <= enc  # the corpus draws both
