@@ -142,6 +142,8 @@ HEADLINE = [
     "canonical_pages",
     "blocklist_filter",
     "domain_stats",
+    # bounded-hop redirect resolution over the crawl's 3xx edges
+    "resolve_redirects",
 ]
 
 

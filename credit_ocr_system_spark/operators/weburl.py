@@ -157,6 +157,62 @@ def blocklist_filter(visits: DataFrame, blocked: DataFrame) -> DataFrame:
     return _collapse(kept)
 
 
+def redirect_edges(visits: DataFrame) -> DataFrame:
+    """Distinct canonical redirect edges from the crawl log's 3xx
+    rows: both endpoints canonicalized, self-loops dropped, ONE
+    deterministic target per source (min dst — a source that answered
+    differently across fetches must still resolve reproducibly)."""
+    redir = visits.filter(
+        F.col("fetch_status").between(300, 399)
+        & F.col("redirect_to").isNotNull())
+    src = (with_canonical(redir)
+           .select(F.col("canonical_url").alias("src"), "redirect_to"))
+    both = (with_canonical(src, url_col="redirect_to")
+            .select("src", F.col("canonical_url").alias("dst")))
+    return (both.filter(F.col("src") != F.col("dst"))
+            .groupBy("src").agg(F.min("dst").alias("dst")))
+
+
+def resolve_redirects(visits: DataFrame,
+                      max_hops: int = 4) -> DataFrame:
+    """canonical url → ``(final_url, hops, resolved)`` after following
+    the crawl's redirect edges up to ``max_hops``.
+
+    Fixed UNROLLED left joins, not a driver loop-until-fixpoint: real
+    chains are 1–3 hops (www→apex→https→destination); anything deeper
+    is a cycle or misconfiguration and reports ``resolved=false``
+    (the final url still has an outgoing edge). hops counts edges
+    actually followed.
+
+    Scale shape: the edge table is the 3xx slice of the log collapsed
+    to one row per canonical source — orders of magnitude smaller
+    than the corpus — so every hop is a broadcast join over the big
+    side with zero shuffles and lineage depth fixed at ``max_hops``
+    (no iteration-dependent growth, nothing to checkpoint). Drop the
+    broadcast hint only for pathological redirect-heavy logs."""
+    edges = redirect_edges(visits)
+    out = (with_canonical(visits)
+           .select(F.col("canonical_url").alias("url")).distinct()
+           .select("url", F.col("url").alias("final_url"),
+                   F.lit(0).alias("hops")))
+    for i in range(max_hops):
+        e = F.broadcast(edges.select(
+            F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}")))
+        step = F.col(f"_d{i}")
+        out = (out.join(e, out.final_url == F.col(f"_s{i}"), "left")
+               .select(out.url,
+                       F.coalesce(step, out.final_url)
+                        .alias("final_url"),
+                       (out.hops + F.when(step.isNotNull(), 1)
+                        .otherwise(0)).alias("hops")))
+    probe = F.broadcast(edges.select(
+        F.col("src").alias("final_url"), F.lit(True).alias("_more")))
+    return (out.join(probe, "final_url", "left")
+            .select("url", "final_url",
+                    F.col("hops").cast("int").alias("hops"),
+                    F.col("_more").isNull().alias("resolved")))
+
+
 def domain_stats(visits: DataFrame) -> DataFrame:
     """Per registered host: fetch/error volume, distinct canonical
     pages, revisit rate, and the blocklist flag — the domain-prior

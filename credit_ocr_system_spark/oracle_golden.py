@@ -235,6 +235,7 @@ def _visits_golden() -> None:
         ("visit_id", pa.int64()), ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("fetch_status", pa.int32()), ("content_sha", pa.string()),
+        ("redirect_to", pa.string()),
     ]))
 
 

@@ -360,6 +360,15 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_visits(spark))
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled both ways (like canonical_pages): DuckDB re-derives
+    edge extraction + the unrolled bounded-hop resolution with its own
+    canonicalization chain run over BOTH endpoints."""
+    from .operators.weburl import resolve_redirects
+
+    return resolve_redirects(_visits(spark))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the extraction engine applied to driver testdata —
     documents wrapped as HTML pages, through kernel + field join."""
@@ -1827,6 +1836,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "canonical_pages": q_canonical_pages,
         "blocklist_filter": q_blocklist_filter,
         "domain_stats": q_domain_stats,
+        "resolve_redirects": q_resolve_redirects,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1895,6 +1905,7 @@ _DRIVER_PRIORITY = [
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records",
     "canonical_pages", "blocklist_filter", "domain_stats",
+    "resolve_redirects",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2065,29 +2076,28 @@ GROUP BY 1, 2
 """
 
 
-def _weburl_ctes(visits_path: str) -> str:
-    """Independent DuckDB derivation of the weburl canonicalization
-    rule (operators/weburl.py module docstring, rules 1-5). Only the
-    literal constants (tracking keys, default ports) are shared with
-    the Spark implementation — the parsing/normalization logic is
-    written twice on purpose, so the hash-compare checks the rule."""
+def _canon_chain(src_cte: str, pfx: str, out: str,
+                 carry: str) -> str:
+    """One CTE chain applying the canonicalization rule to the ``url``
+    column of ``src_cte``; emits CTE ``out`` with ``{carry}`` plus
+    canonical_host / canonical_url. Prefixed CTE names let one oracle
+    run the chain twice (e.g. over redirect targets)."""
     from .operators.weburl import DEFAULT_PORTS, TRACKING_KEYS
 
     trk = ", ".join(f"'{k}'" for k in TRACKING_KEYS)
     dflt = " OR ".join(f"(scheme = '{s}' AND port = '{p}')"
                        for s, p in DEFAULT_PORTS)
     return f"""
-v AS (SELECT * FROM read_parquet('{visits_path}')),
-p1 AS (SELECT *, split_part(url, '#', 1) AS base FROM v),
-p2 AS (SELECT *,
+{pfx}1 AS (SELECT *, split_part(url, '#', 1) AS base FROM {src_cte}),
+{pfx}2 AS (SELECT *,
         lower(regexp_extract(base,
               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-       FROM p1),
-p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+       FROM {pfx}1),
+{pfx}3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-       FROM p2),
-p4 AS (SELECT *,
+       FROM {pfx}2),
+{pfx}4 AS (SELECT *,
         regexp_replace(lower(split_part(hostport, ':', 1)),
                        '^www\\.', '') AS host,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
@@ -2095,8 +2105,8 @@ p4 AS (SELECT *,
         CASE WHEN strpos(pathq, '?') > 0
              THEN substr(pathq, strpos(pathq, '?') + 1)
              ELSE '' END AS qraw
-       FROM p3),
-p5 AS (SELECT *,
+       FROM {pfx}3),
+{pfx}5 AS (SELECT *,
         regexp_replace(regexp_replace(path0, '/index\\.html$', '/'),
                        '/+$', '') AS pstrip,
         -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
@@ -2109,14 +2119,28 @@ p5 AS (SELECT *,
           '&'), '') AS qcanon,
         CASE WHEN port = '' OR {dflt}
              THEN '' ELSE ':' || port END AS portc
-       FROM p4),
-canon AS (SELECT visit_id, url, warc_ts, fetch_status, content_sha,
+       FROM {pfx}4),
+{out} AS (SELECT {carry},
         host AS canonical_host,
         scheme || '://' || host || portc
           || CASE WHEN pstrip = '' THEN '/' ELSE pstrip END
           || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
           AS canonical_url
-       FROM p5)"""
+       FROM {pfx}5)"""
+
+
+def _weburl_ctes(visits_path: str) -> str:
+    """Independent DuckDB derivation of the weburl canonicalization
+    rule (operators/weburl.py module docstring, rules 1-5). Only the
+    literal constants (tracking keys, default ports) are shared with
+    the Spark implementation — the parsing/normalization logic is
+    written twice on purpose, so the hash-compare checks the rule."""
+    return (f"""
+v AS (SELECT * FROM read_parquet('{visits_path}')),"""
+            + _canon_chain(
+                "v", "p", "canon",
+                "visit_id, url, warc_ts, fetch_status, content_sha, "
+                "redirect_to"))
 
 
 def _canonical_pages_sql(visits_path: str, extra_where: str = "") -> str:
@@ -2132,6 +2156,35 @@ SELECT canonical_url, canonical_host,
  max_by(content_sha, warc_ts) AS last_sha
 FROM canon WHERE fetch_status = 200{extra_where}
 GROUP BY canonical_url, canonical_host
+"""
+
+
+def _resolve_redirects_sql(visits_path: str, max_hops: int = 4) -> str:
+    hops = []
+    prev = "u0"
+    for i in range(1, max_hops + 1):
+        hops.append(f"""
+u{i} AS (SELECT u.url, COALESCE(e.dst, u.final_url) AS final_url,
+         u.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
+        FROM {prev} u LEFT JOIN edges e ON u.final_url = e.src),""")
+        prev = f"u{i}"
+    steps = "".join(hops)
+    rchain = _canon_chain("redir", "r", "rcanon", "src_url")
+    return f"""
+WITH {_weburl_ctes(visits_path)},
+redir AS (SELECT canonical_url AS src_url, redirect_to AS url
+          FROM canon
+          WHERE fetch_status BETWEEN 300 AND 399
+            AND redirect_to IS NOT NULL),{rchain},
+edges AS (SELECT src_url AS src, MIN(canonical_url) AS dst
+          FROM rcanon WHERE src_url <> canonical_url
+          GROUP BY src_url),
+u0 AS (SELECT DISTINCT canonical_url AS url,
+              canonical_url AS final_url, 0 AS hops FROM canon),{steps}
+fin AS (SELECT u.url, u.final_url, u.hops,
+               (e.src IS NULL) AS resolved
+        FROM {prev} u LEFT JOIN edges e ON u.final_url = e.src)
+SELECT url, final_url, CAST(hops AS INT) AS hops, resolved FROM fin
 """
 
 
@@ -2163,6 +2216,13 @@ SELECT canonical_host,
  canonical_host IN ({blk}) AS is_blocked
 FROM canon GROUP BY canonical_host
 """,
+        # bounded-hop redirect resolution: the same unrolled-join
+        # semantics as the operator (4 hops, min-dst edges, self-loops
+        # dropped, resolved = no outgoing edge at the final url); the
+        # canonicalization chain runs a SECOND time over the redirect
+        # targets (CTE prefix r), so both endpoints go through the
+        # independently-written SQL rule
+        "resolve_redirects": _resolve_redirects_sql(visits),
     }
 
 

@@ -57,12 +57,13 @@ from typing import Any, Dict, Iterator
 
 import pandas as pd
 
-from .pages import _DOMAINS, _EPOCH, _row_rng
+from .pages import _DOMAINS, _EPOCH, _row_rng, stable_mod
 
 DEFAULT_SEED = 42
 
 VISITS_SCHEMA = ("visit_id bigint, url string, warc_ts timestamp, "
-                 "fetch_status int, content_sha string")
+                 "fetch_status int, content_sha string, "
+                 "redirect_to string")
 
 _SECTIONS = ("news", "blog", "shop", "docs")
 _CONTENT_PARAMS = (("lang", ("en", "de")), ("sort", ("asc", "desc")),
@@ -94,6 +95,26 @@ def _page_identity(seed: int, page_id: int) -> Dict[str, Any]:
                                     rng.randrange(1, 3)):
             params.append((key, rng.choice(vals)))
     return {"host": host, "path": path, "params": params}
+
+
+def _page_redirects(seed: int, page_id: int) -> bool:
+    """~1/9 of logical pages are server-level redirects — keyed on
+    the PAGE (every fetch of it agrees), via :func:`stable_mod` so no
+    rng draw shifts and the decision is process-stable."""
+    return stable_mod(f"{seed}:redir:{page_id}", 9) == 0
+
+
+def _redirect_target(seed: int, page_id: int, pool: int) -> str:
+    """The canonical URL the page 301s to: another page's identity
+    rendered canonically (sorted content params, no mess). Targets
+    are themselves pages, so ~1/9 of targets redirect again — real
+    chains (and the odd cycle) arise naturally and the resolver has
+    something honest to bound."""
+    tp = (page_id * 31 + 7) % pool
+    ident = _page_identity(seed, tp)
+    q = "&".join(sorted(f"{k}={v}" for k, v in ident["params"]))
+    return (f"https://{ident['host']}{ident['path']}"
+            + (f"?{q}" if q else ""))
 
 
 def gen_visit(visit_id: int, seed: int = DEFAULT_SEED,
@@ -130,12 +151,20 @@ def gen_visit(visit_id: int, seed: int = DEFAULT_SEED,
     rev = rng.choice((0, 0, 0, 1, 1, 2))
     sha = hashlib.md5(f"{page_id}:{rev}".encode()).hexdigest()
     status = 404 if rng.random() < 0.06 else 200
+    redirect_to = None
+    if _page_redirects(seed, page_id):
+        # server-level: overrides the per-fetch 404 draw (the draws
+        # above still happen, so the rng stream is unchanged)
+        status = 301
+        sha = hashlib.md5(f"{page_id}:redirect".encode()).hexdigest()
+        redirect_to = _redirect_target(seed, page_id, n_pages)
     return {
         "visit_id": visit_id,
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=13 * visit_id),
         "fetch_status": status,
         "content_sha": sha,
+        "redirect_to": redirect_to,
     }
 
 

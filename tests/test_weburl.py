@@ -129,3 +129,49 @@ def test_domain_stats_plan_two_level_distinct(spark, small_visits):
     assert "SortAggregate" not in p
     assert "HashAggregate" in p
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+# ----------------------------------------------- redirect resolution
+
+def test_redirect_rows_in_generator():
+    pool = 220  # 400 visits → pool 220
+    rows = [gen_visit(i, n_pages=pool) for i in range(400)]
+    redir = [r for r in rows if r["fetch_status"] == 301]
+    assert redir, "no redirect pages drawn"
+    assert all(r["redirect_to"] for r in redir)
+    assert all(r["redirect_to"] is None for r in rows
+               if r["fetch_status"] != 301)
+    # page-keyed: every fetch of a redirecting page agrees
+    by_target = {}
+    for r in redir:
+        by_target.setdefault(r["url"].split("/")[-1], set()) \
+            .add(r["redirect_to"])
+
+
+def test_resolve_redirects_semantics(spark, small_visits):
+    res = W.resolve_redirects(small_visits)
+    rows = {r["url"]: r for r in res.collect()}
+    edges = {r["src"]: r["dst"]
+             for r in W.redirect_edges(small_visits).collect()}
+    assert rows and edges
+    multi = [r for r in rows.values() if r["hops"] >= 2]
+    assert multi, "corpus drew no multi-hop chain"
+    for r in rows.values():
+        # re-derive by walking the edge map
+        cur, hops = r["url"], 0
+        for _ in range(4):
+            if cur in edges:
+                cur, hops = edges[cur], hops + 1
+        assert (r["final_url"], r["hops"]) == (cur, hops), r["url"]
+        assert r["resolved"] == (cur not in edges)
+    # no self-loop edges survive extraction
+    assert all(s != d for s, d in edges.items())
+
+
+def test_resolve_redirects_plan_broadcast_hops(spark, small_visits):
+    # every hop join broadcasts the edge table; the big side is never
+    # shuffled for a join and nothing degenerates to a cartesian
+    p = _plan(W.resolve_redirects(small_visits))
+    assert p.count("BroadcastHashJoin") == 5  # 4 hops + resolved probe
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
