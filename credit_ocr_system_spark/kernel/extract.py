@@ -63,5 +63,9 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict[str, Any]:
         "missing_fields": fields["missing_fields"],
         "validation_results": fields["validation_results"],
         "page_count": base["page_count"],
+        # indexing directives: HTML <head> carries them; PDFs have no
+        # equivalent surface, so the PDF branch reports none
+        "link_canonical": base.get("link_canonical", ""),
+        "noindex": base.get("noindex", False),
         "processing_timestamp": PROCESSING_TIMESTAMP,
     }

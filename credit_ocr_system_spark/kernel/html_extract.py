@@ -81,6 +81,12 @@ class _BlockCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: List[Dict[str, Any]] = []
+        # indexing directives from <head> (stripped for CONTENT, but
+        # its <link>/<meta> carry the corpus's dedup/keep signals):
+        # rel=canonical href (first wins, like browsers) and
+        # robots-noindex. Captured here so both parser paths agree.
+        self.link_canonical: str = ""
+        self.noindex: bool = False
         self._strip_depth = 0
         self._anchor_depth = 0
         self._segments: List[Dict[str, Any]] = []
@@ -121,7 +127,21 @@ class _BlockCollector(HTMLParser):
         self._anchor_chars = 0
         self._saw_ws = True
 
+    def _head_directives(self, tag: str, attrs) -> None:
+        a = {k: (v or "") for k, v in attrs}
+        if tag == "link":
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and not self.link_canonical:
+                self.link_canonical = a.get("href", "").strip()
+        else:  # meta
+            if a.get("name", "").lower() == "robots":
+                toks = re.split(r"[,\s]+", a.get("content", "").lower())
+                if "noindex" in toks:
+                    self.noindex = True
+
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("link", "meta") and attrs:
+            self._head_directives(tag, attrs)
         if self._strip_depth:
             if tag not in ("br", "img", "hr", "input", "meta", "link"):
                 self._strip_depth += 1
@@ -359,18 +379,18 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
     h._flush_block()
 
 
-def _collect_blocks(text: str) -> List[Dict[str, Any]]:
+def _collect_blocks(text: str) -> "_BlockCollector":
     if _HAVE_FAST and not _FORCE_STDLIB:
         parser = _BlockCollector()
         try:
             _fast_feed(parser, text)
-            return parser.blocks
+            return parser
         except _FastBail:
             pass  # fall through: reparse from scratch with stdlib
     parser = _BlockCollector()
     parser.feed(text)
     parser.close()
-    return parser.blocks
+    return parser
 
 
 def _is_content(block: Dict[str, Any]) -> bool:
@@ -402,8 +422,8 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
     8px/char with a single-space gap, so the downstream row/merge/pair
     kernel sees HTML and PDF documents through one interface.
     """
-    blocks = _collect_blocks(decode_html(payload))
-    kept = [b for b in blocks if _is_content(b)]
+    parsed = _collect_blocks(decode_html(payload))
+    kept = [b for b in parsed.blocks if _is_content(b)]
 
     elements: List[Dict[str, Any]] = []
     spans: List[Dict[str, int]] = []
@@ -442,4 +462,6 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
         "spans": spans,
         "elements": elements,
         "page_count": page_count,
+        "link_canonical": parsed.link_canonical,
+        "noindex": parsed.noindex,
     }

@@ -47,6 +47,7 @@ EXTRACTED_SCHEMA = (
     f"pairs array<struct<pair_idx:int,label:string,value:string,page:int,"
     f"confidence:double,pair_type:string,bounding_box:{_BBOX}>>, "
     "n_elements int, n_pairs int, bytes_in bigint, kernel_us bigint, "
+    "link_canonical string, noindex boolean, "
     "error string"
 )
 
@@ -80,6 +81,8 @@ PA_EXTRACTED_SCHEMA = pa.schema([
     ("n_pairs", pa.int32()),
     ("bytes_in", pa.int64()),
     ("kernel_us", pa.int64()),
+    ("link_canonical", pa.string()),
+    ("noindex", pa.bool_()),
     ("error", pa.string()),
 ])
 
@@ -160,6 +163,8 @@ def _extract_batches(
                 "n_pairs": len(res["pairs"]),
                 "bytes_in": len(payload) if payload is not None else 0,
                 "kernel_us": elapsed_us,
+                "link_canonical": res.get("link_canonical") or None,
+                "noindex": bool(res.get("noindex", False)),
                 "error": err,
             })
         if (not guard_off and n_errors == len(rows)

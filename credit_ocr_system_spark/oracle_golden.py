@@ -96,6 +96,8 @@ def _kernel_goldens() -> None:
             "n_elements": len(res["elements"]),
             "n_pairs": len(res["pairs"]),
             "bytes_in": len(p["html"]),
+            "link_canonical": res["link_canonical"] or None,
+            "noindex": res["noindex"],
             # capture time as epoch micros (engine-portable; the WET
             # oracle rebuilds the WARC-Date header from it)
             "warc_us": int(p["warc_ts"].timestamp()) * 1_000_000,
@@ -118,6 +120,7 @@ def _kernel_goldens() -> None:
         ("page_count", pa.int32()), ("extracted_text", pa.string()),
         ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
         ("bytes_in", pa.int64()), ("warc_us", pa.int64()),
+        ("link_canonical", pa.string()), ("noindex", pa.bool_()),
     ]))
 
     scan_rows = []

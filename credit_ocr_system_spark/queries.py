@@ -255,6 +255,18 @@ def x_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("rec").cast("int").alias("rec_bytes"))
 
 
+def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the <head> indexing directives (rel=canonical
+    href — including renders that declare ANOTHER url canonical — and
+    robots noindex) surfaced by the extraction kernel through the
+    distributed Arrow stage. These are the server-declared dedup/keep
+    signals URL canonicalization alone cannot see."""
+    from .operators.extraction import extract_pages
+
+    return extract_pages(_x_pages(spark)).select(
+        "url", "link_canonical", "noindex")
+
+
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the SVG overlays from the
     materialized kernel elements (integer-pixel coords + pinned
@@ -1531,6 +1543,9 @@ def _x_oracles() -> Dict[str, str]:
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{docs}')
 """,
+        "x_head_meta": f"""
+SELECT url, link_canonical, noindex FROM read_parquet('{docs}')
+""",
         "x_extract_scanned": f"""
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{G.golden_path("x_scan_docs.parquet")}')
@@ -1878,6 +1893,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_annotations": x_annotations,
         # WARC container ingestion (binaryFile listing + streaming
         # gzip-member parse; _sliced = offset-index splittable scan)
+        "x_head_meta": x_head_meta,
         "x_warc_pages": x_warc_pages,
         "x_warc_sliced": x_warc_sliced,
         "x_wet_records": x_wet_records,
@@ -1903,7 +1919,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
-    "x_warc_pages", "x_warc_sliced", "x_wet_records",
+    "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects",
     # new in r4

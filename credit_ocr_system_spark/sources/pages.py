@@ -418,6 +418,27 @@ def _encode_html(url: str, html: str) -> bytes:
     return html.encode("utf-8")
 
 
+def _decorate_head(url: str, html: str) -> str:
+    """Inject the indexing directives a real crawl carries: ~1/6 of
+    pages declare themselves canonical, ~1/6 declare ANOTHER url
+    canonical (the print/amp/mirror pattern URL-dedup must honor),
+    ~1/17 are robots-noindex. URL-hash keyed (no rng draws shift) and
+    head-only (zero text blocks), so extraction text/geometry — and
+    every checked-in golden — stay byte-identical."""
+    tags = []
+    c = stable_mod(url + "#canon", 6)
+    if c == 0:
+        tags.append(f'<link rel="canonical" href="{url}">')
+    elif c == 1:
+        tags.append('<link rel="canonical" href="'
+                    + url.replace("/credit/", "/c/") + '">')
+    if stable_mod(url + "#noindex", 17) == 0:
+        tags.append('<meta name="robots" content="noindex, follow">')
+    if not tags:
+        return html
+    return html.replace("<head>", "<head>" + "".join(tags), 1)
+
+
 def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     """Generate one pages-table row as a plain dict."""
     rng = _row_rng(seed, row_id)
@@ -438,8 +459,8 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
     else:
-        payload = _encode_html(url, _html_page(rng, values, fields,
-                                               title))
+        payload = _encode_html(url, _decorate_head(
+            url, _html_page(rng, values, fields, title)))
     return {
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=row_id),

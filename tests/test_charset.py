@@ -134,3 +134,68 @@ def test_encode_html_non_1252_char_ships_utf8():
                if stable_mod(u + "#charset", 12) == 0)
     data = _encode_html(url, html)
     assert data.decode("utf-8") == html  # fell back, no meta injected
+
+
+# -------------------------------------------- head indexing directives
+
+def test_head_meta_parse_unit():
+    from credit_ocr_system_spark.kernel.html_extract import extract_html
+
+    h = (b'<html><head><title>t</title>'
+         b'<link rel="canonical" href="https://x/a">'
+         b'<meta name="robots" content="NOINDEX, follow"></head>'
+         b'<body><p>Label: value body text here</p></body></html>')
+    res = extract_html(h)
+    assert res["link_canonical"] == "https://x/a"
+    assert res["noindex"] is True
+    # first canonical wins; robots without noindex stays False
+    h2 = (b'<head><link rel=canonical href="https://x/1">'
+          b'<link rel=canonical href="https://x/2">'
+          b'<meta name=robots content="nofollow"></head>')
+    res2 = extract_html(h2)
+    assert res2["link_canonical"] == "https://x/1"
+    assert res2["noindex"] is False
+    # absent entirely → empty/False
+    res3 = extract_html(b"<p>Label: value text here</p>")
+    assert res3["link_canonical"] == "" and res3["noindex"] is False
+
+
+def test_corpus_draws_head_directives():
+    from credit_ocr_system_spark.kernel.extract import extract_document
+
+    self_c = other_c = noidx = none_c = 0
+    for i in range(300):
+        p = gen_page(i)
+        if p["html"][:4] == b"%PDF":
+            continue
+        res = extract_document(p["url"], p["html"])
+        if res["link_canonical"] == p["url"]:
+            self_c += 1
+        elif res["link_canonical"]:
+            other_c += 1
+            assert "/c/" in res["link_canonical"]
+        else:
+            none_c += 1
+        noidx += res["noindex"]
+    assert self_c and other_c and noidx and none_c
+
+
+def test_head_directives_leave_extraction_text_identical():
+    # the injected tags live in <head>: zero text blocks, identical
+    # extraction — the invariant that keeps checked-in goldens green
+    from credit_ocr_system_spark.kernel.html_extract import extract_html
+    from credit_ocr_system_spark.sources.pages import _decorate_head
+
+    base = ("<html><head><title>x</title></head>"
+            "<body><p>Label: value body text</p></body></html>")
+    url = next(u for u in
+               (f"https://d.example/credit/{i}" for i in range(5000))
+               if stable_mod(u + "#canon", 6) == 1
+               and stable_mod(u + "#noindex", 17) == 0)
+    dec = _decorate_head(url, base)
+    assert dec != base
+    a = extract_html(base.encode())
+    b = extract_html(dec.encode())
+    assert a["extracted_text"] == b["extracted_text"]
+    assert a["elements"] == b["elements"]
+    assert b["noindex"] and b["link_canonical"].startswith("https://")
