@@ -144,6 +144,8 @@ HEADLINE = [
     "domain_stats",
     # bounded-hop redirect resolution over the crawl's 3xx edges
     "resolve_redirects",
+    # RFC 9309 robots evaluation (broadcast rule arrays, codegen match)
+    "robots_verdicts",
 ]
 
 

@@ -213,6 +213,63 @@ def resolve_redirects(visits: DataFrame,
                     F.col("_more").isNull().alias("resolved")))
 
 
+def robots_gate(df: DataFrame, robots: DataFrame,
+                agent: str = "cos-crawler",
+                url_col: str = "url") -> DataFrame:
+    """Append ``allowed`` (RFC 9309 verdict for ``agent``) to a URL
+    table: group selection (exact agent token beats ``*``), longest
+    matched pattern wins, Allow wins length ties, no-match and
+    no-robots default to allowed. Matching runs against the raw
+    path+query (fragment stripped — it is never sent), while the host
+    key is the CANONICAL host so ``WWW.X``/``x:443`` renders hit the
+    same robots file.
+
+    Scale shape: the robots table (one row per host×rule, ~10-ish per
+    host) collapses to one array-struct row per host and BROADCASTS;
+    the corpus side is one left broadcast join plus a pure codegen
+    higher-order aggregate over the per-host rule array — zero
+    shuffles of the big side, no explode (an explode×rules + groupBy
+    would re-shuffle the whole corpus to reduce the match, the shape
+    this operator exists to avoid)."""
+    a = agent.lower()
+    rule = F.struct(F.col("rule_len").alias("len"), "allow", "rx")
+    grouped = (robots.filter(F.col("agent").isin(a, "*"))
+               .groupBy("host")
+               .agg(F.collect_list(
+                        F.when(F.col("agent") == a, rule))
+                    .alias("_spec"),
+                    F.collect_list(
+                        F.when(F.col("agent") == "*", rule))
+                    .alias("_star")))
+    grouped = grouped.select(
+        "host",
+        F.when(F.size("_spec") > 0, F.col("_spec"))
+         .otherwise(F.col("_star")).alias("_rules"))
+
+    c = with_canonical(df, url_col)
+    path = F.expr(
+        f"substr(regexp_replace(substring_index({url_col}, '#', 1), "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), "
+        f"length(split_part(regexp_replace(substring_index({url_col},"
+        f" '#', 1), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '/', 1)) + 1)")
+    c = c.withColumn("_path",
+                     F.when(path == "", F.lit("/")).otherwise(path))
+    joined = c.join(F.broadcast(grouped),
+                    c.canonical_host == grouped.host, "left")
+    verdict = F.expr("""
+      aggregate(
+        filter(coalesce(_rules, array()), r -> _path rlike r.rx),
+        named_struct('len', -1, 'allow', true),
+        (acc, r) -> IF(r.len > acc.len
+                       OR (r.len = acc.len AND r.allow
+                           AND NOT acc.allow),
+                       named_struct('len', r.len, 'allow', r.allow),
+                       acc)
+      ).allow""")
+    return (joined.withColumn("allowed", verdict)
+            .drop("host", "_rules", "_path"))
+
+
 def domain_stats(visits: DataFrame) -> DataFrame:
     """Per registered host: fetch/error volume, distinct canonical
     pages, revisit rate, and the blocklist flag — the domain-prior

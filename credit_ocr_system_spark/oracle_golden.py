@@ -242,6 +242,19 @@ def _visits_golden() -> None:
     ]))
 
 
+def _robots_golden() -> None:
+    # per-host robots rules, parsed by the SAME kernel parser the
+    # Spark source runs (pattern→regex literals shared; the FILTER
+    # evaluation is re-derived independently in SQL)
+    from .sources.robots import robots_rows
+
+    _write("robots.parquet", robots_rows(), pa.schema([
+        ("host", pa.string()), ("agent", pa.string()),
+        ("allow", pa.bool_()), ("pattern", pa.string()),
+        ("rx", pa.string()), ("rule_len", pa.int32()),
+    ]))
+
+
 def ensure_warc_corpus() -> str:
     """(Re)write the deterministic .warc.gz corpus under
     ``GOLDEN_DIR/warc``; returns the directory. Bytes are a pure
@@ -318,5 +331,6 @@ def materialize() -> str:
     _config_golden()
     _media_goldens()
     _visits_golden()
+    _robots_golden()
     _warc_golden()
     return GOLDEN_DIR

@@ -372,6 +372,19 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_visits(spark))
 
 
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled both ways: the robots table is golden-materialized
+    (same generator+parser code), and DuckDB re-derives group
+    selection + longest-match + allow-tie evaluation with its own
+    list-lambda implementation over the same regex literals."""
+    from .operators.weburl import robots_gate
+    from .sources.robots import robots_df
+
+    urls = _visits(spark).select("url").distinct()
+    return robots_gate(urls, robots_df(spark)).select(
+        "url", "canonical_host", "allowed")
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled both ways (like canonical_pages): DuckDB re-derives
     edge extraction + the unrolled bounded-hop resolution with its own
@@ -1852,6 +1865,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "blocklist_filter": q_blocklist_filter,
         "domain_stats": q_domain_stats,
         "resolve_redirects": q_resolve_redirects,
+        "robots_verdicts": q_robots_verdicts,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1921,7 +1935,7 @@ _DRIVER_PRIORITY = [
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
     "canonical_pages", "blocklist_filter", "domain_stats",
-    "resolve_redirects",
+    "resolve_redirects", "robots_verdicts",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2239,6 +2253,39 @@ FROM canon GROUP BY canonical_host
         # targets (CTE prefix r), so both endpoints go through the
         # independently-written SQL rule
         "resolve_redirects": _resolve_redirects_sql(visits),
+        # RFC 9309 evaluation re-derived with DuckDB list lambdas:
+        # spec-group beats *, longest matched pattern wins, Allow wins
+        # ties, no-match/no-robots → allowed. Regex literals come from
+        # the shared golden parquet; only the evaluation is re-written.
+        "robots_verdicts": f"""
+WITH u AS (SELECT DISTINCT url FROM read_parquet('{visits}')),
+{_canon_chain("u", "p", "canon", "url, pathq")},
+rob AS (SELECT * FROM read_parquet('{G.golden_path("robots.parquet")}')
+        WHERE agent IN ('cos-crawler', '*')),
+g AS (SELECT host,
+       list(struct_pack(len := rule_len, allow := allow, rx := rx))
+         FILTER (WHERE agent = 'cos-crawler') AS spec,
+       list(struct_pack(len := rule_len, allow := allow, rx := rx))
+         FILTER (WHERE agent = '*') AS star
+      FROM rob GROUP BY host),
+j AS (SELECT c.url, c.canonical_host,
+       CASE WHEN c.pathq = '' THEN '/' ELSE c.pathq END AS path,
+       CASE WHEN len(g.spec) > 0 THEN g.spec ELSE g.star END AS rules
+      FROM canon c LEFT JOIN g ON c.canonical_host = g.host),
+ev AS (SELECT url, canonical_host,
+        list_reduce(
+          list_prepend({{'len': -1, 'allow': true}},
+            list_transform(
+              list_filter(COALESCE(rules, []),
+                          r -> regexp_matches(path, r.rx)),
+              r -> {{'len': r.len, 'allow': r.allow}})),
+          (acc, r) -> CASE WHEN r.len > acc.len
+                           OR (r.len = acc.len AND r.allow
+                               AND NOT acc.allow)
+                      THEN r ELSE acc END) AS best
+       FROM j)
+SELECT url, canonical_host, best.allow AS allowed FROM ev
+""",
     }
 
 
