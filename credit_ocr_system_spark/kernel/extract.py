@@ -67,5 +67,7 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict[str, Any]:
         # equivalent surface, so the PDF branch reports none
         "link_canonical": base.get("link_canonical", ""),
         "noindex": base.get("noindex", False),
+        "title": base.get("title", ""),
+        "published": base.get("published", ""),
         "processing_timestamp": PROCESSING_TIMESTAMP,
     }

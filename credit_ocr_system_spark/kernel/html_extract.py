@@ -87,7 +87,11 @@ class _BlockCollector(HTMLParser):
         # robots-noindex. Captured here so both parser paths agree.
         self.link_canonical: str = ""
         self.noindex: bool = False
+        self.title: str = ""
+        self.published: str = ""
+        self._in_title = False
         self._strip_depth = 0
+        self._strip_root = ""  # tag that opened the current strip
         self._anchor_depth = 0
         self._segments: List[Dict[str, Any]] = []
         self._seg_parts: List[str] = []
@@ -138,16 +142,30 @@ class _BlockCollector(HTMLParser):
                 toks = re.split(r"[,\s]+", a.get("content", "").lower())
                 if "noindex" in toks:
                     self.noindex = True
+            elif a.get("property", "").lower() == \
+                    "article:published_time" and not self.published:
+                self.published = a.get("content", "").strip()
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        # any new tag ends title capture — an unclosed <title> (real
+        # crawls have them) must not swallow the document's content
+        self._in_title = tag == "title"
         if tag in ("link", "meta") and attrs:
             self._head_directives(tag, attrs)
         if self._strip_depth:
-            if tag not in ("br", "img", "hr", "input", "meta", "link"):
-                self._strip_depth += 1
-            return
+            # real crawls omit </head> constantly; browsers imply the
+            # close at <body>. Without this rescue an unclosed head
+            # would swallow the whole document into the strip.
+            if tag == "body" and self._strip_root == "head":
+                self._strip_depth = 0
+            else:
+                if tag not in ("br", "img", "hr", "input", "meta",
+                               "link"):
+                    self._strip_depth += 1
+                return
         if tag in STRIP_TAGS:
             self._strip_depth = 1
+            self._strip_root = tag
             return
         if attrs:
             # per-value search ≡ searching the space-joined blob: no
@@ -168,6 +186,8 @@ class _BlockCollector(HTMLParser):
             self._flush_segment()
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
         if self._strip_depth:
             self._strip_depth -= 1
             return
@@ -179,6 +199,11 @@ class _BlockCollector(HTMLParser):
                 self._anchor_depth -= 1
 
     def handle_data(self, data: str) -> None:
+        if self._in_title:
+            # title text is metadata, not a content block — captured
+            # even though <head> is stripped for content
+            self.title += data
+            return
         if self._strip_depth:
             return
         if self._anchor_depth:
@@ -464,4 +489,6 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
         "page_count": page_count,
         "link_canonical": parsed.link_canonical,
         "noindex": parsed.noindex,
+        "title": _norm(parsed.title),
+        "published": parsed.published,
     }

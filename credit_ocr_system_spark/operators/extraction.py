@@ -48,6 +48,7 @@ EXTRACTED_SCHEMA = (
     f"confidence:double,pair_type:string,bounding_box:{_BBOX}>>, "
     "n_elements int, n_pairs int, bytes_in bigint, kernel_us bigint, "
     "link_canonical string, noindex boolean, "
+    "title string, published string, "
     "error string"
 )
 
@@ -83,6 +84,8 @@ PA_EXTRACTED_SCHEMA = pa.schema([
     ("kernel_us", pa.int64()),
     ("link_canonical", pa.string()),
     ("noindex", pa.bool_()),
+    ("title", pa.string()),
+    ("published", pa.string()),
     ("error", pa.string()),
 ])
 
@@ -165,6 +168,8 @@ def _extract_batches(
                 "kernel_us": elapsed_us,
                 "link_canonical": res.get("link_canonical") or None,
                 "noindex": bool(res.get("noindex", False)),
+                "title": res.get("title") or None,
+                "published": res.get("published") or None,
                 "error": err,
             })
         if (not guard_off and n_errors == len(rows)

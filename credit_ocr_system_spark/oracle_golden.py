@@ -98,6 +98,8 @@ def _kernel_goldens() -> None:
             "bytes_in": len(p["html"]),
             "link_canonical": res["link_canonical"] or None,
             "noindex": res["noindex"],
+            "title": res["title"] or None,
+            "published": res["published"] or None,
             # capture time as epoch micros (engine-portable; the WET
             # oracle rebuilds the WARC-Date header from it)
             "warc_us": int(p["warc_ts"].timestamp()) * 1_000_000,
@@ -121,6 +123,7 @@ def _kernel_goldens() -> None:
         ("n_elements", pa.int32()), ("n_pairs", pa.int32()),
         ("bytes_in", pa.int64()), ("warc_us", pa.int64()),
         ("link_canonical", pa.string()), ("noindex", pa.bool_()),
+        ("title", pa.string()), ("published", pa.string()),
     ]))
 
     scan_rows = []

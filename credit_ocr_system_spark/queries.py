@@ -256,15 +256,18 @@ def x_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Golden-checked: the <head> indexing directives (rel=canonical
-    href — including renders that declare ANOTHER url canonical — and
-    robots noindex) surfaced by the extraction kernel through the
-    distributed Arrow stage. These are the server-declared dedup/keep
-    signals URL canonicalization alone cannot see."""
+    """Golden-checked: the <head> metadata surface (rel=canonical
+    href — including renders that declare ANOTHER url canonical —
+    robots noindex, the normalized <title> text, and
+    article:published_time) surfaced by the extraction kernel through
+    the distributed Arrow stage. Canonical/noindex are the
+    server-declared dedup/keep signals URL canonicalization alone
+    cannot see; title/published are the metadata temporal mixing and
+    display slicing run on."""
     from .operators.extraction import extract_pages
 
     return extract_pages(_x_pages(spark)).select(
-        "url", "link_canonical", "noindex")
+        "url", "link_canonical", "noindex", "title", "published")
 
 
 def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1557,7 +1560,8 @@ SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{docs}')
 """,
         "x_head_meta": f"""
-SELECT url, link_canonical, noindex FROM read_parquet('{docs}')
+SELECT url, link_canonical, noindex, title, published
+FROM read_parquet('{docs}')
 """,
         "x_extract_scanned": f"""
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs

@@ -422,10 +422,19 @@ def _decorate_head(url: str, html: str) -> str:
     """Inject the indexing directives a real crawl carries: ~1/6 of
     pages declare themselves canonical, ~1/6 declare ANOTHER url
     canonical (the print/amp/mirror pattern URL-dedup must honor),
-    ~1/17 are robots-noindex. URL-hash keyed (no rng draws shift) and
+    ~1/17 are robots-noindex, ~1/3 carry an article:published_time
+    (the temporal signal training-data mixing slices on). URL-hash keyed (no rng draws shift) and
     head-only (zero text blocks), so extraction text/geometry — and
     every checked-in golden — stay byte-identical."""
     tags = []
+    pd_ = stable_mod(url + "#pub", 3)
+    if pd_ == 0:
+        h = stable_mod(url + "#pubdate", 365 * 4)
+        y, doy = 2020 + h // 365, h % 365
+        mo, day = 1 + doy // 31, 1 + doy % 28
+        tags.append(f'<meta property="article:published_time" '
+                    f'content="{y:04d}-{mo:02d}-{day:02d}'
+                    f'T{h % 24:02d}:00:00Z">')
     c = stable_mod(url + "#canon", 6)
     if c == 0:
         tags.append(f'<link rel="canonical" href="{url}">')

@@ -199,3 +199,43 @@ def test_head_directives_leave_extraction_text_identical():
     assert a["extracted_text"] == b["extracted_text"]
     assert a["elements"] == b["elements"]
     assert b["noindex"] and b["link_canonical"].startswith("https://")
+
+
+def test_title_and_published_capture():
+    from credit_ocr_system_spark.kernel.html_extract import extract_html
+
+    h = (b'<html><head><title> My  Page \xe2\x80\x94 Title </title>'
+         b'<meta property="article:published_time" '
+         b'content="2023-05-04T12:00:00Z"></head>'
+         b'<body><p>Label: value body text</p></body></html>')
+    res = extract_html(h)
+    assert res["title"] == "My Page — Title"  # normalized
+    assert res["published"] == "2023-05-04T12:00:00Z"
+    # unclosed <title> must not swallow the document
+    h2 = (b"<html><head><title>Broken"
+          b"<body><p>Label: value body text</p></body></html>")
+    res2 = extract_html(h2)
+    assert res2["title"] == "Broken"
+    assert "value body text" in res2["extracted_text"]
+
+
+def test_corpus_draws_published_dates():
+    from credit_ocr_system_spark.kernel.extract import extract_document
+    import re as _re
+
+    n_pub = n_title = n_html = 0
+    for i in range(200):
+        p = gen_page(i)
+        if p["html"][:4] == b"%PDF":
+            continue
+        n_html += 1
+        res = extract_document(p["url"], p["html"])
+        if res["published"]:
+            n_pub += 1
+            assert _re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}T\d{2}:00:00Z", res["published"])
+        if res["title"]:
+            n_title += 1
+            assert res["title"] == p["text"]  # generator's title field
+    assert n_pub > 0.2 * n_html           # ~1/3 draw actually fires
+    assert n_title == n_html              # every page has a title
