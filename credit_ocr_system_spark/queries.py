@@ -388,6 +388,22 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "canonical_host", "allowed")
 
 
+def q_indexable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep-gate, oracled end-to-end: extraction's head
+    metadata (noindex) joined with the RFC 9309 robots verdict on the
+    SAME urls — the corpus a compliant training pipeline may actually
+    keep. Oracle reuses the shared robots-eval CTE chain over the
+    kernel-golden docs table."""
+    from .operators.extraction import extract_pages
+    from .operators.weburl import robots_gate
+    from .sources.robots import robots_df
+
+    docs = extract_pages(_x_pages(spark)).select("url", "noindex")
+    gated = robots_gate(docs, robots_df(spark))
+    return gated.filter(F.col("allowed")
+                        & ~F.col("noindex")).select("url")
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled both ways (like canonical_pages): DuckDB re-derives
     edge extraction + the unrolled bounded-hop resolution with its own
@@ -1870,6 +1886,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "domain_stats": q_domain_stats,
         "resolve_redirects": q_resolve_redirects,
         "robots_verdicts": q_robots_verdicts,
+        "indexable_docs": q_indexable_docs,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1939,7 +1956,7 @@ _DRIVER_PRIORITY = [
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
     "canonical_pages", "blocklist_filter", "domain_stats",
-    "resolve_redirects", "robots_verdicts",
+    "resolve_redirects", "robots_verdicts", "indexable_docs",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2222,6 +2239,40 @@ SELECT url, final_url, CAST(hops AS INT) AS hops, resolved FROM fin
 """
 
 
+def _robots_eval_ctes(carry: str) -> str:
+    """CTE chain ``u``(url, …carry) → ``ev``(…carry, canonical_host,
+    best): canonicalize, pick the host's agent group (spec beats
+    ``*``), longest-match with Allow winning ties via
+    list_filter/list_reduce. Shared by every robots-consuming oracle
+    so the evaluation cannot drift between them."""
+    cc = ", ".join("c." + col.strip() for col in carry.split(","))
+    return f"""{_canon_chain("u", "p", "canon", carry + ", pathq")},
+rob AS (SELECT * FROM read_parquet('{G.golden_path("robots.parquet")}')
+        WHERE agent IN ('cos-crawler', '*')),
+g AS (SELECT host,
+       list(struct_pack(len := rule_len, allow := allow, rx := rx))
+         FILTER (WHERE agent = 'cos-crawler') AS spec,
+       list(struct_pack(len := rule_len, allow := allow, rx := rx))
+         FILTER (WHERE agent = '*') AS star
+      FROM rob GROUP BY host),
+j AS (SELECT {cc}, c.canonical_host,
+       CASE WHEN c.pathq = '' THEN '/' ELSE c.pathq END AS path,
+       CASE WHEN len(g.spec) > 0 THEN g.spec ELSE g.star END AS rules
+      FROM canon c LEFT JOIN g ON c.canonical_host = g.host),
+ev AS (SELECT {carry}, canonical_host,
+        list_reduce(
+          list_prepend({{'len': -1, 'allow': true}},
+            list_transform(
+              list_filter(COALESCE(rules, []),
+                          r -> regexp_matches(path, r.rx)),
+              r -> {{'len': r.len, 'allow': r.allow}})),
+          (acc, r) -> CASE WHEN r.len > acc.len
+                           OR (r.len = acc.len AND r.allow
+                               AND NOT acc.allow)
+                      THEN r ELSE acc END) AS best
+       FROM j)"""
+
+
 def _weburl_oracles() -> Dict[str, str]:
     from .operators.weburl import BLOCKLIST
 
@@ -2263,32 +2314,18 @@ FROM canon GROUP BY canonical_host
         # the shared golden parquet; only the evaluation is re-written.
         "robots_verdicts": f"""
 WITH u AS (SELECT DISTINCT url FROM read_parquet('{visits}')),
-{_canon_chain("u", "p", "canon", "url, pathq")},
-rob AS (SELECT * FROM read_parquet('{G.golden_path("robots.parquet")}')
-        WHERE agent IN ('cos-crawler', '*')),
-g AS (SELECT host,
-       list(struct_pack(len := rule_len, allow := allow, rx := rx))
-         FILTER (WHERE agent = 'cos-crawler') AS spec,
-       list(struct_pack(len := rule_len, allow := allow, rx := rx))
-         FILTER (WHERE agent = '*') AS star
-      FROM rob GROUP BY host),
-j AS (SELECT c.url, c.canonical_host,
-       CASE WHEN c.pathq = '' THEN '/' ELSE c.pathq END AS path,
-       CASE WHEN len(g.spec) > 0 THEN g.spec ELSE g.star END AS rules
-      FROM canon c LEFT JOIN g ON c.canonical_host = g.host),
-ev AS (SELECT url, canonical_host,
-        list_reduce(
-          list_prepend({{'len': -1, 'allow': true}},
-            list_transform(
-              list_filter(COALESCE(rules, []),
-                          r -> regexp_matches(path, r.rx)),
-              r -> {{'len': r.len, 'allow': r.allow}})),
-          (acc, r) -> CASE WHEN r.len > acc.len
-                           OR (r.len = acc.len AND r.allow
-                               AND NOT acc.allow)
-                      THEN r ELSE acc END) AS best
-       FROM j)
+{_robots_eval_ctes(carry="url")}
 SELECT url, canonical_host, best.allow AS allowed FROM ev
+""",
+        # composed keep-gate: extraction metadata ⋈ robots — a doc
+        # survives only if robots allows its url AND it is not
+        # noindex. Structural reuse: the SAME eval CTE chain, carrying
+        # the noindex column through it.
+        "indexable_docs": f"""
+WITH u AS (SELECT url, noindex
+           FROM read_parquet('{G.golden_path("x_docs.parquet")}')),
+{_robots_eval_ctes(carry="url, noindex")}
+SELECT url FROM ev WHERE best.allow AND NOT noindex
 """,
     }
 
