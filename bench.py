@@ -146,6 +146,8 @@ HEADLINE = [
     "resolve_redirects",
     # RFC 9309 robots evaluation (broadcast rule arrays, codegen match)
     "robots_verdicts",
+    # sitemap parse + canonical anti-join frontier diff
+    "sitemap_frontier",
 ]
 
 

@@ -270,6 +270,37 @@ def robots_gate(df: DataFrame, robots: DataFrame,
             .drop("host", "_rules", "_path"))
 
 
+def sitemap_frontier(sitemap_urls: DataFrame,
+                     visits: DataFrame) -> DataFrame:
+    """Declared-but-never-crawled pages: canonical sitemap ``loc``s
+    LEFT ANTI the crawl log's canonical urls, collapsed to one row
+    per frontier url with the latest declared lastmod and the
+    declaration count. The discovery half of the crawl loop — what a
+    scheduler enqueues next.
+
+    Scale shape: the EXACT diff shuffles both sides on the canonical
+    key (sitemap side is tiny; the visited side's distinct is one
+    hash exchange with map-side partials). At 10^12 visited urls the
+    documented swap is a ``bloom_filter_agg`` sketch of the visited
+    keys probed map-side — trades rare false-positive drops for
+    never shuffling the big side; the exact operator stays as the
+    auditor, same pattern as corpus_percentiles."""
+    locs = with_canonical(sitemap_urls, url_col="loc")
+    seen = with_canonical(visits).select("canonical_url").distinct()
+    fresh = locs.join(seen, "canonical_url", "left_anti")
+    # lastmod as DATE, not string: fixed-width agg buffer keeps the
+    # collapse in HashAggregate (max(string) degrades to
+    # SortAggregate), and date semantics are what "latest" means
+    out = (fresh.groupBy("canonical_url", "canonical_host")
+           .agg(F.max(F.to_date("lastmod")).alias("_lm"),
+                F.count("*").alias("n_declared")))
+    # emit ISO string: engine-portable (date objects surface
+    # differently across drivers), ordering already settled as DATE
+    return out.select("canonical_url", "canonical_host",
+                      F.col("_lm").cast("string").alias("lastmod"),
+                      "n_declared")
+
+
 def domain_stats(visits: DataFrame) -> DataFrame:
     """Per registered host: fetch/error volume, distinct canonical
     pages, revisit rate, and the blocklist flag — the domain-prior

@@ -258,6 +258,18 @@ def _robots_golden() -> None:
     ]))
 
 
+def _sitemap_golden() -> None:
+    # raw sitemap XML per host: the ORACLE re-derives the parse
+    # itself (regexp block extraction in SQL), so this golden stores
+    # files, not parsed rows — parse logic is checked, not copied
+    from .sources.sitemaps import sitemap_file_rows
+
+    _write("sitemap_files.parquet", sitemap_file_rows(), pa.schema([
+        ("host", pa.string()), ("sitemap_url", pa.string()),
+        ("xml", pa.string()),
+    ]))
+
+
 def ensure_warc_corpus() -> str:
     """(Re)write the deterministic .warc.gz corpus under
     ``GOLDEN_DIR/warc``; returns the directory. Bytes are a pure
@@ -335,5 +347,6 @@ def materialize() -> str:
     _media_goldens()
     _visits_golden()
     _robots_golden()
+    _sitemap_golden()
     _warc_golden()
     return GOLDEN_DIR

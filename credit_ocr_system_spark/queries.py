@@ -388,6 +388,17 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "canonical_host", "allowed")
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled both ways: the raw sitemap XML is golden-
+    materialized and DuckDB re-derives the PARSE (regexp block
+    extraction) plus the canonical anti-join diff — so both the
+    xml.etree parse and the frontier logic are cross-checked."""
+    from .operators.weburl import sitemap_frontier
+    from .sources.sitemaps import sitemap_urls_df
+
+    return sitemap_frontier(sitemap_urls_df(spark), _visits(spark))
+
+
 def q_indexable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep-gate, oracled end-to-end: extraction's head
     metadata (noindex) joined with the RFC 9309 robots verdict on the
@@ -1887,6 +1898,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "resolve_redirects": q_resolve_redirects,
         "robots_verdicts": q_robots_verdicts,
         "indexable_docs": q_indexable_docs,
+        "sitemap_frontier": q_sitemap_frontier,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -1957,6 +1969,7 @@ _DRIVER_PRIORITY = [
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",
+    "sitemap_frontier",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2326,6 +2339,31 @@ WITH u AS (SELECT url, noindex
            FROM read_parquet('{G.golden_path("x_docs.parquet")}')),
 {_robots_eval_ctes(carry="url, noindex")}
 SELECT url FROM ev WHERE best.allow AND NOT noindex
+""",
+        # parse re-derived in SQL (regexp block extraction over the
+        # stored XML), then canonical anti-join against the crawl log
+        "sitemap_frontier": f"""
+WITH sv AS (SELECT DISTINCT url FROM read_parquet('{visits}')),
+{_canon_chain("sv", "p", "vcanon", "url")},
+sf AS (SELECT * FROM
+       read_parquet('{G.golden_path("sitemap_files.parquet")}')),
+blocks AS (SELECT host,
+            unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS b
+           FROM sf),
+locs AS (SELECT host,
+          regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+          NULLIF(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1),
+                 '') AS lastmod
+         FROM blocks
+         WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''),
+{_canon_chain("locs", "s", "scanon", "url, lastmod")},
+fresh AS (SELECT * FROM scanon sc
+          WHERE NOT EXISTS (SELECT 1 FROM vcanon v
+                            WHERE v.canonical_url = sc.canonical_url))
+SELECT canonical_url, canonical_host,
+       CAST(MAX(CAST(lastmod AS DATE)) AS VARCHAR) AS lastmod,
+       COUNT(*) AS n_declared
+FROM fresh GROUP BY 1, 2
 """,
     }
 
