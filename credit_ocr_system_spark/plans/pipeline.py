@@ -537,8 +537,15 @@ def run_extraction_job(
     output_root: str,
     num_partitions: int | None = None,
     salt: int = SALT_DEFAULT,
+    wet_dir: str | None = None,
 ) -> dict:
-    """One resumable extraction run; returns commit stats."""
+    """One resumable extraction run; returns commit stats.
+
+    With ``wet_dir`` set, the run ALSO emits its delta as Common
+    Crawl ``.warc.wet.gz`` files under ``wet_dir/<run_id>/`` (error
+    docs excluded) — the full WET corpus is the union of run subdirs,
+    mirroring the snapshot deltas, and a resumed (skipped) run writes
+    nothing, so re-running never duplicates records."""
     run_id = uuid.uuid4().hex[:12]
     sink_extracted = SnapshotSink(os.path.join(output_root, "extracted"))
     sink_fields = SnapshotSink(os.path.join(output_root, "fields"))
@@ -582,7 +589,20 @@ def run_extraction_job(
             .select("url", "m.status", "m.doc_kind", "m.error",
                     "m.run_id"))
         sink_status.merge_upsert(spark, status, run_id, keys=["url"])
-        return {"run_id": run_id, "n_docs": n_docs, "n_fields": n_fields,
-                "skipped": False}
+        stats = {"run_id": run_id, "n_docs": n_docs,
+                 "n_fields": n_fields, "skipped": False}
+        if wet_dir is not None:
+            from ..sources.warc import write_wet
+
+            # warc_ts re-joined from the (column-pruned) input scan —
+            # the extraction stage deliberately ships only (url, html)
+            # across the Arrow boundary
+            docs = (extracted.filter(F.col("error").isNull())
+                    .select("url", "extracted_text")
+                    .join(todo.select("url", "warc_ts"), "url"))
+            stats["n_wet"] = write_wet(
+                docs.select("url", "warc_ts", "extracted_text"),
+                os.path.join(wet_dir, run_id))
+        return stats
     finally:
         extracted.unpersist()

@@ -446,3 +446,24 @@ def test_content_encoding_column_and_coverage(corpus_dir, spark):
     enc = {r["content_encoding"] for r in
            pages.select("content_encoding").distinct().collect()}
     assert {"gzip", "deflate", None} <= enc  # the corpus draws both
+
+
+def test_extraction_job_emits_wet(spark, tmp_path):
+    from credit_ocr_system_spark.plans.pipeline import run_extraction_job
+    from credit_ocr_system_spark.sources.pages import pages_df
+
+    out, wet = str(tmp_path / "job"), str(tmp_path / "wet")
+    pages = pages_df(spark, 30, partitions=2)
+    r1 = run_extraction_job(spark, pages, out, num_partitions=2,
+                            wet_dir=wet)
+    assert r1["n_wet"] == r1["n_docs"] == 30
+    back = W.warc_pages(spark, wet + "/" + r1["run_id"],
+                        glob="*.warc.wet.gz", types=("conversion",))
+    assert back.count() == 30
+    # resumed run: no new docs, no new wet output
+    r2 = run_extraction_job(spark, pages, out, num_partitions=2,
+                            wet_dir=wet)
+    assert r2["skipped"] is True
+    import os
+
+    assert not os.path.exists(wet + "/" + r2["run_id"])
