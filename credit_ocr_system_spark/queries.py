@@ -388,6 +388,37 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "canonical_host", "allowed")
 
 
+def x_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-oracled: server-declared canonical collapse — documents
+    group under ``coalesce(link_canonical, url)`` (the other half of
+    URL dedup: what the SITE says is the same page). One hash
+    exchange with map-side partials; per group the alias count and
+    the deterministic representative (min url)."""
+    from .operators.extraction import extract_pages
+
+    docs = extract_pages(_x_pages(spark))
+    tgt = F.coalesce("link_canonical", "url").alias("canonical_target")
+    return (docs.select(tgt, "url")
+            .groupBy("canonical_target")
+            .agg(F.count("*").alias("n_aliases"),
+                 F.min("url").alias("keep_url")))
+
+
+def x_published_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-oracled: temporal composition of the corpus by declared
+    publication year (the slice temporal mixing rebalances on);
+    undated documents bucket as year 0."""
+    from .operators.extraction import extract_pages
+
+    docs = extract_pages(_x_pages(spark))
+    year = F.coalesce(
+        F.substring("published", 1, 4).cast("int"),
+        F.lit(0)).alias("pub_year")
+    return (docs.select(year)
+            .groupBy("pub_year")
+            .agg(F.count("*").alias("n_docs")))
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled both ways: the raw sitemap XML is golden-
     materialized and DuckDB re-derives the PARSE (regexp block
@@ -1590,6 +1621,17 @@ FROM read_parquet('{docs}')
 SELECT url, link_canonical, noindex, title, published
 FROM read_parquet('{docs}')
 """,
+        "x_canonical_groups": f"""
+SELECT COALESCE(link_canonical, url) AS canonical_target,
+       COUNT(*) AS n_aliases, MIN(url) AS keep_url
+FROM read_parquet('{docs}') GROUP BY 1
+""",
+        "x_published_mix": f"""
+SELECT COALESCE(TRY_CAST(substr(published, 1, 4) AS INT), 0)
+         AS pub_year,
+       COUNT(*) AS n_docs
+FROM read_parquet('{docs}') GROUP BY 1
+""",
         "x_extract_scanned": f"""
 SELECT url, doc_kind, page_count, extracted_text, n_elements, n_pairs
 FROM read_parquet('{G.golden_path("x_scan_docs.parquet")}')
@@ -1941,6 +1983,8 @@ def build_queries() -> Dict[str, QueryFn]:
         # WARC container ingestion (binaryFile listing + streaming
         # gzip-member parse; _sliced = offset-index splittable scan)
         "x_head_meta": x_head_meta,
+        "x_canonical_groups": x_canonical_groups,
+        "x_published_mix": x_published_mix,
         "x_warc_pages": x_warc_pages,
         "x_warc_sliced": x_warc_sliced,
         "x_wet_records": x_wet_records,
@@ -1967,6 +2011,7 @@ _DRIVER_PRIORITY = [
     "kmeans_codebook", "x_media_real",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
+    "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",
     "sitemap_frontier",
