@@ -148,6 +148,8 @@ HEADLINE = [
     "robots_verdicts",
     # sitemap parse + canonical anti-join frontier diff
     "sitemap_frontier",
+    # its 10^12 path: bloom-position probe (bounded exchange)
+    "sitemap_frontier_bloom",
 ]
 
 

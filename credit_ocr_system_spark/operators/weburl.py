@@ -301,6 +301,62 @@ def sitemap_frontier(sitemap_urls: DataFrame,
                       "n_declared")
 
 
+# Bloom slot-space parameters — shared with the SQL oracle generator
+# so both engines compute the identical slots.
+BLOOM_WIDTH = 5   # hex digits → 16^5 ≈ 1.05M slots
+BLOOM_K = 3       # hashes per url
+
+
+def _bloom_pos(col, i: int, width: int):
+    # md5-prefix slot: engine-portable (DuckDB computes the identical
+    # string), width hex digits → 16^width slots
+    return F.substring(
+        F.md5(F.concat(col, F.lit(f"#{i}")).cast("binary")), 1, width)
+
+
+def sitemap_frontier_bloom(sitemap_urls: DataFrame,
+                           visits: DataFrame,
+                           width: int = BLOOM_WIDTH,
+                           k: int = BLOOM_K) -> DataFrame:
+    """The 10^12-scale path of :func:`sitemap_frontier`: instead of
+    shuffling every distinct visited URL (wide strings, corpus-sized
+    exchange) to anti-join, the visited side collapses to its BLOOM
+    POSITION SET — ``k`` md5-prefix slots per url over ``16^width``
+    possible slots. The exchange is bounded by the slot space (map
+    side partials collapse to ≤ 16^width rows per task no matter the
+    corpus size), the position set broadcasts, and the sitemap side
+    probes map-side: a url is frontier unless ALL ``k`` of its slots
+    are present. False positives (a frontier url whose slots all
+    collide) DROP candidates — conservative for a crawl scheduler —
+    at rate ≈ (fill_ratio)^k; false negatives are impossible, so
+    ``bloom ⊆ exact`` (property-tested). The construction is fully
+    deterministic, so unlike a sketch it is EXACTLY oracle-checkable:
+    DuckDB rebuilds the same slots and the same verdicts."""
+    locs = with_canonical(sitemap_urls, url_col="loc")
+    vis = with_canonical(visits).select("canonical_url")
+    slots = vis.select(F.explode(F.array(*[
+        _bloom_pos(F.col("canonical_url"), i, width)
+        for i in range(k)])).alias("pos")).distinct()
+
+    probe = locs
+    miss = F.lit(False)
+    for i in range(k):
+        pi = F.broadcast(slots.select(
+            F.col("pos").alias(f"_p{i}"),
+            F.lit(True).alias(f"_hit{i}")))
+        probe = probe.join(
+            pi, _bloom_pos(F.col("canonical_url"), i, width)
+            == F.col(f"_p{i}"), "left")
+        miss = miss | F.col(f"_hit{i}").isNull()
+    fresh = probe.filter(miss)
+    out = (fresh.groupBy("canonical_url", "canonical_host")
+           .agg(F.max(F.to_date("lastmod")).alias("_lm"),
+                F.count("*").alias("n_declared")))
+    return out.select("canonical_url", "canonical_host",
+                      F.col("_lm").cast("string").alias("lastmod"),
+                      "n_declared")
+
+
 def domain_stats(visits: DataFrame) -> DataFrame:
     """Per registered host: fetch/error volume, distinct canonical
     pages, revisit rate, and the blocklist flag — the domain-prior

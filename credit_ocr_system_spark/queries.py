@@ -430,6 +430,20 @@ def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_frontier(sitemap_urls_df(spark), _visits(spark))
 
 
+def q_sitemap_frontier_bloom(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SQL-oracled: the bloom-position scale path of the frontier
+    diff. Deterministic md5-prefix slots make the sketch EXACTLY
+    reproducible in DuckDB — the oracle computes the same slots, the
+    same collisions, the same verdicts (slot literals shared via
+    weburl.BLOOM_WIDTH/BLOOM_K; the evaluation re-derived)."""
+    from .operators.weburl import sitemap_frontier_bloom
+    from .sources.sitemaps import sitemap_urls_df
+
+    return sitemap_frontier_bloom(sitemap_urls_df(spark),
+                                  _visits(spark))
+
+
 def q_indexable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep-gate, oracled end-to-end: extraction's head
     metadata (noindex) joined with the RFC 9309 robots verdict on the
@@ -1941,6 +1955,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "robots_verdicts": q_robots_verdicts,
         "indexable_docs": q_indexable_docs,
         "sitemap_frontier": q_sitemap_frontier,
+        "sitemap_frontier_bloom": q_sitemap_frontier_bloom,
         # similarity
         "cosine_topk": lambda s, d: S.cosine_topk(
             R.load(s, d, "embeddings")),
@@ -2014,7 +2029,7 @@ _DRIVER_PRIORITY = [
     "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",
-    "sitemap_frontier",
+    "sitemap_frontier", "sitemap_frontier_bloom",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2268,6 +2283,43 @@ GROUP BY canonical_url, canonical_host
 """
 
 
+def _sitemap_frontier_bloom_sql(visits_path: str,
+                                sitemap_path: str) -> str:
+    from .operators.weburl import BLOOM_K, BLOOM_WIDTH
+
+    sfx = ", ".join(f"'#{i}'" for i in range(BLOOM_K))
+    exists = "\n    AND ".join(
+        f"EXISTS (SELECT 1 FROM seenslots s WHERE s.pos = "
+        f"substr(md5(sc.canonical_url || '#{i}'), 1, {BLOOM_WIDTH}))"
+        for i in range(BLOOM_K))
+    return f"""
+WITH sv AS (SELECT DISTINCT url FROM read_parquet('{visits_path}')),
+{_canon_chain("sv", "p", "vcanon", "url")},
+sf AS (SELECT * FROM read_parquet('{sitemap_path}')),
+blocks AS (SELECT host,
+            unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS b
+           FROM sf),
+locs AS (SELECT host,
+          regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+          NULLIF(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1),
+                 '') AS lastmod
+         FROM blocks
+         WHERE regexp_extract(b, '<loc>([^<]*)</loc>', 1) <> ''),
+{_canon_chain("locs", "s", "scanon", "url, lastmod")},
+seenslots AS (SELECT DISTINCT
+                substr(md5(v.canonical_url || sx.sfx), 1,
+                       {BLOOM_WIDTH}) AS pos
+              FROM vcanon v,
+                   (SELECT unnest([{sfx}]) AS sfx) sx),
+fresh AS (SELECT * FROM scanon sc
+          WHERE NOT ({exists}))
+SELECT canonical_url, canonical_host,
+       CAST(MAX(CAST(lastmod AS DATE)) AS VARCHAR) AS lastmod,
+       COUNT(*) AS n_declared
+FROM fresh GROUP BY 1, 2
+"""
+
+
 def _resolve_redirects_sql(visits_path: str, max_hops: int = 4) -> str:
     hops = []
     prev = "u0"
@@ -2387,6 +2439,8 @@ SELECT url FROM ev WHERE best.allow AND NOT noindex
 """,
         # parse re-derived in SQL (regexp block extraction over the
         # stored XML), then canonical anti-join against the crawl log
+        "sitemap_frontier_bloom": _sitemap_frontier_bloom_sql(
+            visits, G.golden_path("sitemap_files.parquet")),
         "sitemap_frontier": f"""
 WITH sv AS (SELECT DISTINCT url FROM read_parquet('{visits}')),
 {_canon_chain("sv", "p", "vcanon", "url")},

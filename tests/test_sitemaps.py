@@ -82,3 +82,43 @@ def test_frontier_plan_no_sort(spark):
     # date-typed lastmod keeps the collapse in hash aggregation
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan and "LeftAnti" in plan
+
+
+def test_bloom_frontier_subset_of_exact(spark):
+    from credit_ocr_system_spark.operators.weburl import (
+        sitemap_frontier,
+        sitemap_frontier_bloom,
+    )
+    from credit_ocr_system_spark.sources.visits import visits_df
+
+    visits = visits_df(spark, 2000, partitions=4)
+    sm = SM.sitemap_urls_df(spark)
+    exact = {r["canonical_url"]
+             for r in sitemap_frontier(sm, visits).collect()}
+    bloom = {r["canonical_url"]
+             for r in sitemap_frontier_bloom(sm, visits).collect()}
+    # no false negatives ever: a url the bloom calls frontier was
+    # truly never visited; false positives only DROP candidates
+    assert bloom <= exact
+    dropped = len(exact) - len(bloom)
+    assert dropped <= max(2, len(exact) // 100), \
+        f"FP rate too high: {dropped}/{len(exact)}"
+
+
+def test_bloom_frontier_plan_bounded_exchange(spark):
+    from credit_ocr_system_spark.operators.weburl import (
+        sitemap_frontier_bloom,
+    )
+    from credit_ocr_system_spark.sources.visits import visits_df
+
+    out = sitemap_frontier_bloom(SM.sitemap_urls_df(spark),
+                                 visits_df(spark, 500, partitions=4))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every slot probe broadcasts; the corpus side is never the build
+    # or shuffle side of a join
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # slot dedup happens with map-side partial aggregation (the
+    # exchange carries ≤16^width slot strings, not corpus urls)
+    assert "partial" in plan.lower()
