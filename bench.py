@@ -150,6 +150,8 @@ HEADLINE = [
     "sitemap_frontier",
     # its 10^12 path: bloom-position probe (bounded exchange)
     "sitemap_frontier_bloom",
+    # append-mode crawl collapse (delta cost, batch-equal)
+    "incremental_canonical_pages",
 ]
 
 

@@ -157,6 +157,93 @@ def blocklist_filter(visits: DataFrame, blocked: DataFrame) -> DataFrame:
     return _collapse(kept)
 
 
+def canonical_state(visits: DataFrame) -> DataFrame:
+    """The MERGEABLE form of the crawl collapse: like
+    :func:`canonical_pages` but carrying the variant/revision SETS
+    instead of their sizes (distinct counts cannot be merged from
+    counts alone; the sets are per-page-small by the same argument as
+    ``_collapse``'s set buffers). One exchange, map-side partials."""
+    c = with_canonical(visits.filter(F.col("fetch_status") == 200))
+    return (c.groupBy("canonical_url", "canonical_host")
+            .agg(F.count("*").alias("n_visits"),
+                 F.collect_set("url").alias("variant_set"),
+                 F.collect_set("content_sha").alias("sha_set"),
+                 F.min("warc_ts").cast("long")
+                  .alias("first_seen_epoch"),
+                 F.max("warc_ts").cast("long")
+                  .alias("last_seen_epoch"),
+                 F.max_by("url", "warc_ts").alias("last_raw_url"),
+                 F.max_by("content_sha", "warc_ts").alias("last_sha")))
+
+
+def merge_canonical_state(committed: DataFrame,
+                          delta_visits: DataFrame) -> DataFrame:
+    """Fold a crawl-snapshot DELTA into committed collapse state —
+    the append-mode path: a new snapshot costs one collapse of the
+    delta plus one equi-join against the state, never a rescan of
+    the corpus. Correctness contract (the oracle): merged state
+    projected through :func:`state_to_pages` EQUALS the batch
+    collapse over all visits — counts add, sets union, last-wins
+    resolves by the strictly-later epoch.
+
+    Scale shape: with the state table bucketed/pre-partitioned on
+    canonical_url, the full-outer merge shuffles only the delta side
+    (committed partitions are already co-located) — the same
+    delta-cost argument as incremental_dedup."""
+    d = canonical_state(delta_visits)
+    ct, dt = committed.alias("ct"), d.alias("dt")
+    j = ct.join(dt, ["canonical_url", "canonical_host"],
+                "full_outer")
+
+    def pick_last(col: str):
+        # strictly-increasing unique warc_ts ⇒ no epoch ties between
+        # disjoint visit sets; the side with the later last fetch wins
+        return (F.when(F.col("ct.last_seen_epoch").isNull(),
+                       F.col(f"dt.{col}"))
+                .when(F.col("dt.last_seen_epoch").isNull(),
+                      F.col(f"ct.{col}"))
+                .when(F.col("dt.last_seen_epoch")
+                      > F.col("ct.last_seen_epoch"),
+                      F.col(f"dt.{col}"))
+                .otherwise(F.col(f"ct.{col}")))
+
+    empty = F.array().cast("array<string>")
+    return j.select(
+        "canonical_url", "canonical_host",
+        (F.coalesce(F.col("ct.n_visits"), F.lit(0))
+         + F.coalesce(F.col("dt.n_visits"), F.lit(0)))
+        .alias("n_visits"),
+        F.array_union(F.coalesce(F.col("ct.variant_set"), empty),
+                      F.coalesce(F.col("dt.variant_set"), empty))
+        .alias("variant_set"),
+        F.array_union(F.coalesce(F.col("ct.sha_set"), empty),
+                      F.coalesce(F.col("dt.sha_set"), empty))
+        .alias("sha_set"),
+        # least/greatest return NULL only when BOTH sides are NULL,
+        # which full_outer excludes — but coalesce documents intent
+        F.coalesce(F.least("ct.first_seen_epoch",
+                           "dt.first_seen_epoch"),
+                   "ct.first_seen_epoch", "dt.first_seen_epoch")
+        .alias("first_seen_epoch"),
+        F.coalesce(F.greatest("ct.last_seen_epoch",
+                              "dt.last_seen_epoch"),
+                   "ct.last_seen_epoch", "dt.last_seen_epoch")
+        .alias("last_seen_epoch"),
+        pick_last("last_raw_url").alias("last_raw_url"),
+        pick_last("last_sha").alias("last_sha"))
+
+
+def state_to_pages(state: DataFrame) -> DataFrame:
+    """Project mergeable state to the :func:`canonical_pages` output
+    shape (set sizes become the distinct counts)."""
+    return state.select(
+        "canonical_url", "canonical_host", "n_visits",
+        F.size("variant_set").cast("long").alias("n_variants"),
+        F.size("sha_set").cast("long").alias("n_revisions"),
+        "first_seen_epoch", "last_seen_epoch",
+        "last_raw_url", "last_sha")
+
+
 def redirect_edges(visits: DataFrame) -> DataFrame:
     """Distinct canonical redirect edges from the crawl log's 3xx
     rows: both endpoints canonicalized, self-loops dropped, ONE

@@ -460,6 +460,28 @@ def q_indexable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & ~F.col("noindex")).select("url")
 
 
+def q_incremental_canonical_pages(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Append-mode crawl collapse: the first 80% of visits collapse
+    into committed MERGEABLE state, the rest fold in as a delta
+    (one delta collapse + one equi-join — never a corpus rescan).
+    The oracle is the batch canonical_pages SQL VERBATIM: equality
+    with the full recompute IS the correctness claim (counts add,
+    sets union, last-wins by strictly-later epoch)."""
+    from .operators.weburl import (
+        canonical_state,
+        merge_canonical_state,
+        state_to_pages,
+    )
+
+    v = _visits(spark)
+    cut = G.X_N_VISITS * 4 // 5
+    committed = canonical_state(v.filter(F.col("visit_id") < cut))
+    merged = merge_canonical_state(
+        committed, v.filter(F.col("visit_id") >= cut))
+    return state_to_pages(merged)
+
+
 def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled both ways (like canonical_pages): DuckDB re-derives
     edge extraction + the unrolled bounded-hop resolution with its own
@@ -1952,6 +1974,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "blocklist_filter": q_blocklist_filter,
         "domain_stats": q_domain_stats,
         "resolve_redirects": q_resolve_redirects,
+        "incremental_canonical_pages": q_incremental_canonical_pages,
         "robots_verdicts": q_robots_verdicts,
         "indexable_docs": q_indexable_docs,
         "sitemap_frontier": q_sitemap_frontier,
@@ -2030,6 +2053,7 @@ _DRIVER_PRIORITY = [
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",
     "sitemap_frontier", "sitemap_frontier_bloom",
+    "incremental_canonical_pages",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2395,6 +2419,9 @@ def _weburl_oracles() -> Dict[str, str]:
             f"CAST(NULLIF({n_pages}, 0) AS DOUBLE)")
     return {
         "canonical_pages": _canonical_pages_sql(visits),
+        # append-mode collapse: the oracle IS the batch SQL — merged
+        # state must equal the full recompute exactly
+        "incremental_canonical_pages": _canonical_pages_sql(visits),
         # structural reuse: the blocklist variant IS the same collapse
         # SQL with the host predicate injected before aggregation
         "blocklist_filter": _canonical_pages_sql(

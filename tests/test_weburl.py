@@ -175,3 +175,48 @@ def test_resolve_redirects_plan_broadcast_hops(spark, small_visits):
     assert p.count("BroadcastHashJoin") == 5  # 4 hops + resolved probe
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+# ------------------------------------------- append-mode collapse
+
+def test_incremental_collapse_equals_batch(spark, small_visits):
+    from credit_ocr_system_spark.operators import weburl as WB
+
+    cut = 200
+    committed = WB.canonical_state(
+        small_visits.filter(F.col("visit_id") < cut))
+    merged = WB.merge_canonical_state(
+        committed, small_visits.filter(F.col("visit_id") >= cut))
+    got = {r["canonical_url"]: r for r in
+           WB.state_to_pages(merged).collect()}
+    want = {r["canonical_url"]: r for r in
+            WB.canonical_pages(small_visits).collect()}
+    assert got.keys() == want.keys()
+    for k, w in want.items():
+        assert got[k].asDict() == w.asDict(), k
+
+
+def test_incremental_collapse_empty_delta_is_identity(spark, small_visits):
+    from credit_ocr_system_spark.operators import weburl as WB
+
+    committed = WB.canonical_state(small_visits)
+    merged = WB.merge_canonical_state(
+        committed, small_visits.filter(F.col("visit_id") < 0))
+    got = {r["canonical_url"]: r["n_visits"]
+           for r in WB.state_to_pages(merged).collect()}
+    want = {r["canonical_url"]: r["n_visits"]
+            for r in WB.canonical_pages(small_visits).collect()}
+    assert got == want
+
+
+def test_incremental_collapse_plan_single_merge_join(spark, small_visits):
+    from credit_ocr_system_spark.operators import weburl as WB
+
+    committed = WB.canonical_state(
+        small_visits.filter(F.col("visit_id") < 200))
+    out = WB.state_to_pages(WB.merge_canonical_state(
+        committed, small_visits.filter(F.col("visit_id") >= 200)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "ObjectHashAggregate" in plan  # set buffers, partials
