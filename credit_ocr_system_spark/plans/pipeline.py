@@ -531,6 +531,73 @@ def resume_filter(pages: DataFrame, committed: DataFrame | None,
     return pages.join(committed.select("url"), "url", "left_anti")
 
 
+def run_crawl_collapse_job(
+    spark: SparkSession,
+    visits: DataFrame,
+    output_root: str,
+) -> dict:
+    """Resumable append-mode crawl collapse: fold the fetch log into
+    a committed ``canonical_state`` table (``operators/weburl.py``)
+    at DELTA cost per run.
+
+    Resume contract: ``warc_ts`` is the log's strictly-increasing
+    offset, so the committed state's ``max(last_seen_epoch)`` is the
+    high-water mark — a rerun over the same log folds only rows
+    fetched after it, and an unchanged log is a no-op (idempotent).
+    Only keys TOUCHED by the delta are rewritten (``merge_upsert``:
+    untouched committed rows survive as-is), so the write also scales
+    with the delta, not the corpus. Batch equality (merged state ≡
+    full recompute) is the oracle-checked contract of the underlying
+    merge operator."""
+    from ..operators.weburl import (
+        canonical_state,
+        merge_canonical_state,
+        state_to_pages,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    sink = SnapshotSink(os.path.join(output_root, "canonical_state"))
+    committed = sink.read_committed(spark)
+
+    if committed is None:
+        merged = canonical_state(visits)
+        n = merged.count()
+        if n == 0:
+            return {"run_id": run_id, "n_pages": 0, "skipped": True}
+        sink.write_snapshot(merged, run_id, {"n_pages": n})
+        return {"run_id": run_id, "n_pages": n, "skipped": False}
+
+    hwm = committed.agg(
+        F.max("last_seen_epoch").alias("h")).collect()[0]["h"]
+    delta = visits.filter(
+        F.col("warc_ts").cast("long") > F.lit(hwm))
+    d_state = canonical_state(delta)
+    if d_state.limit(1).count() == 0:
+        return {"run_id": run_id, "n_pages": 0, "skipped": True,
+                "hwm": hwm}
+    # merge only the touched keys; everything else stays committed
+    keys = ["canonical_url", "canonical_host"]
+    touched = committed.join(
+        d_state.select(*keys).distinct(), keys, "left_semi")
+    merged = merge_canonical_state(touched, delta)
+    n = merged.count()
+    sink.merge_upsert(spark, merged, run_id, keys=keys,
+                      meta={"n_touched": n, "hwm": hwm})
+    return {"run_id": run_id, "n_pages": n, "skipped": False,
+            "hwm": hwm}
+
+
+def read_canonical_pages(spark: SparkSession,
+                         output_root: str) -> DataFrame | None:
+    """The collapsed view of a crawl-collapse output (state projected
+    through ``state_to_pages``)."""
+    from ..operators.weburl import state_to_pages
+
+    sink = SnapshotSink(os.path.join(output_root, "canonical_state"))
+    state = sink.read_committed(spark)
+    return None if state is None else state_to_pages(state)
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,

@@ -220,3 +220,37 @@ def test_incremental_collapse_plan_single_merge_join(spark, small_visits):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "ObjectHashAggregate" in plan  # set buffers, partials
+
+
+def test_crawl_collapse_job_resume_and_delta_cost(spark, tmp_path):
+    from credit_ocr_system_spark.operators import weburl as WB
+    from credit_ocr_system_spark.plans.pipeline import (
+        read_canonical_pages,
+        run_crawl_collapse_job,
+    )
+    from credit_ocr_system_spark.sources.visits import visits_df
+
+    out = str(tmp_path / "cc")
+    # a growing log is a PREFIX of one stream (visits_df(n) sizes its
+    # page pool on n, so two different-n logs are different corpora)
+    v_full = visits_df(spark, 400, partitions=4)
+    v1 = v_full.filter(F.col("visit_id") < 300)
+    r1 = run_crawl_collapse_job(spark, v1, out)
+    assert not r1["skipped"] and r1["n_pages"] > 0
+    # unchanged log: idempotent no-op
+    r2 = run_crawl_collapse_job(spark, v1, out)
+    assert r2["skipped"]
+    # the log grew: only the delta folds, only touched keys rewrite
+    v2 = v_full
+    r3 = run_crawl_collapse_job(spark, v2, out)
+    assert not r3["skipped"]
+    delta_keys = (WB.canonical_state(
+        v2.filter(F.col("visit_id") >= 300)).count())
+    assert r3["n_pages"] == delta_keys  # write scope = touched keys
+    assert delta_keys < r1["n_pages"]   # strictly less than a rescan
+    # committed view equals the batch collapse over the FULL log
+    got = {r["canonical_url"]: r.asDict() for r in
+           read_canonical_pages(spark, out).collect()}
+    want = {r["canonical_url"]: r.asDict() for r in
+            WB.canonical_pages(v2).collect()}
+    assert got == want
