@@ -10,7 +10,8 @@ function so the Spark stage touches each document's bytes exactly once
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
+from urllib.parse import urljoin
 
 from ..config.document_types import CREDIT_REQUEST_FIELDS
 from .fields import match_fields
@@ -22,16 +23,61 @@ from .pdf_layout import PDF_MAGIC, extract_pdf
 # clock (src/integration/pipeline.py:57,133) — kept for reproducibility.
 PROCESSING_TIMESTAMP = "2024-01-01T00:00:00Z"
 
+MAX_RESOLVED_URL = 4096  # drop absurd resolved URLs (spider traps)
+
+
+def _resolve_links(url: str, base_href: str,
+                   raw_links: List[Dict[str, Any]]
+                   ) -> List[Dict[str, Any]]:
+    """RFC 3986 reference resolution of the captured hrefs.
+
+    ``url`` (the fetch URL) is the base; a ``<base href>`` rebases it
+    first, itself resolved against the fetch URL (HTML spec). The raw
+    href is kept verbatim for WAT fidelity; ``url`` is the resolved
+    absolute target, null when the href doesn't resolve to a
+    fetchable http(s) URL (``javascript:``/``mailto:``/``data:``
+    schemes, unparseable bytes). Fragments are dropped — they are
+    never sent on the wire, and the graph edge targets the resource.
+    """
+    base = url or ""
+    if base_href:
+        try:
+            base = urljoin(base, base_href)
+        except ValueError:
+            pass
+    out: List[Dict[str, Any]] = []
+    for idx, ln in enumerate(raw_links):
+        resolved: Optional[str] = None
+        try:
+            r = urljoin(base, ln["href"]).split("#", 1)[0]
+            if (r.startswith(("http://", "https://"))
+                    and len(r) <= MAX_RESOLVED_URL):
+                resolved = r
+        except ValueError:
+            pass
+        out.append({"link_idx": idx, "href": ln["href"],
+                    "url": resolved, "anchor": ln["anchor"],
+                    "nofollow": ln["nofollow"]})
+    return out
+
 
 def extract_document(url: str, payload: Optional[bytes]) -> Dict[str, Any]:
     """Extract one document. Deterministic; never raises on bad input."""
     payload = payload or b""
     if payload.startswith(PDF_MAGIC):
         doc_kind = "pdf"
-        base = extract_pdf(payload)
+        pdf_uris: list = []
+        base = extract_pdf(payload, out_links=pdf_uris)
+        # /Link annotations carry absolute URIs; no anchor text or
+        # rel semantics exist on the PDF side
+        raw_links = [{"href": u, "anchor": "", "nofollow": False}
+                     for u in pdf_uris]
+        base_href = ""
     else:
         doc_kind = "html"
         base = extract_html(payload)
+        raw_links = base.get("links", [])
+        base_href = base.get("base_href", "")
 
     elements = base["elements"]
     pairs = pair_rows(elements)
@@ -69,5 +115,7 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict[str, Any]:
         "noindex": base.get("noindex", False),
         "title": base.get("title", ""),
         "published": base.get("published", ""),
+        "base_href": base_href,
+        "links": _resolve_links(url, base_href, raw_links),
         "processing_timestamp": PROCESSING_TIMESTAMP,
     }

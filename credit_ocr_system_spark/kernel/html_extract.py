@@ -51,6 +51,7 @@ _NEGATIVE_RE = re.compile(
 _WS_RE = re.compile(r"\s+")
 
 MAX_LINK_DENSITY = 1.0 / 3.0
+MAX_LINKS = 4096           # outlink cap: bounds row size on link farms
 ROWS_PER_PAGE = 40         # synthetic pagination of the block list
 ROW_PITCH = 30.0           # vertical distance between block baselines
 ROW_TOP = 10.0
@@ -89,6 +90,15 @@ class _BlockCollector(HTMLParser):
         self.noindex: bool = False
         self.title: str = ""
         self.published: str = ""
+        # outlink surface (the web-graph / WAT signal): every
+        # ``<a href>`` in DOCUMENT order, including anchors inside
+        # stripped containers — nav and footer links are real graph
+        # edges even though their text is boilerplate for CONTENT.
+        # ``<base href>`` (first wins, like browsers) rebases relative
+        # hrefs at resolution time (kernel/extract.py).
+        self.base_href: str = ""
+        self.links: List[Dict[str, Any]] = []
+        self._link_parts: List[str] | None = None  # active <a href> text
         self._in_title = False
         self._strip_depth = 0
         self._strip_root = ""  # tag that opened the current strip
@@ -131,6 +141,25 @@ class _BlockCollector(HTMLParser):
         self._anchor_chars = 0
         self._saw_ws = True
 
+    def _close_link(self) -> None:
+        if self._link_parts is not None:
+            self.links[-1]["anchor"] = _norm("".join(self._link_parts))
+            self._link_parts = None
+
+    def _open_link(self, attrs) -> None:
+        # HTML forbids nested <a>; browsers auto-close the open one.
+        self._close_link()
+        if len(self.links) >= MAX_LINKS:
+            return
+        a = {k: (v or "") for k, v in attrs}
+        href = a.get("href", "").strip()
+        if not href:
+            return  # named anchor / JS hook, not a link
+        rel = a.get("rel", "").lower().split()
+        self.links.append(
+            {"href": href, "anchor": "", "nofollow": "nofollow" in rel})
+        self._link_parts = []
+
     def _head_directives(self, tag: str, attrs) -> None:
         a = {k: (v or "") for k, v in attrs}
         if tag == "link":
@@ -150,8 +179,16 @@ class _BlockCollector(HTMLParser):
         # any new tag ends title capture — an unclosed <title> (real
         # crawls have them) must not swallow the document's content
         self._in_title = tag == "title"
-        if tag in ("link", "meta") and attrs:
+        if tag == "a":
+            # captured BEFORE the strip check: nav/footer/aside links
+            # are web-graph edges even though their text is stripped
+            # for content
+            self._open_link(attrs)
+        elif tag in ("link", "meta") and attrs:
             self._head_directives(tag, attrs)
+        elif tag == "base" and attrs and not self.base_href:
+            self.base_href = next(
+                (v.strip() for k, v in attrs if k == "href" and v), "")
         if self._strip_depth:
             # real crawls omit </head> constantly; browsers imply the
             # close at <body>. Without this rescue an unclosed head
@@ -188,6 +225,8 @@ class _BlockCollector(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag == "title":
             self._in_title = False
+        elif tag == "a":
+            self._close_link()
         if self._strip_depth:
             self._strip_depth -= 1
             return
@@ -204,6 +243,10 @@ class _BlockCollector(HTMLParser):
             # even though <head> is stripped for content
             self.title += data
             return
+        if self._link_parts is not None:
+            # anchor text accumulates even inside stripped containers
+            # (it labels the EDGE, not this document's content)
+            self._link_parts.append(data)
         if self._strip_depth:
             return
         if self._anchor_depth:
@@ -212,6 +255,7 @@ class _BlockCollector(HTMLParser):
 
     def close(self) -> None:  # flush trailing content
         super().close()
+        self._close_link()
         self._flush_block()
 
 
@@ -401,6 +445,7 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
             # data chunk, exactly like stdlib goahead
             h.handle_data("<")
             i += 1
+    h._close_link()
     h._flush_block()
 
 
@@ -491,4 +536,6 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
         "noindex": parsed.noindex,
         "title": _norm(parsed.title),
         "published": parsed.published,
+        "base_href": parsed.base_href,
+        "links": parsed.links,
     }

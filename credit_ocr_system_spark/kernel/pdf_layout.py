@@ -37,16 +37,19 @@ PDF_MAGIC = b"%PDF"
 GRAFT_MAGIC = b"%PDF-GRAFT"
 
 
-def parse_pdf_tokens(payload: bytes) -> List[Dict[str, Any]]:
+def parse_pdf_tokens(payload: bytes,
+                     out_links: List[str] | None = None
+                     ) -> List[Dict[str, Any]]:
     """%PDF payload → layout elements in reading order.
 
     ``%PDF-GRAFT`` token streams parse directly; any other ``%PDF``
-    magic goes through the real content-stream parser.
+    magic goes through the real content-stream parser. ``out_links``
+    (real-PDF branch only) receives ``/Link`` annotation URIs.
     """
     if payload.startswith(GRAFT_MAGIC):
         elements = _parse_graft_tokens(payload)
     elif payload.startswith(PDF_MAGIC):
-        elements = parse_real_pdf(payload)
+        elements = parse_real_pdf(payload, out_links=out_links)
     else:
         return []
     # Reading order: page, then top-to-bottom, then left-to-right.
@@ -158,7 +161,8 @@ def xy_cut_order(elements: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
 
 
 def extract_pdf(payload: bytes,
-                reading_order: str = "yx") -> Dict[str, Any]:
+                reading_order: str = "yx",
+                out_links: List[str] | None = None) -> Dict[str, Any]:
     """PDF payload → text, spans, elements (same contract as HTML side).
 
     ``extracted_text`` is the detected rows in reading order, tokens
@@ -169,7 +173,7 @@ def extract_pdf(payload: bytes,
     bottom/left-to-right) or ``"xy_cut"`` (recursive XY-cut for
     multi-column layouts — see :func:`xy_cut_order`).
     """
-    elements = parse_pdf_tokens(payload)
+    elements = parse_pdf_tokens(payload, out_links=out_links)
     if reading_order == "xy_cut":
         regions = xy_cut_regions(elements)
         elements = [el for region in regions for el in region]

@@ -1707,11 +1707,43 @@ def _page_annotations(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
     return out
 
 
-def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
+def _page_uri_links(objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+                    page_obj: int, decrypt=None,
+                    from_objstm: Optional[set] = None) -> List[str]:
+    """``/Subtype /Link`` annotations' ``/A /S /URI`` targets, in
+    ``/Annots`` array order — the PDF side of the outlink surface
+    (ISO 32000-1 §12.5.6.5, §12.6.4.7). Strings in encrypted files
+    decrypt with the containing object's key, like annotation text."""
+    out: List[str] = []
+    for ref in _refs(rb"/Annots", objs[page_obj][0]):
+        ahead = objs.get(ref, (None, None))[0]
+        if ahead is None or b"/Subtype" not in ahead:
+            continue
+        if re.search(rb"/Subtype\s*/Link\b", ahead) is None:
+            continue
+        if re.search(rb"/S\s*/URI\b", ahead) is None:
+            continue
+        raw = _enc_string(ahead, rb"/URI")
+        if raw is None:
+            continue
+        if decrypt is not None and (from_objstm is None
+                                    or ref not in from_objstm):
+            raw = decrypt(ref, 0, raw)
+        uri = raw.decode("utf-8", errors="replace").strip()
+        if uri:
+            out.append(uri)
+    return out
+
+
+def parse_real_pdf(payload: bytes,
+                   out_links: Optional[List[str]] = None
+                   ) -> List[Dict[str, Any]]:
     """``%PDF-1.x`` bytes → layout elements (kernel element schema).
 
     Tolerant by contract: malformed input yields the elements the
     recognizable subset produced (possibly none) and never raises.
+    ``out_links``, when given, receives the document's ``/Link``
+    annotation URIs in page order (:func:`_page_uri_links`).
     """
     try:
         decrypt = _make_decryptor(payload)
@@ -1738,6 +1770,10 @@ def parse_real_pdf(payload: bytes) -> List[Dict[str, Any]]:
             elements.extend(
                 _page_annotations(objs, page_obj, idx, page_h,
                                   decrypt, from_objstm))
+            if out_links is not None:
+                out_links.extend(
+                    _page_uri_links(objs, page_obj, decrypt,
+                                    from_objstm))
         return elements
     except Exception:
         return []

@@ -49,6 +49,9 @@ EXTRACTED_SCHEMA = (
     "n_elements int, n_pairs int, bytes_in bigint, kernel_us bigint, "
     "link_canonical string, noindex boolean, "
     "title string, published string, "
+    "base_href string, "
+    "links array<struct<link_idx:int,href:string,url:string,"
+    "anchor:string,nofollow:boolean>>, "
     "error string"
 )
 
@@ -86,6 +89,11 @@ PA_EXTRACTED_SCHEMA = pa.schema([
     ("noindex", pa.bool_()),
     ("title", pa.string()),
     ("published", pa.string()),
+    ("base_href", pa.string()),
+    ("links", pa.list_(pa.struct([
+        ("link_idx", pa.int32()), ("href", pa.string()),
+        ("url", pa.string()), ("anchor", pa.string()),
+        ("nofollow", pa.bool_())]))),
     ("error", pa.string()),
 ])
 
@@ -170,6 +178,8 @@ def _extract_batches(
                 "noindex": bool(res.get("noindex", False)),
                 "title": res.get("title") or None,
                 "published": res.get("published") or None,
+                "base_href": res.get("base_href") or None,
+                "links": res.get("links", []),
                 "error": err,
             })
         if (not guard_off and n_errors == len(rows)

@@ -203,7 +203,8 @@ def _html_page(rng: random.Random, values: Dict[str, str],
 
 
 def _real_pdf_page(rng: random.Random, values: Dict[str, str],
-                   fields: List[str], title: str) -> bytes:
+                   fields: List[str], title: str,
+                   link_uris: List[str] | None = None) -> bytes:
     """Genuine ``%PDF-1.4`` bytes (catalog, page tree, content
     streams) via :mod:`.pdf_write` — same form layout as the GRAFT
     variant, on the writer's ``CHAR_W`` px/char grid so the parser's
@@ -345,6 +346,10 @@ def _real_pdf_page(rng: random.Random, values: Dict[str, str],
         # letterhead/stamp shape: text inside a form XObject
         form_xobject=rng.random() < 0.25,
         annots=annots,
+        # /Link URI annotations (first page): the PDF outlink surface.
+        # stable_mod-keyed by the caller, never an rng draw — zero
+        # impact on the golden-pinned draw stream
+        links=[link_uris] if link_uris else None,
     )
 
 
@@ -448,6 +453,54 @@ def _decorate_head(url: str, html: str) -> str:
     return html.replace("<head>", "<head>" + "".join(tags), 1)
 
 
+def _decorate_links(url: str, html: str) -> str:
+    """Inject the cross-host outlinks a real web page carries — the
+    web-graph / WAT surface. URL-hash keyed (no rng draws shift) and
+    footer-resident (``<footer>`` is a stripped container: anchors
+    there are graph edges but never content), so extraction
+    text/geometry — and every checked-in golden — stay byte-identical.
+
+    Shapes drawn: absolute https, protocol-relative ``//host/path``,
+    tracking-parameter variants (canonicalization must collapse
+    them), a page-relative href, ~1/5 ``rel=nofollow``, and ~1/11
+    pages a ``<base href>`` that rebases the relative one. Target
+    hosts are Zipf-ish so the host graph has the in-degree skew that
+    stresses PageRank and per-host aggregation."""
+    n_out = 2 + stable_mod(url + "#nlinks", 4)
+    anchors = []
+    for k in range(n_out):
+        r = stable_mod(url + f"#ld{k}", 100)
+        if r < 30:
+            dst_host = _DOMAINS[0]
+        elif r < 45:
+            dst_host = _DOMAINS[1]
+        elif r < 55:
+            dst_host = _DOMAINS[2]
+        elif r < 62:
+            dst_host = _DOMAINS[3]
+        else:
+            dst_host = _DOMAINS[7 + r % 43]
+        dst_id = stable_mod(url + f"#li{k}", 3000)
+        path = f"/credit/{dst_id:09d}"
+        shape = k % 3
+        if shape == 0:
+            href = f"https://{dst_host}{path}"
+        elif shape == 1:
+            href = f"//{dst_host}{path}"
+        else:
+            href = f"https://{dst_host}{path}?utm_source=feed&ref=x"
+        rel = (' rel="nofollow"'
+               if stable_mod(url + f"#nf{k}", 5) == 0 else "")
+        anchors.append(f'<a href="{href}"{rel}>Partner {dst_id}</a>')
+    anchors.append('<a href="more/info.html">More</a>')
+    html = html.replace(
+        "</footer>",
+        f'<div class="linkbox">{" ".join(anchors)}</div></footer>', 1)
+    if stable_mod(url + "#base", 11) == 0:
+        html = html.replace("<head>", '<head><base href="/app/">', 1)
+    return html
+
+
 def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     """Generate one pages-table row as a plain dict."""
     rng = _row_rng(seed, row_id)
@@ -463,13 +516,19 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     title = f"{values['company_name']} Application {row_id}"
     kind_draw = rng.random()
     if kind_draw < 0.04:
-        # genuine %PDF-1.4 with digital-text content streams
-        payload = _real_pdf_page(rng, values, fields, title)
+        # genuine %PDF-1.4 with digital-text content streams; /Link
+        # URI annotations carry the PDF side of the outlink surface
+        uris = [
+            f"https://{_DOMAINS[stable_mod(url + f'#pl{k}', 8)]}"
+            f"/credit/{stable_mod(url + f'#pi{k}', 3000):09d}"
+            for k in range(1 + stable_mod(url + "#pn", 2))]
+        payload = _real_pdf_page(rng, values, fields, title,
+                                 link_uris=uris)
     elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
     else:
-        payload = _encode_html(url, _decorate_head(
-            url, _html_page(rng, values, fields, title)))
+        payload = _encode_html(url, _decorate_links(url, _decorate_head(
+            url, _html_page(rng, values, fields, title))))
     return {
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=row_id),

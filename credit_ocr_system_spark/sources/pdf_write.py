@@ -276,12 +276,14 @@ def _encrypt_strings(out: List[Tuple[int, bytes]], transform
     from ..kernel.pdf_text import _parse_literal_string
     fixed: List[Tuple[int, bytes]] = []
     for num, body in out:
-        at = body.find(b"/V (")
-        if at >= 0 and b"/Type /Annot" in body:
-            raw, end = _parse_literal_string(body, at + 3)
-            body = (body[:at] + b"/V <"
-                    + transform(num, raw).hex().encode("ascii")
-                    + b">" + body[end:])
+        for key in (b"/V (", b"/URI ("):
+            at = body.find(key)
+            if at >= 0 and b"/Type /Annot" in body:
+                k = len(key) - 1
+                raw, end = _parse_literal_string(body, at + k)
+                body = (body[:at] + key[:k] + b"<"
+                        + transform(num, raw).hex().encode("ascii")
+                        + b">" + body[end:])
         fixed.append((num, body))
     return fixed
 
@@ -423,6 +425,7 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
               encrypt: Optional[str] = None,
               form_xobject: bool = False,
               annots: Optional[List[List[tuple]]] = None,
+              links: Optional[List[List[str]]] = None,
               scanned: Optional[str] = None,
               scan_skew: float = 0.0,
               scan_specks: int = 0,
@@ -635,16 +638,18 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
     # so page dicts can reference them
     page_annots = [list(a) for a in (annots or [])]
     page_annots += [[] for _ in range(n_pages - len(page_annots))]
+    page_links = [list(l) for l in (links or [])]
+    page_links += [[] for _ in range(n_pages - len(page_links))]
     annot_base = form_base + (n_pages if form_xobject else 0)
     annot_refs: List[List[int]] = []
     acc = annot_base
-    for pa in page_annots:
-        annot_refs.append(list(range(acc, acc + len(pa))))
-        acc += len(pa)
+    for pa, pl in zip(page_annots, page_links):
+        annot_refs.append(list(range(acc, acc + len(pa) + len(pl))))
+        acc += len(pa) + len(pl)
     image_base = acc  # image XObjects (scanned mode) come last
     image_objs: List[bytes] = []
     annot_objs: List[bytes] = []
-    for pa in page_annots:
+    for pa, pl in zip(page_annots, page_links):
         for x, y_top, w_box, h_box, value in pa:
             ry2 = PAGE_H - y_top
             annot_objs.append(
@@ -652,6 +657,16 @@ def build_pdf(pages: Iterable[Sequence[Token]], compress: bool = False,
                 b" /Rect [" + b" ".join(_num(v) for v in (
                     x, ry2 - h_box, x + w_box, ry2))
                 + b"] /V (" + _escape_literal(value) + b") >>")
+        for j, uri in enumerate(pl):
+            # hyperlink hot area: ISO 32000-1 §12.5.6.5 Link
+            # annotation with a §12.6.4.7 URI action
+            x0 = 36 + 12 * j
+            annot_objs.append(
+                b"<< /Type /Annot /Subtype /Link"
+                b" /Rect [" + b" ".join(_num(v) for v in (
+                    x0, 8, x0 + 10, 18))
+                + b"] /Border [0 0 0] /A << /S /URI /URI ("
+                + _escape_literal(uri) + b") >> >>")
     for i, tokens in enumerate(page_tokens):
         if form_xobject:
             res = (b" /Resources << /Font << /F1 3 0 R >>"
