@@ -84,10 +84,16 @@ def _kernel_goldens() -> None:
     from .kernel.extract import extract_document
     from .sources.pages import gen_page
 
-    doc_rows, elem_rows, pair_rows = [], [], []
+    doc_rows, elem_rows, pair_rows, link_rows = [], [], [], []
     for i in range(X_N_PAGES):
         p = gen_page(i)
         res = extract_document(p["url"], p["html"])
+        for ln in res["links"]:
+            link_rows.append({
+                "url": p["url"], "link_idx": ln["link_idx"],
+                "href": ln["href"], "dst_url": ln["url"],
+                "anchor": ln["anchor"], "nofollow": ln["nofollow"],
+            })
         doc_rows.append({
             "url": p["url"],
             "doc_kind": res["doc_kind"],
@@ -156,6 +162,11 @@ def _kernel_goldens() -> None:
         ("url", pa.string()), ("pair_idx", pa.int32()),
         ("label", pa.string()), ("value", pa.string()),
         ("page", pa.int32()), ("confidence", pa.float64()),
+    ]))
+    _write("x_links.parquet", link_rows, pa.schema([
+        ("url", pa.string()), ("link_idx", pa.int32()),
+        ("href", pa.string()), ("dst_url", pa.string()),
+        ("anchor", pa.string()), ("nofollow", pa.bool_()),
     ]))
 
 

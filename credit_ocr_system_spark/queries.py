@@ -419,6 +419,53 @@ def x_published_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs")))
 
 
+def _x_links(spark: SparkSession) -> DataFrame:
+    from .operators.extraction import extract_pages
+    from .operators.webgraph import page_links
+
+    return page_links(extract_pages(_x_pages(spark)))
+
+
+def x_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden+SQL-oracled: the outlink surface (kernel capture +
+    RFC 3986 resolution are golden-materialized; the ENDPOINT
+    CANONICALIZATION is re-derived in SQL by running the independent
+    DuckDB canon chain over both ends) — the WAT-adjacent per-link
+    view the web-graph family builds on."""
+    return _x_links(spark).select(
+        "src_url", "link_idx", "href", "dst_url", "anchor",
+        "nofollow", "src_host", "src_canonical", "dst_host",
+        "dst_canonical")
+
+
+def x_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled over the golden links: the inter-host edge list
+    with link/follow/distinct-source-page counts — Common Crawl's
+    host-graph shape. One hash exchange; the two exact distincts ride
+    it via the Expand rewrite."""
+    from .operators.webgraph import host_graph
+
+    return host_graph(_x_links(spark))
+
+
+def x_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled bit-for-bit (unrolled iterations, ordered neighbor
+    folds, shared damping literals): directed PageRank over the
+    follow-only host graph — the crawl-prioritization rank."""
+    from .operators.webgraph import host_pagerank
+
+    return host_pagerank(_x_links(spark))
+
+
+def x_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: top-k anchor texts per canonical target (count
+    desc, anchor asc — deterministic), WindowGroupLimit-pruned before
+    the rank exchange."""
+    from .operators.webgraph import anchor_topk
+
+    return anchor_topk(_x_links(spark))
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled both ways: the raw sitemap XML is golden-
     materialized and DuckDB re-derives the PARSE (regexp block
@@ -2026,6 +2073,11 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_warc_pages": x_warc_pages,
         "x_warc_sliced": x_warc_sliced,
         "x_wet_records": x_wet_records,
+        # web-graph family over the outlink surface
+        "x_page_links": x_page_links,
+        "x_host_graph": x_host_graph,
+        "x_host_pagerank": x_host_pagerank,
+        "x_anchor_topk": x_anchor_topk,
     }
     ordered = {name: q[name] for name in _DRIVER_PRIORITY}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2047,6 +2099,8 @@ def build_queries() -> Dict[str, QueryFn]:
 _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
+    # new in r4 (third pass): the outlink / web-graph family
+    "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
     "x_canonical_groups", "x_published_mix",
@@ -2494,9 +2548,114 @@ FROM fresh GROUP BY 1, 2
     }
 
 
+def _webgraph_ctes() -> str:
+    """Shared CTE chain for the web-graph oracles: the golden links
+    table (kernel capture + RFC 3986 resolution, materialized
+    driver-side by ``oracle_golden``) with BOTH endpoints
+    canonicalized by the independent DuckDB canon chain — the
+    canonicalization itself is re-derived, not read from a golden."""
+    links = G.golden_path("x_links.parquet")
+    dchain = _canon_chain(
+        "lk", "d", "dcanon",
+        "page_url, link_idx, href, url, anchor, nofollow")
+    schain = _canon_chain(
+        "dd", "s", "scanon",
+        "url, link_idx, href, dst_url, anchor, nofollow, "
+        "dst_host, dst_canonical")
+    return f"""
+lk AS (SELECT url AS page_url, link_idx, href, dst_url AS url,
+              anchor, nofollow
+       FROM read_parquet('{links}')
+       WHERE dst_url IS NOT NULL),{dchain},
+dd AS (SELECT page_url AS url, link_idx, href, url AS dst_url,
+              anchor, nofollow, canonical_host AS dst_host,
+              canonical_url AS dst_canonical
+       FROM dcanon),{schain},
+wl AS (SELECT url AS src_url, link_idx, href, dst_url, anchor,
+              nofollow, canonical_host AS src_host,
+              canonical_url AS src_canonical, dst_host, dst_canonical
+       FROM scanon)"""
+
+
+def _host_pagerank_oracle() -> str:
+    """Unrolled directed host PageRank mirroring
+    ``webgraph.host_pagerank`` statement-for-statement — same
+    discipline as :func:`_pagerank_oracle` (ordered neighbor folds,
+    identical damping literals)."""
+    parts = [
+        """fe AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+        FROM wl WHERE src_host <> dst_host AND NOT nofollow)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM fe GROUP BY src)",
+        "ed AS (SELECT f.src, f.dst, d.deg FROM fe f"
+        " JOIN deg d USING (src))",
+        "hosts AS (SELECT src AS host FROM fe"
+        " UNION SELECT dst FROM fe)",
+        "n AS (SELECT COUNT(*) AS n_hosts FROM hosts)",
+        "nodes AS (SELECT host, n_hosts FROM hosts CROSS JOIN n)",
+        "rank0 AS (SELECT host, 1.0 / n_hosts AS r FROM nodes)",
+    ]
+    for t in range(1, T.PAGERANK_ITERS + 1):
+        parts.append(f"""contrib{t} AS (
+  SELECT e.dst, e.src, r.r / e.deg AS c
+  FROM ed e JOIN rank{t - 1} r ON e.src = r.host)""")
+        parts.append(f"""fold{t} AS (
+  SELECT dst,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY src)),
+               (a, b) -> a + b) AS s
+  FROM contrib{t} GROUP BY dst)""")
+        parts.append(f"""rank{t} AS (
+  SELECT nd.host,
+   {T.PAGERANK_BASE!r} / nd.n_hosts
+   + {T.PAGERANK_DAMPING!r} * COALESCE(f.s, 0.0) AS r
+  FROM nodes nd LEFT JOIN fold{t} f ON nd.host = f.dst)""")
+    body = ",\n ".join(parts)
+    return f"""
+WITH {_webgraph_ctes()},
+ {body}
+SELECT host, {sql_pround("r", 9)} AS pagerank
+FROM rank{T.PAGERANK_ITERS}
+"""
+
+
+def _webgraph_oracles() -> Dict[str, str]:
+    from .operators.webgraph import ANCHOR_TOPK
+
+    return {
+        "x_page_links": f"""
+WITH {_webgraph_ctes()}
+SELECT src_url, link_idx, href, dst_url, anchor, nofollow,
+       src_host, src_canonical, dst_host, dst_canonical
+FROM wl
+""",
+        "x_host_graph": f"""
+WITH {_webgraph_ctes()}
+SELECT src_host, dst_host, COUNT(*) AS n_links,
+       COUNT(*) FILTER (WHERE NOT nofollow) AS n_follow,
+       COUNT(DISTINCT src_canonical) AS n_pages
+FROM wl WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+""",
+        "x_host_pagerank": _host_pagerank_oracle(),
+        "x_anchor_topk": f"""
+WITH {_webgraph_ctes()},
+ac AS (SELECT dst_canonical, lower(anchor) AS anchor,
+              COUNT(*) AS n
+       FROM wl WHERE lower(anchor) <> ''
+       GROUP BY dst_canonical, lower(anchor))
+SELECT dst_canonical, anchor, n, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY dst_canonical
+        ORDER BY n DESC, anchor) AS rank
+      FROM ac)
+WHERE rank <= {ANCHOR_TOPK}
+""",
+    }
+
+
 def build_oracles() -> Dict[str, str]:
     # (Re)materialize the kernel-output goldens before handing out the
     # SQL that reads them — they can never be stale relative to the
     # kernel code, and they exist before DuckDB runs.
     G.materialize()
-    return {**ORACLES, **_x_oracles(), **_weburl_oracles()}
+    return {**ORACLES, **_x_oracles(), **_weburl_oracles(),
+            **_webgraph_oracles()}
