@@ -106,6 +106,7 @@ def _kernel_goldens() -> None:
             "noindex": res["noindex"],
             "title": res["title"] or None,
             "published": res["published"] or None,
+            "base_href": res["base_href"] or None,
             # capture time as epoch micros (engine-portable; the WET
             # oracle rebuilds the WARC-Date header from it)
             "warc_us": int(p["warc_ts"].timestamp()) * 1_000_000,
@@ -130,6 +131,7 @@ def _kernel_goldens() -> None:
         ("bytes_in", pa.int64()), ("warc_us", pa.int64()),
         ("link_canonical", pa.string()), ("noindex", pa.bool_()),
         ("title", pa.string()), ("published", pa.string()),
+        ("base_href", pa.string()),
     ]))
 
     scan_rows = []

@@ -605,6 +605,7 @@ def run_extraction_job(
     num_partitions: int | None = None,
     salt: int = SALT_DEFAULT,
     wet_dir: str | None = None,
+    wat_dir: str | None = None,
 ) -> dict:
     """One resumable extraction run; returns commit stats.
 
@@ -612,7 +613,9 @@ def run_extraction_job(
     Crawl ``.warc.wet.gz`` files under ``wet_dir/<run_id>/`` (error
     docs excluded) — the full WET corpus is the union of run subdirs,
     mirroring the snapshot deltas, and a resumed (skipped) run writes
-    nothing, so re-running never duplicates records."""
+    nothing, so re-running never duplicates records. ``wat_dir``
+    does the same for the link/head metadata as ``.warc.wat.gz``
+    (``sources/warc.py::write_wat``) — the WARC/WET/WAT triple."""
     run_id = uuid.uuid4().hex[:12]
     sink_extracted = SnapshotSink(os.path.join(output_root, "extracted"))
     sink_fields = SnapshotSink(os.path.join(output_root, "fields"))
@@ -670,6 +673,15 @@ def run_extraction_job(
             stats["n_wet"] = write_wet(
                 docs.select("url", "warc_ts", "extracted_text"),
                 os.path.join(wet_dir, run_id))
+        if wat_dir is not None:
+            from ..sources.warc import write_wat
+
+            docs = (extracted.filter(F.col("error").isNull())
+                    .select("url", "doc_kind", "title", "base_href",
+                            "link_canonical", "links")
+                    .join(todo.select("url", "warc_ts"), "url"))
+            stats["n_wat"] = write_wat(
+                docs, os.path.join(wat_dir, run_id))
         return stats
     finally:
         extracted.unpersist()

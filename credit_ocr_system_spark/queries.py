@@ -255,6 +255,30 @@ def x_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("rec").cast("int").alias("rec_bytes"))
 
 
+def x_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: the WAT ``metadata`` record column
+    (``sources/warc.py::wat_record_col`` — the Links/Head JSON
+    envelope :func:`write_wat` serializes, Common Crawl's .warc.wat
+    layout) re-assembled independently by DuckDB from the docs+links
+    goldens — JSON escaping via DuckDB's ``to_json`` on each scalar,
+    null/empty fields omitted, links ordered by ``link_idx``, the
+    PDF ``Annot@/URI`` path discriminator included. Byte-level twin
+    fidelity (Jackson's uppercase control escapes etc.) is pinned
+    separately by ``tests/test_wat.py``; the golden corpus carries no
+    control characters, so the two escapers agree here."""
+    from .operators.extraction import extract_pages
+    from .sources.warc import wat_record_col
+
+    pages = _x_pages(spark)
+    docs = extract_pages(pages).join(
+        pages.select("url", "warc_ts"), "url")
+    rec = docs.select("url", wat_record_col().alias("rec"))
+    return rec.select(
+        "url",
+        F.md5(F.col("rec").cast("binary")).alias("rec_md5"),
+        F.octet_length("rec").cast("int").alias("rec_bytes"))
+
+
 def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-checked: the <head> metadata surface (rel=canonical
     href — including renders that declare ANOTHER url canonical —
@@ -1663,6 +1687,7 @@ def _x_oracles() -> Dict[str, str]:
     kernel-output parquet (``oracle_golden.py``). Paths are absolute —
     the driver's DuckDB connection runs from an arbitrary cwd."""
     docs = G.golden_path("x_docs.parquet")
+    links = G.golden_path("x_links.parquet")
     elements = G.golden_path("x_elements.parquet")
     pairs = G.golden_path("x_pairs.parquet")
     config = G.golden_path("x_field_config.parquet")
@@ -1832,6 +1857,65 @@ WITH rec AS (
     'Content-Length: ' || CAST(strlen(extracted_text) AS VARCHAR) ||
     E'\\r\\n\\r\\n' || extracted_text || E'\\r\\n\\r\\n' AS rec
   FROM read_parquet('{docs}'))
+SELECT url, md5(rec) AS rec_md5,
+       CAST(strlen(rec) AS INT) AS rec_bytes
+FROM rec
+""",
+        # the WAT record re-assembled from the docs+links goldens:
+        # JSON via to_json-escaped scalars concatenated in struct
+        # order, null/empty fields omitted (Jackson ignoreNullFields),
+        # links ordered by link_idx with the RAW href, Refers-To =
+        # the WET/response id (md5(url)), Content-Length = payload
+        # UTF-8 bytes
+        "x_wat_records": f"""
+WITH lobj AS (
+  SELECT l.url, l.link_idx,
+    '{{"path":' || CASE WHEN d.doc_kind = 'pdf'
+        THEN '"Annot@/URI"' ELSE '"A@/href"' END
+    || ',"url":' || to_json(l.href)
+    || CASE WHEN l.anchor IS NOT NULL AND l.anchor <> ''
+        THEN ',"text":' || to_json(l.anchor) ELSE '' END
+    || CASE WHEN l.nofollow THEN ',"rel":"nofollow"' ELSE '' END
+    || '}}' AS obj
+  FROM read_parquet('{links}') l
+  JOIN read_parquet('{docs}') d USING (url)),
+larr AS (
+  SELECT url,
+         '[' || string_agg(obj, ',' ORDER BY link_idx) || ']' AS arr
+  FROM lobj GROUP BY url),
+hp AS (
+  SELECT url,
+    CASE WHEN title IS NOT NULL AND title <> ''
+      THEN ',"Title":' || to_json(title) ELSE '' END ||
+    CASE WHEN base_href IS NOT NULL AND base_href <> ''
+      THEN ',"Base":' || to_json(base_href) ELSE '' END ||
+    CASE WHEN link_canonical IS NOT NULL AND link_canonical <> ''
+      THEN ',"Canonical":' || to_json(link_canonical) ELSE '' END AS h
+  FROM read_parquet('{docs}')),
+pl AS (
+  SELECT d.url, d.warc_us,
+    '{{"Envelope":{{"Payload-Metadata":{{"HTML-Metadata":{{"Head":'
+    || CASE WHEN hp.h = '' THEN '{{}}'
+            ELSE '{{' || substr(hp.h, 2) || '}}' END
+    || ',"Links":' || COALESCE(larr.arr, '[]')
+    || '}}}}}}}}' AS payload
+  FROM read_parquet('{docs}') d
+  JOIN hp USING (url) LEFT JOIN larr USING (url)),
+rec AS (
+  SELECT url,
+    'WARC/1.0' || E'\\r\\n' ||
+    'WARC-Type: metadata' || E'\\r\\n' ||
+    'WARC-Target-URI: ' || url || E'\\r\\n' ||
+    'WARC-Date: ' ||
+      strftime(make_timestamp(warc_us), '%Y-%m-%dT%H:%M:%SZ') ||
+      E'\\r\\n' ||
+    'WARC-Record-ID: <urn:uuid:' || md5(url || '#wat') || '>' ||
+      E'\\r\\n' ||
+    'WARC-Refers-To: <urn:uuid:' || md5(url) || '>' || E'\\r\\n' ||
+    'Content-Type: application/json' || E'\\r\\n' ||
+    'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) ||
+    E'\\r\\n\\r\\n' || payload || E'\\r\\n\\r\\n' AS rec
+  FROM pl)
 SELECT url, md5(rec) AS rec_md5,
        CAST(strlen(rec) AS INT) AS rec_bytes
 FROM rec
@@ -2073,6 +2157,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_warc_pages": x_warc_pages,
         "x_warc_sliced": x_warc_sliced,
         "x_wet_records": x_wet_records,
+        "x_wat_records": x_wat_records,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
         "x_host_graph": x_host_graph,
@@ -2102,7 +2187,8 @@ _DRIVER_PRIORITY = [
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
-    "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_head_meta",
+    "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_wat_records",
+    "x_head_meta",
     "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",

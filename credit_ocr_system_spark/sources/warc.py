@@ -47,6 +47,7 @@ deduplication records (skipped like request/metadata), and non-gzip
 from __future__ import annotations
 
 import hashlib
+import json
 import re
 import zlib
 from datetime import datetime, timezone
@@ -778,6 +779,161 @@ def write_wet(docs, out_dir: str, prefix: str = "extract") -> int:
             [{"n": n}], schema=pa.schema([("n", pa.int64())]))
 
     counts = (docs.select("url", "warc_ts", "extracted_text")
+              .mapInArrow(dump, "n long").collect())
+    return sum(r["n"] for r in counts)
+
+
+# ------------------------------------------------------------ WAT output
+
+# A REAL control-char escape in json.dumps output is a `\u00xx` whose
+# backslash is its own (count of preceding backslashes is even). The
+# literal text `«` dumps as `\\u00ab` — odd count — and Jackson
+# leaves its hex alone, so the uppercase pass must skip it.
+_UPPER_ESC = re.compile(r"((?:^|[^\\])(?:\\\\)*\\u00)([0-9a-f]{2})")
+
+
+def wat_payload(doc_kind: str, title, base_href, link_canonical,
+                links) -> str:
+    """The WAT metadata JSON for one extracted document — pure-Python
+    twin of :func:`wat_payload_col`, byte-identical by construction
+    (pinned by ``tests/test_wat.py`` on adversarial strings): compact
+    separators, UTF-8 kept raw, null fields OMITTED (Jackson's
+    ``ignoreNullFields`` behavior), control-character escapes
+    uppercased to match Jackson's ``\\u001F`` rendering.
+
+    Layout follows Common Crawl's WAT envelope, trimmed to the fields
+    this engine derives: Head (Title / Base / Canonical) and the
+    Links array with the RAW href (``url``), anchor ``text``, and
+    ``rel: nofollow`` — the WAT view is raw fidelity; the resolved /
+    canonicalized view is :mod:`..operators.webgraph`."""
+    path = "Annot@/URI" if doc_kind == "pdf" else "A@/href"
+    head = {}
+    if title:
+        head["Title"] = title
+    if base_href:
+        head["Base"] = base_href
+    if link_canonical:
+        head["Canonical"] = link_canonical
+    out_links = []
+    for ln in links or []:
+        e = {"path": path, "url": ln["href"]}
+        if ln["anchor"]:
+            e["text"] = ln["anchor"]
+        if ln["nofollow"]:
+            e["rel"] = "nofollow"
+        out_links.append(e)
+    env = {"Envelope": {"Payload-Metadata": {"HTML-Metadata": {
+        "Head": head, "Links": out_links}}}}
+    s = json.dumps(env, ensure_ascii=False, separators=(",", ":"))
+    return _UPPER_ESC.sub(
+        lambda m: m.group(1) + m.group(2).upper(), s)
+
+
+def wat_payload_col():
+    """:func:`wat_payload` as a pure-codegen Column over extraction
+    rows (doc_kind, title, base_href, link_canonical, links) — record
+    assembly is plan-visible work, not UDF work, exactly like the WET
+    record column."""
+    from pyspark.sql import functions as F
+
+    path = F.when(F.col("doc_kind") == "pdf",
+                  F.lit("Annot@/URI")).otherwise(F.lit("A@/href"))
+    nn = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
+    links = F.transform(
+        F.coalesce("links", F.array().cast(
+            "array<struct<link_idx:int,href:string,url:string,"
+            "anchor:string,nofollow:boolean>>")),
+        lambda l: F.struct(
+            path.alias("path"),
+            l["href"].alias("url"),
+            F.when(l["anchor"] != "", l["anchor"]).alias("text"),
+            F.when(l["nofollow"], F.lit("nofollow")).alias("rel")))
+    head = F.struct(nn("title").alias("Title"),
+                    nn("base_href").alias("Base"),
+                    nn("link_canonical").alias("Canonical"))
+    return F.to_json(F.struct(F.struct(F.struct(F.struct(
+        head.alias("Head"), links.alias("Links"))
+        .alias("HTML-Metadata")).alias("Payload-Metadata"))
+        .alias("Envelope")))
+
+
+def wat_record_col(url_col: str = "url", ts_col: str = "warc_ts"):
+    """The full WAT ``metadata`` record as a codegen string Column:
+    WARC headers (Refers-To = the WET/response record id, same
+    ``md5(url)`` scheme) + the JSON payload block. Content-Length
+    counts UTF-8 bytes of the payload."""
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    p = wat_payload_col()
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
+              "WARC-Target-URI: "), u,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(
+            F.to_utc_timestamp(F.col(ts_col), F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"),
+        F.md5(F.concat(u, F.lit("#wat")).cast("binary")),
+        F.lit(">\r\nWARC-Refers-To: <urn:uuid:"),
+        F.md5(u.cast("binary")),
+        F.lit(">\r\nContent-Type: application/json\r\n"
+              "Content-Length: "),
+        F.octet_length(p).cast("string"),
+        F.lit("\r\n\r\n"), p, F.lit("\r\n\r\n"))
+
+
+def write_wat(docs, out_dir: str, prefix: str = "extract") -> int:
+    """Write extraction rows as .warc.wat.gz files — the metadata
+    third of the WARC/WET/WAT triple, same layout discipline as
+    :func:`write_wet` (one gzip member per record, partition-parallel,
+    no driver data; :func:`warc_pages` reads it back with
+    ``types=("metadata",)``)."""
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batches: Iterator[pa.RecordBatch]
+             ) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.wat.gz")
+        tmp = path + ".tmp"
+        n = 0
+        with open(tmp, "wb") as f:
+            for batch in batches:
+                for row in batch.to_pylist():
+                    payload = wat_payload(
+                        row["doc_kind"], row["title"],
+                        row["base_href"], row["link_canonical"],
+                        row["links"]).encode("utf-8")
+                    rid = hashlib.md5(
+                        (row["url"] + "#wat").encode("utf-8")
+                    ).hexdigest()
+                    ref = hashlib.md5(
+                        row["url"].encode("utf-8")).hexdigest()
+                    rec = _warc_record("metadata", [
+                        ("WARC-Target-URI", row["url"]),
+                        ("WARC-Date", _warc_date(row["warc_ts"])),
+                        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                        ("WARC-Refers-To", f"<urn:uuid:{ref}>"),
+                        ("Content-Type", "application/json"),
+                    ], payload)
+                    co = zlib.compressobj(6, zlib.DEFLATED, _GZ_WBITS)
+                    f.write(co.compress(rec) + co.flush())
+                    n += 1
+        if n:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)
+        yield pa.RecordBatch.from_pylist(
+            [{"n": n}], schema=pa.schema([("n", pa.int64())]))
+
+    counts = (docs.select("url", "warc_ts", "doc_kind", "title",
+                          "base_href", "link_canonical", "links")
               .mapInArrow(dump, "n long").collect())
     return sum(r["n"] for r in counts)
 

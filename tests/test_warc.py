@@ -453,17 +453,24 @@ def test_extraction_job_emits_wet(spark, tmp_path):
     from credit_ocr_system_spark.sources.pages import pages_df
 
     out, wet = str(tmp_path / "job"), str(tmp_path / "wet")
+    wat = str(tmp_path / "wat")
     pages = pages_df(spark, 30, partitions=2)
     r1 = run_extraction_job(spark, pages, out, num_partitions=2,
-                            wet_dir=wet)
+                            wet_dir=wet, wat_dir=wat)
     assert r1["n_wet"] == r1["n_docs"] == 30
+    assert r1["n_wat"] == 30
     back = W.warc_pages(spark, wet + "/" + r1["run_id"],
                         glob="*.warc.wet.gz", types=("conversion",))
     assert back.count() == 30
-    # resumed run: no new docs, no new wet output
+    meta = W.warc_pages(spark, wat + "/" + r1["run_id"],
+                        glob="*.warc.wat.gz", types=("metadata",))
+    assert meta.count() == 30
+    assert meta.filter("mime = 'application/json'").count() == 30
+    # resumed run: no new docs, no new wet/wat output
     r2 = run_extraction_job(spark, pages, out, num_partitions=2,
-                            wet_dir=wet)
+                            wet_dir=wet, wat_dir=wat)
     assert r2["skipped"] is True
     import os
 
     assert not os.path.exists(wet + "/" + r2["run_id"])
+    assert not os.path.exists(wat + "/" + r2["run_id"])
