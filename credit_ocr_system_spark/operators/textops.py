@@ -1978,3 +1978,120 @@ def leakage_safe_split(documents: DataFrame,
         F.when(h < SPLIT_TEST_HEX, F.lit("test"))
          .when(h < SPLIT_VALID_HEX, F.lit("valid"))
          .otherwise(F.lit("train")).alias("split"))
+
+
+# --- cross-document line-level boilerplate / dedup (CCNet-style) -----------
+
+# Minimum distinct-document frequency for a line to count as
+# boilerplate. CCNet (Wenzek et al. 2020) strips paragraphs repeated
+# across a shard; on the extraction surface the unit is the extracted
+# LINE (nav bars, cookie banners, form labels repeat verbatim).
+LINE_BOILERPLATE_MIN_DOCS = 10
+
+
+def _doc_lines(documents: DataFrame, id_col: str,
+               text_col: str) -> DataFrame:
+    """(doc, pos, line) — one row per newline-delimited line, position
+    preserved so the text can be stitched back in order."""
+    return documents.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("pos", "line"))
+
+
+def strip_boilerplate_lines(documents: DataFrame,
+                            id_col: str = "url",
+                            text_col: str = "extracted_text",
+                            min_docs: int = LINE_BOILERPLATE_MIN_DOCS,
+                            min_frac: float | None = None) -> DataFrame:
+    """Remove lines that repeat across ``min_docs``+ distinct
+    documents — the cross-document boilerplate (headers, footers,
+    cookie banners, form labels) that survives per-page DOM heuristics
+    because each individual page looks legitimate.
+
+    Scale shape: one shuffle — the exploded lines aggregate to
+    per-line distinct-doc counts (map-side partial agg). The
+    boilerplate set is then BY CONSTRUCTION small (only lines passing
+    the threshold; at any corpus size the set is bounded by
+    corpus_lines / min_docs, and in practice by the tiny population
+    of truly-shared strings), so it collapses to a 1-row array scalar
+    that broadcasts onto the corpus, and the rewrite itself is a pure
+    map-side higher-order filter over ``split(text)`` — the documents
+    table never shuffles and never re-groups. With ``min_frac`` set,
+    the threshold scales with the corpus
+    (``max(min_docs, ceil(min_frac * n_docs))``) so a 10^12-row run
+    doesn't flag every popular quotation; blank lines are never
+    boilerplate (they're structure, not content).
+
+    Output: (id, n_lines, n_stripped, clean_text) for every document.
+    """
+    lines = _doc_lines(documents, id_col, text_col)
+    freq = (lines.where(F.trim(F.col("line")) != "")
+            .groupBy("line")
+            .agg(F.countDistinct("doc").alias("df")))
+    if min_frac is not None:
+        total = documents.agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"))
+        freq = freq.crossJoin(F.broadcast(total)).where(
+            F.col("df") >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.col("n_docs") * F.lit(min_frac))))
+    else:
+        freq = freq.where(F.col("df") >= F.lit(min_docs))
+    bl = freq.agg(F.collect_list("line").alias("bl"))  # 1-row scalar
+    raw = F.split(F.col(text_col), "\n")
+    kept = F.filter(raw, lambda l: ~F.array_contains(F.col("bl"), l))
+    return (documents.crossJoin(F.broadcast(bl)).select(
+        F.col(id_col),
+        F.size(raw).alias("n_lines"),
+        (F.size(raw) - F.size(kept)).alias("n_stripped"),
+        F.array_join(kept, "\n").alias("clean_text")))
+
+
+def dedup_lines_global(documents: DataFrame,
+                       id_col: str = "url",
+                       text_col: str = "extracted_text") -> DataFrame:
+    """CCNet-style global line deduplication: every distinct
+    non-blank line keeps exactly ONE copy corpus-wide — its first
+    occurrence in (doc, pos) order — and every other occurrence
+    (including later repeats inside the winning document) is removed.
+    Blank lines always survive; they're document structure.
+
+    Unlike :func:`strip_boilerplate_lines` (thresholded removal of
+    the line from EVERY document), this is true deduplication: the
+    canonical copy survives, so no content is lost, only repetition.
+
+    Scale shape: explode → min-struct agg per line (map-side
+    combinable — no window, no sort) → equi-join back on the line to
+    keep only the winner occurrence → per-document ordered stitch.
+    The stitch's collected list is bounded by a single document's
+    line count, the same per-group bound every kernel batch carries.
+
+    Output: (id, n_lines, n_removed, clean_text) for every document.
+    """
+    lines = _doc_lines(documents, id_col, text_col)
+    cand = lines.where(F.trim(F.col("line")) != "")
+    winners = cand.groupBy("line").agg(
+        F.min(F.struct("doc", "pos")).alias("w"))
+    survivors = (
+        cand.join(winners, "line")
+        .where((F.col("doc") == F.col("w.doc"))
+               & (F.col("pos") == F.col("w.pos")))
+        .select("doc", "pos", "line"))
+    blanks = lines.where(F.trim(F.col("line")) == "") \
+                  .select("doc", "pos", "line")
+    keep = survivors.unionByName(blanks)
+    clean = keep.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]), "\n").alias("clean_text"))
+    base = documents.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (base.join(clean, "doc", "left").select(
+        F.col("doc").alias(id_col), "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text")))

@@ -279,6 +279,35 @@ def x_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("rec").cast("int").alias("rec_bytes"))
 
 
+def x_strip_boilerplate_lines(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SQL-oracled: CCNet-style cross-document boilerplate removal
+    over the extraction surface
+    (``operators/textops.py::strip_boilerplate_lines``) — lines
+    repeated across ≥10 distinct documents (nav bars, form labels)
+    are stripped from every document; DuckDB re-derives the frequency
+    table, the strip, and the ordered re-stitch independently over
+    the docs golden."""
+    from .operators.extraction import extract_pages
+    from .operators.textops import strip_boilerplate_lines
+
+    docs = extract_pages(_x_pages(spark))
+    return strip_boilerplate_lines(docs)
+
+
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: global first-occurrence line deduplication
+    (``operators/textops.py::dedup_lines_global``) — every distinct
+    non-blank extracted line keeps exactly one copy corpus-wide (its
+    first (url, pos) occurrence); DuckDB re-derives the winner via a
+    row_number window and re-stitches."""
+    from .operators.extraction import extract_pages
+    from .operators.textops import dedup_lines_global
+
+    docs = extract_pages(_x_pages(spark))
+    return dedup_lines_global(docs)
+
+
 def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-checked: the <head> metadata surface (rel=canonical
     href — including renders that declare ANOTHER url canonical —
@@ -1861,6 +1890,60 @@ SELECT url, md5(rec) AS rec_md5,
        CAST(strlen(rec) AS INT) AS rec_bytes
 FROM rec
 """,
+        # cross-document boilerplate strip: line frequency, threshold,
+        # strip, ordered re-stitch — all re-derived in SQL
+        "x_strip_boilerplate_lines": f"""
+WITH lines AS (
+  SELECT url,
+    unnest(generate_series(
+      1, len(str_split(extracted_text, chr(10))))) AS pos,
+    unnest(str_split(extracted_text, chr(10))) AS line
+  FROM read_parquet('{docs}')),
+bl AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT url) >= 10),
+kept AS (
+  SELECT l.url, l.pos, l.line
+  FROM lines l LEFT JOIN bl USING (line) WHERE bl.line IS NULL),
+agg AS (
+  SELECT url, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY url)
+SELECT d.url,
+  CAST(len(str_split(d.extracted_text, chr(10))) AS INT) AS n_lines,
+  CAST(len(str_split(d.extracted_text, chr(10)))
+       - COALESCE(a.n_kept, 0) AS INT) AS n_stripped,
+  COALESCE(a.clean_text, '') AS clean_text
+FROM read_parquet('{docs}') d LEFT JOIN agg a USING (url)
+""",
+        # global first-occurrence line dedup: winner via row_number
+        # over (line) ordered by (url, pos); blanks always survive
+        "x_line_dedup": f"""
+WITH lines AS (
+  SELECT url,
+    unnest(generate_series(
+      1, len(str_split(extracted_text, chr(10))))) AS pos,
+    unnest(str_split(extracted_text, chr(10))) AS line
+  FROM read_parquet('{docs}')),
+ranked AS (
+  SELECT url, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY url, pos) AS rn
+  FROM lines WHERE trim(line) <> ''),
+kept AS (
+  SELECT url, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT url, pos, line FROM lines WHERE trim(line) = ''),
+agg AS (
+  SELECT url, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY url)
+SELECT d.url,
+  CAST(len(str_split(d.extracted_text, chr(10))) AS INT) AS n_lines,
+  CAST(len(str_split(d.extracted_text, chr(10)))
+       - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+  COALESCE(a.clean_text, '') AS clean_text
+FROM read_parquet('{docs}') d LEFT JOIN agg a USING (url)
+""",
         # the WAT record re-assembled from the docs+links goldens:
         # JSON via to_json-escaped scalars concatenated in struct
         # order, null/empty fields omitted (Jackson ignoreNullFields),
@@ -2158,6 +2241,8 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_warc_sliced": x_warc_sliced,
         "x_wet_records": x_wet_records,
         "x_wat_records": x_wat_records,
+        "x_strip_boilerplate_lines": x_strip_boilerplate_lines,
+        "x_line_dedup": x_line_dedup,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
         "x_host_graph": x_host_graph,
@@ -2188,7 +2273,7 @@ _DRIVER_PRIORITY = [
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_wat_records",
-    "x_head_meta",
+    "x_strip_boilerplate_lines", "x_line_dedup", "x_head_meta",
     "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "indexable_docs",
