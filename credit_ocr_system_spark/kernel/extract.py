@@ -117,5 +117,6 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict[str, Any]:
         "published": base.get("published", ""),
         "base_href": base_href,
         "links": _resolve_links(url, base_href, raw_links),
+        "metas": base.get("metas", []),
         "processing_timestamp": PROCESSING_TIMESTAMP,
     }

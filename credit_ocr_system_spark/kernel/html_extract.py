@@ -52,6 +52,7 @@ _WS_RE = re.compile(r"\s+")
 
 MAX_LINK_DENSITY = 1.0 / 3.0
 MAX_LINKS = 4096           # outlink cap: bounds row size on link farms
+MAX_METAS = 256            # meta-tag cap: bounds row size on SEO spam
 ROWS_PER_PAGE = 40         # synthetic pagination of the block list
 ROW_PITCH = 30.0           # vertical distance between block baselines
 ROW_TOP = 10.0
@@ -98,6 +99,11 @@ class _BlockCollector(HTMLParser):
         # hrefs at resolution time (kernel/extract.py).
         self.base_href: str = ""
         self.links: List[Dict[str, Any]] = []
+        # every <meta> carrying a name= or property= key, raw and in
+        # document order — the WAT ``Metas`` surface (og:*,
+        # description, twitter:*, robots, article:*); the typed
+        # directive fields above are still parsed out separately
+        self.metas: List[Dict[str, str]] = []
         self._link_parts: List[str] | None = None  # active <a href> text
         self._in_title = False
         self._strip_depth = 0
@@ -167,6 +173,10 @@ class _BlockCollector(HTMLParser):
             if "canonical" in rels and not self.link_canonical:
                 self.link_canonical = a.get("href", "").strip()
         else:  # meta
+            key = a.get("name", "") or a.get("property", "")
+            if key and len(self.metas) < MAX_METAS:
+                self.metas.append(
+                    {"name": key, "content": a.get("content", "")})
             if a.get("name", "").lower() == "robots":
                 toks = re.split(r"[,\s]+", a.get("content", "").lower())
                 if "noindex" in toks:
@@ -538,4 +548,6 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
         "published": parsed.published,
         "base_href": parsed.base_href,
         "links": parsed.links,
+        "metas": [{"meta_idx": i, **m}
+                  for i, m in enumerate(parsed.metas)],
     }

@@ -89,6 +89,26 @@ def parse_robots(payload: bytes) -> List[Dict[str, Any]]:
     return rules
 
 
+def parse_sitemaps(payload: bytes) -> List[str]:
+    """``Sitemap:`` directives — the sitemaps.org extension RFC 9309
+    §2.3 carries as a non-group line: valid anywhere in the file,
+    independent of any user-agent group. Values are absolute URLs,
+    returned in file order, first occurrence wins (case-sensitive
+    dedup). Never raises, same tolerance as :func:`parse_robots`."""
+    text = payload.decode("utf-8", errors="replace")
+    out: List[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            value = value.strip()
+            if value and value not in out:
+                out.append(value)
+    return out
+
+
 def evaluate(rules: List[Dict[str, Any]], agent: str,
              path: str) -> bool:
     """Pure-Python reference evaluation (the Spark operator and SQL

@@ -52,6 +52,7 @@ EXTRACTED_SCHEMA = (
     "base_href string, "
     "links array<struct<link_idx:int,href:string,url:string,"
     "anchor:string,nofollow:boolean>>, "
+    "metas array<struct<meta_idx:int,name:string,content:string>>, "
     "error string"
 )
 
@@ -94,6 +95,9 @@ PA_EXTRACTED_SCHEMA = pa.schema([
         ("link_idx", pa.int32()), ("href", pa.string()),
         ("url", pa.string()), ("anchor", pa.string()),
         ("nofollow", pa.bool_())]))),
+    ("metas", pa.list_(pa.struct([
+        ("meta_idx", pa.int32()), ("name", pa.string()),
+        ("content", pa.string())]))),
     ("error", pa.string()),
 ])
 
@@ -180,6 +184,7 @@ def _extract_batches(
                 "published": res.get("published") or None,
                 "base_href": res.get("base_href") or None,
                 "links": res.get("links", []),
+                "metas": res.get("metas", []),
                 "error": err,
             })
         if (not guard_off and n_errors == len(rows)

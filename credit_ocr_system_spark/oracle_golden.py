@@ -85,9 +85,15 @@ def _kernel_goldens() -> None:
     from .sources.pages import gen_page
 
     doc_rows, elem_rows, pair_rows, link_rows = [], [], [], []
+    meta_rows = []
     for i in range(X_N_PAGES):
         p = gen_page(i)
         res = extract_document(p["url"], p["html"])
+        for m in res["metas"]:
+            meta_rows.append({
+                "url": p["url"], "meta_idx": m["meta_idx"],
+                "name": m["name"], "content": m["content"],
+            })
         for ln in res["links"]:
             link_rows.append({
                 "url": p["url"], "link_idx": ln["link_idx"],
@@ -164,6 +170,10 @@ def _kernel_goldens() -> None:
         ("url", pa.string()), ("pair_idx", pa.int32()),
         ("label", pa.string()), ("value", pa.string()),
         ("page", pa.int32()), ("confidence", pa.float64()),
+    ]))
+    _write("x_metas.parquet", meta_rows, pa.schema([
+        ("url", pa.string()), ("meta_idx", pa.int32()),
+        ("name", pa.string()), ("content", pa.string()),
     ]))
     _write("x_links.parquet", link_rows, pa.schema([
         ("url", pa.string()), ("link_idx", pa.int32()),
@@ -262,13 +272,22 @@ def _robots_golden() -> None:
     # per-host robots rules, parsed by the SAME kernel parser the
     # Spark source runs (pattern→regex literals shared; the FILTER
     # evaluation is re-derived independently in SQL)
-    from .sources.robots import robots_rows
+    from .sources.robots import gen_robots_txt, robots_rows
 
     _write("robots.parquet", robots_rows(), pa.schema([
         ("host", pa.string()), ("agent", pa.string()),
         ("allow", pa.bool_()), ("pattern", pa.string()),
         ("rx", pa.string()), ("rule_len", pa.int32()),
     ]))
+    # the RAW files too: the sitemap-discovery oracle re-derives the
+    # Sitemap: line parse itself in SQL (parse checked, not copied)
+    from .sources.pages import _DOMAINS
+
+    _write("robots_files.parquet", [
+        {"host": h,
+         "payload": gen_robots_txt(h).decode("utf-8", "replace")}
+        for h in _DOMAINS], pa.schema([
+            ("host", pa.string()), ("payload", pa.string())]))
 
 
 def _sitemap_golden() -> None:

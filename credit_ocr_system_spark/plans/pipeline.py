@@ -678,7 +678,7 @@ def run_extraction_job(
 
             docs = (extracted.filter(F.col("error").isNull())
                     .select("url", "doc_kind", "title", "base_href",
-                            "link_canonical", "links")
+                            "link_canonical", "links", "metas")
                     .join(todo.select("url", "warc_ts"), "url"))
             stats["n_wat"] = write_wat(
                 docs, os.path.join(wat_dir, run_id))

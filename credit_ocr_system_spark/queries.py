@@ -279,6 +279,23 @@ def x_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("rec").cast("int").alias("rec_bytes"))
 
 
+def x_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the general <meta> surface — every meta tag
+    carrying a ``name=`` or ``property=`` key, raw and in document
+    order (the WAT ``Metas`` array; og:*, description, twitter:*,
+    robots, article:*), exploded one row per tag. The oracle is the
+    driver-side kernel golden, so this gate covers the distributed
+    Arrow plumbing of the ``metas`` column."""
+    from .operators.extraction import extract_pages
+
+    docs = extract_pages(_x_pages(spark))
+    return docs.select(
+        "url", F.explode("metas").alias("m")).select(
+        "url", F.col("m.meta_idx").alias("meta_idx"),
+        F.col("m.name").alias("name"),
+        F.col("m.content").alias("content"))
+
+
 def x_strip_boilerplate_lines(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """SQL-oracled: CCNet-style cross-document boilerplate removal
@@ -439,6 +456,17 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _visits(spark).select("url").distinct()
     return robots_gate(urls, robots_df(spark)).select(
         "url", "canonical_host", "allowed")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: sitemap discovery — the ``Sitemap:`` directives
+    of every host's robots.txt (kernel ``parse_sitemaps``: global
+    scope, file order, keep-first dedup), re-derived by DuckDB from
+    the RAW robots files golden with its own comment-strip /
+    key-match / dedup SQL."""
+    from .sources.robots import robots_sitemaps_df
+
+    return robots_sitemaps_df(spark)
 
 
 def x_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,6 +1745,7 @@ def _x_oracles() -> Dict[str, str]:
     the driver's DuckDB connection runs from an arbitrary cwd."""
     docs = G.golden_path("x_docs.parquet")
     links = G.golden_path("x_links.parquet")
+    metas = G.golden_path("x_metas.parquet")
     elements = G.golden_path("x_elements.parquet")
     pairs = G.golden_path("x_pairs.parquet")
     config = G.golden_path("x_field_config.parquet")
@@ -1890,6 +1919,12 @@ SELECT url, md5(rec) AS rec_md5,
        CAST(strlen(rec) AS INT) AS rec_bytes
 FROM rec
 """,
+        # the metas surface vs the kernel golden (distributed-plumbing
+        # gate, same pattern as x_extract_pages)
+        "x_meta_tags": f"""
+SELECT url, meta_idx, name, content
+FROM read_parquet('{metas}')
+""",
         # cross-document boilerplate strip: line frequency, threshold,
         # strip, ordered re-stitch — all re-derived in SQL
         "x_strip_boilerplate_lines": f"""
@@ -1966,15 +2001,26 @@ larr AS (
   SELECT url,
          '[' || string_agg(obj, ',' ORDER BY link_idx) || ']' AS arr
   FROM lobj GROUP BY url),
-hp AS (
+mobj AS (
+  SELECT url, meta_idx,
+    '{{"name":' || to_json(name)
+    || ',"content":' || to_json(content) || '}}' AS obj
+  FROM read_parquet('{metas}')),
+marr AS (
   SELECT url,
+         '[' || string_agg(obj, ',' ORDER BY meta_idx) || ']' AS arr
+  FROM mobj GROUP BY url),
+hp AS (
+  SELECT d.url,
     CASE WHEN title IS NOT NULL AND title <> ''
       THEN ',"Title":' || to_json(title) ELSE '' END ||
     CASE WHEN base_href IS NOT NULL AND base_href <> ''
       THEN ',"Base":' || to_json(base_href) ELSE '' END ||
     CASE WHEN link_canonical IS NOT NULL AND link_canonical <> ''
-      THEN ',"Canonical":' || to_json(link_canonical) ELSE '' END AS h
-  FROM read_parquet('{docs}')),
+      THEN ',"Canonical":' || to_json(link_canonical) ELSE '' END ||
+    CASE WHEN m.arr IS NOT NULL
+      THEN ',"Metas":' || m.arr ELSE '' END AS h
+  FROM read_parquet('{docs}') d LEFT JOIN marr m ON d.url = m.url),
 pl AS (
   SELECT d.url, d.warc_us,
     '{{"Envelope":{{"Payload-Metadata":{{"HTML-Metadata":{{"Head":'
@@ -2190,6 +2236,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "resolve_redirects": q_resolve_redirects,
         "incremental_canonical_pages": q_incremental_canonical_pages,
         "robots_verdicts": q_robots_verdicts,
+        "robots_sitemaps": q_robots_sitemaps,
         "indexable_docs": q_indexable_docs,
         "sitemap_frontier": q_sitemap_frontier,
         "sitemap_frontier_bloom": q_sitemap_frontier_bloom,
@@ -2243,6 +2290,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_wat_records": x_wat_records,
         "x_strip_boilerplate_lines": x_strip_boilerplate_lines,
         "x_line_dedup": x_line_dedup,
+        "x_meta_tags": x_meta_tags,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
         "x_host_graph": x_host_graph,
@@ -2273,11 +2321,12 @@ _DRIVER_PRIORITY = [
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
     "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_wat_records",
-    "x_strip_boilerplate_lines", "x_line_dedup", "x_head_meta",
+    "x_strip_boilerplate_lines", "x_line_dedup", "x_meta_tags",
+    "x_head_meta",
     "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
-    "resolve_redirects", "robots_verdicts", "indexable_docs",
-    "sitemap_frontier", "sitemap_frontier_bloom",
+    "resolve_redirects", "robots_verdicts", "robots_sitemaps",
+    "indexable_docs", "sitemap_frontier", "sitemap_frontier_bloom",
     "incremental_canonical_pages",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
@@ -2688,6 +2737,30 @@ WITH u AS (SELECT url, noindex
            FROM read_parquet('{G.golden_path("x_docs.parquet")}')),
 {_robots_eval_ctes(carry="url, noindex")}
 SELECT url FROM ev WHERE best.allow AND NOT noindex
+""",
+        # Sitemap: discovery re-derived from the RAW robots files:
+        # comment strip, case-insensitive key match, keep-first dedup
+        "robots_sitemaps": f"""
+WITH lines AS (
+  SELECT host,
+    unnest(generate_series(1, len(str_split(payload, chr(10))))) AS ln,
+    unnest(str_split(payload, chr(10))) AS raw
+  FROM read_parquet('{G.golden_path("robots_files.parquet")}')),
+cand AS (
+  SELECT host, ln, trim(str_split(raw, '#')[1]) AS line FROM lines),
+sm AS (
+  SELECT host, ln, trim(substr(line, strpos(line, ':') + 1)) AS url
+  FROM cand
+  WHERE strpos(line, ':') > 0
+    AND lower(trim(str_split(line, ':')[1])) = 'sitemap'),
+firsts AS (
+  SELECT host, url, MIN(ln) AS first_ln FROM sm WHERE url <> ''
+  GROUP BY host, url)
+SELECT host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY first_ln)
+            - 1 AS INT) AS sm_idx,
+       url AS sitemap_url
+FROM firsts
 """,
         # parse re-derived in SQL (regexp block extraction over the
         # stored XML), then canonical anti-join against the crawl log

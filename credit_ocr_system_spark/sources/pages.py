@@ -453,6 +453,29 @@ def _decorate_head(url: str, html: str) -> str:
     return html.replace("<head>", "<head>" + "".join(tags), 1)
 
 
+def _decorate_metas(url: str, html: str) -> str:
+    """Inject the general <meta> surface real pages carry — SEO
+    description, OpenGraph, twitter:card — the WAT ``Metas`` array.
+    URL-hash keyed (no rng draws shift) and head-only (zero text
+    blocks), so extraction text/geometry — and every checked-in
+    golden — stay byte-identical. ~1/2 of pages carry a description,
+    ~1/3 an og:type+og:url pair, ~1/5 a twitter:card; a page can
+    draw several, in a fixed order, so multi-meta docs are common."""
+    tags = []
+    if stable_mod(url + "#mdesc", 2) == 0:
+        n = stable_mod(url + "#mdescn", 10000)
+        tags.append(f'<meta name="description" '
+                    f'content="Credit application {n} overview">')
+    if stable_mod(url + "#mog", 3) == 0:
+        tags.append('<meta property="og:type" content="article">')
+        tags.append(f'<meta property="og:url" content="{url}">')
+    if stable_mod(url + "#mtw", 5) == 0:
+        tags.append('<meta name="twitter:card" content="summary">')
+    if not tags:
+        return html
+    return html.replace("<head>", "<head>" + "".join(tags), 1)
+
+
 def _decorate_links(url: str, html: str) -> str:
     """Inject the cross-host outlinks a real web page carries — the
     web-graph / WAT surface. URL-hash keyed (no rng draws shift) and
@@ -527,8 +550,9 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
     else:
-        payload = _encode_html(url, _decorate_links(url, _decorate_head(
-            url, _html_page(rng, values, fields, title))))
+        payload = _encode_html(url, _decorate_metas(
+            url, _decorate_links(url, _decorate_head(
+                url, _html_page(rng, values, fields, title)))))
     return {
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=row_id),

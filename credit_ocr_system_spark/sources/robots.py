@@ -46,6 +46,11 @@ def gen_robots_txt(host: str) -> bytes:
     if stable_mod(host + "#r3", 4) == 0:
         lines.append("Crawl-delay: 2")  # ignorable, parser must skip
     lines.append(f"Sitemap: https://{host}/sitemap.xml")
+    if stable_mod(host + "#sm2", 3) == 0:
+        lines.append(f"Sitemap: https://{host}/sitemap-news.xml")
+    if stable_mod(host + "#sm3", 5) == 0:
+        # repeated directive: discovery must dedup, keep-first
+        lines.append(f"Sitemap: https://{host}/sitemap.xml")
     return "\n".join(lines).encode("ascii")
 
 
@@ -88,3 +93,37 @@ def robots_df(spark, hosts: Optional[List[str]] = None,
 
     base = spark.range(0, len(hosts), numPartitions=partitions)
     return base.mapInPandas(functools.partial(gen), ROBOTS_SCHEMA)
+
+
+SITEMAP_DISCOVERY_SCHEMA = "host string, sm_idx int, sitemap_url string"
+
+
+def robots_sitemaps_df(spark, hosts: Optional[List[str]] = None,
+                       partitions: int = 4):
+    """Sitemap discovery: the ``Sitemap:`` directives of every host's
+    robots.txt → (host, sm_idx, sitemap_url), file order, first
+    occurrence wins. This is how real crawls find the sitemap set the
+    frontier diff (``operators/weburl.py::sitemap_frontier``) consumes
+    — same distributed shape as :func:`robots_df` (a host-keyed parse
+    stage over the robots-fetch log, corpus-independent and tiny)."""
+    import functools
+
+    hosts = list(_DOMAINS) if hosts is None else hosts
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.robots import parse_sitemaps
+
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                host = hosts[int(i)]
+                for j, u in enumerate(
+                        parse_sitemaps(gen_robots_txt(host))):
+                    rows.append({"host": host, "sm_idx": j,
+                                 "sitemap_url": u})
+            yield pd.DataFrame(
+                rows, columns=["host", "sm_idx", "sitemap_url"])
+
+    base = spark.range(0, len(hosts), numPartitions=partitions)
+    return base.mapInPandas(functools.partial(gen),
+                            SITEMAP_DISCOVERY_SCHEMA)

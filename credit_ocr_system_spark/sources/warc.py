@@ -793,7 +793,7 @@ _UPPER_ESC = re.compile(r"((?:^|[^\\])(?:\\\\)*\\u00)([0-9a-f]{2})")
 
 
 def wat_payload(doc_kind: str, title, base_href, link_canonical,
-                links) -> str:
+                links, metas=None) -> str:
     """The WAT metadata JSON for one extracted document — pure-Python
     twin of :func:`wat_payload_col`, byte-identical by construction
     (pinned by ``tests/test_wat.py`` on adversarial strings): compact
@@ -802,7 +802,8 @@ def wat_payload(doc_kind: str, title, base_href, link_canonical,
     uppercased to match Jackson's ``\\u001F`` rendering.
 
     Layout follows Common Crawl's WAT envelope, trimmed to the fields
-    this engine derives: Head (Title / Base / Canonical) and the
+    this engine derives: Head (Title / Base / Canonical / Metas — the
+    raw name-or-property + content pairs in document order) and the
     Links array with the RAW href (``url``), anchor ``text``, and
     ``rel: nofollow`` — the WAT view is raw fidelity; the resolved /
     canonicalized view is :mod:`..operators.webgraph`."""
@@ -814,6 +815,9 @@ def wat_payload(doc_kind: str, title, base_href, link_canonical,
         head["Base"] = base_href
     if link_canonical:
         head["Canonical"] = link_canonical
+    if metas:
+        head["Metas"] = [{"name": m["name"], "content": m["content"]}
+                         for m in metas]
     out_links = []
     for ln in links or []:
         e = {"path": path, "url": ln["href"]}
@@ -831,9 +835,9 @@ def wat_payload(doc_kind: str, title, base_href, link_canonical,
 
 def wat_payload_col():
     """:func:`wat_payload` as a pure-codegen Column over extraction
-    rows (doc_kind, title, base_href, link_canonical, links) — record
-    assembly is plan-visible work, not UDF work, exactly like the WET
-    record column."""
+    rows (doc_kind, title, base_href, link_canonical, links, metas)
+    — record assembly is plan-visible work, not UDF work, exactly
+    like the WET record column."""
     from pyspark.sql import functions as F
 
     path = F.when(F.col("doc_kind") == "pdf",
@@ -848,9 +852,16 @@ def wat_payload_col():
             l["href"].alias("url"),
             F.when(l["anchor"] != "", l["anchor"]).alias("text"),
             F.when(l["nofollow"], F.lit("nofollow")).alias("rel")))
+    metas_arr = F.coalesce("metas", F.array().cast(
+        "array<struct<meta_idx:int,name:string,content:string>>"))
+    metas = F.when(
+        F.size(metas_arr) > 0,
+        F.transform(metas_arr, lambda m: F.struct(
+            m["name"].alias("name"), m["content"].alias("content"))))
     head = F.struct(nn("title").alias("Title"),
                     nn("base_href").alias("Base"),
-                    nn("link_canonical").alias("Canonical"))
+                    nn("link_canonical").alias("Canonical"),
+                    metas.alias("Metas"))
     return F.to_json(F.struct(F.struct(F.struct(F.struct(
         head.alias("Head"), links.alias("Links"))
         .alias("HTML-Metadata")).alias("Payload-Metadata"))
@@ -909,7 +920,7 @@ def write_wat(docs, out_dir: str, prefix: str = "extract") -> int:
                     payload = wat_payload(
                         row["doc_kind"], row["title"],
                         row["base_href"], row["link_canonical"],
-                        row["links"]).encode("utf-8")
+                        row["links"], row["metas"]).encode("utf-8")
                     rid = hashlib.md5(
                         (row["url"] + "#wat").encode("utf-8")
                     ).hexdigest()
@@ -933,7 +944,8 @@ def write_wat(docs, out_dir: str, prefix: str = "extract") -> int:
             [{"n": n}], schema=pa.schema([("n", pa.int64())]))
 
     counts = (docs.select("url", "warc_ts", "doc_kind", "title",
-                          "base_href", "link_canonical", "links")
+                          "base_href", "link_canonical", "links",
+                          "metas")
               .mapInArrow(dump, "n long").collect())
     return sum(r["n"] for r in counts)
 

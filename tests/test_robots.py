@@ -121,3 +121,38 @@ def test_gate_plan_broadcast_no_corpus_shuffle(spark):
     # the only exchanges feed the SMALL side's aggregate + broadcast —
     # none repartition the url corpus
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_parse_sitemaps():
+    from credit_ocr_system_spark.kernel.robots import parse_sitemaps
+
+    txt = (b"# c\nUser-agent: *\nDisallow: /x\n"
+           b"Sitemap: https://h/s.xml\n"
+           b"sitemap : https://h/t.xml # trailing comment\n"
+           b"Sitemap: https://h/s.xml\n"   # dupe: keep-first
+           b"Sitemap:\n"                    # empty value: skipped
+           b"Crawl-delay: 2\n")
+    assert parse_sitemaps(txt) == ["https://h/s.xml",
+                                   "https://h/t.xml"]
+    assert parse_sitemaps(b"") == []
+    assert parse_sitemaps(b"\xff\xfe garbage") == []
+
+
+def test_robots_sitemaps_df_matches_kernel(spark):
+    from credit_ocr_system_spark.kernel.robots import parse_sitemaps
+    from credit_ocr_system_spark.sources.robots import (
+        gen_robots_txt,
+        robots_sitemaps_df,
+    )
+    from credit_ocr_system_spark.sources.pages import _DOMAINS
+
+    got = robots_sitemaps_df(spark).collect()
+    want = {}
+    for h in _DOMAINS:
+        for j, u in enumerate(parse_sitemaps(gen_robots_txt(h))):
+            want[(h, j)] = u
+    assert {(r["host"], r["sm_idx"]): r["sitemap_url"]
+            for r in got} == want
+    # the corpus draws multi-sitemap hosts and sitemap-less hosts
+    assert any(j == 1 for (_, j) in want)
+    assert len({h for (h, _) in want}) < len(_DOMAINS)

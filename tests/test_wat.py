@@ -19,14 +19,19 @@ import credit_ocr_system_spark.sources.warc as W
 
 LINKS_DDL = ("array<struct<link_idx:int,href:string,url:string,"
              "anchor:string,nofollow:boolean>>")
+METAS_DDL = "array<struct<meta_idx:int,name:string,content:string>>"
 SCHEMA = ("url string, warc_ts timestamp, doc_kind string, "
           "title string, base_href string, link_canonical string, "
-          f"links {LINKS_DDL}")
+          f"links {LINKS_DDL}, metas {METAS_DDL}")
 
 
 def _ln(i, href, anchor, nofollow):
     return {"link_idx": i, "href": href, "url": None,
             "anchor": anchor, "nofollow": nofollow}
+
+
+def _mt(i, name, content):
+    return {"meta_idx": i, "name": name, "content": content}
 
 
 @pytest.fixture(scope="module")
@@ -38,7 +43,10 @@ def wat_docs(spark):
          "title": "Hello", "base_href": "https://ex.org/",
          "link_canonical": "https://ex.org/a",
          "links": [_ln(0, "/x", "go x", False),
-                   _ln(1, "https://spam.example/", "ad", True)]},
+                   _ln(1, "https://spam.example/", "ad", True)],
+         "metas": [_mt(0, "description", "a page"),
+                   _mt(1, "og:type", ""),  # empty content kept
+                   _mt(2, "og:«title»", 'q"uote\x02ctl')]},
         # adversarial strings: control chars, literal « text,
         # raw unicode, quotes and backslashes
         {"url": "https://ex.org/b", "warc_ts": ts, "doc_kind": "html",
@@ -69,7 +77,9 @@ def test_wat_payload_col_matches_python(spark, wat_docs):
         want = W.wat_payload(row["doc_kind"], row["title"],
                              row["base_href"], row["link_canonical"],
                              [ln.asDict() for ln in row["links"]]
-                             if row["links"] is not None else None)
+                             if row["links"] is not None else None,
+                             [m.asDict() for m in row["metas"]]
+                             if row["metas"] is not None else None)
         assert got[row["url"]] == want, row["url"]
 
 
@@ -78,16 +88,20 @@ def test_wat_payload_escaping_pinned(spark, wat_docs):
     # uppercase hex, literal « text untouched, raw UTF-8
     p = W.wat_payload(
         "html", "ctl\x1ftab\tq\"uote\\ lit \\u00ab «ä€»", "", None,
-        [_ln(0, "/y?a=1&b=2", "an\x01chor\nnl", None)])
+        [_ln(0, "/y?a=1&b=2", "an\x01chor\nnl", None)],
+        [_mt(0, "og:«title»", 'q"uote\x02ctl')])
     assert "\\u001F" in p          # Jackson-style uppercase escape
     assert "\\\\u00ab" in p        # literal text NOT uppercased
     assert "«ä€»" in p             # non-ASCII raw
     assert "\\u0001" in p
     env = json.loads(p)["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
     assert env["Head"] == {"Title": "ctl\x1ftab\tq\"uote\\ lit "
-                                    "\\u00ab «ä€»"}
+                                    "\\u00ab «ä€»",
+                           "Metas": [{"name": "og:«title»",
+                                      "content": 'q"uote\x02ctl'}]}
     assert env["Links"] == [{"path": "A@/href", "url": "/y?a=1&b=2",
                              "text": "an\x01chor\nnl"}]
+    assert "\\u0002" in p
 
 
 def test_wat_round_trip(spark, wat_docs, tmp_path):
@@ -105,7 +119,9 @@ def test_wat_round_trip(spark, wat_docs, tmp_path):
         want = W.wat_payload(row["doc_kind"], row["title"],
                              row["base_href"], row["link_canonical"],
                              [ln.asDict() for ln in row["links"]]
-                             if row["links"] is not None else None)
+                             if row["links"] is not None else None,
+                             [m.asDict() for m in row["metas"]]
+                             if row["metas"] is not None else None)
         assert bytes(g["html"]).decode("utf-8") == want
     # PDF row carries the PDF path discriminator through the cycle
     pdf = json.loads(bytes(back["https://ex.org/c.pdf"]["html"]))
