@@ -356,6 +356,7 @@ def _warc_golden() -> None:
                 "charset": rec["charset"],
                 "content_encoding": rec["content_encoding"],
                 "redirect_to": rec["redirect_to"],
+                "x_robots_tag": rec["x_robots_tag"],
                 "warc_file": fname,
                 "record_idx": rec["record_idx"],
                 "offset": rec["offset"],
@@ -366,7 +367,7 @@ def _warc_golden() -> None:
         ("html_md5", pa.string()), ("n_bytes", pa.int64()),
         ("http_status", pa.int32()), ("mime", pa.string()),
         ("charset", pa.string()), ("content_encoding", pa.string()),
-        ("redirect_to", pa.string()),
+        ("redirect_to", pa.string()), ("x_robots_tag", pa.string()),
         ("warc_file", pa.string()), ("record_idx", pa.int32()),
         ("offset", pa.int64()),
     ]))

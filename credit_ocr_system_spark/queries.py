@@ -209,7 +209,7 @@ def x_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
         "http_status", "mime", "charset", "content_encoding",
-        "redirect_to",
+        "redirect_to", "x_robots_tag",
         "warc_file", "record_idx")
 
 
@@ -229,7 +229,7 @@ def x_warc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("html").alias("html_md5"),
         F.octet_length("html").cast("long").alias("n_bytes"),
         "http_status", "mime", "charset", "content_encoding",
-        "redirect_to",
+        "redirect_to", "x_robots_tag",
         "warc_file", "offset")
 
 
@@ -1887,14 +1887,14 @@ FROM read_parquet('{G.golden_path("x_media_real_frames.parquet")}')
         "x_warc_pages": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
        html_md5, n_bytes, http_status, mime, charset, content_encoding,
-       redirect_to,
+       redirect_to, x_robots_tag,
        warc_file, record_idx
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,
         "x_warc_sliced": f"""
 SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_us,
        html_md5, n_bytes, http_status, mime, charset, content_encoding,
-       redirect_to,
+       redirect_to, x_robots_tag,
        warc_file, "offset"
 FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
 """,

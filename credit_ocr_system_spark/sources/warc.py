@@ -297,7 +297,10 @@ def _parse_http_payload(block: bytes) -> Optional[Dict[str, Any]]:
                     enc.strip().lower().decode("ascii", "replace"),
                 "location":
                     hmap.get(b"location", b"").decode("utf-8",
-                                                      "replace")}
+                                                      "replace"),
+                "x_robots_tag":
+                    hmap.get(b"x-robots-tag", b"").decode("utf-8",
+                                                          "replace")}
 
     if hmap.get(b"transfer-encoding", b"").lower() == b"chunked":
         out, pos = [], 0
@@ -377,19 +380,20 @@ def _response_row(rec: Dict[str, Any],
                 "html": rec["block"], "http_status": None,
                 "mime": rec["ctype"].split(";")[0].strip(),
                 "charset": None, "content_encoding": None,
-                "redirect_to": None}
+                "redirect_to": None, "x_robots_tag": None}
     parsed = _parse_http_payload(rec["block"])
     if parsed is None:
         return {"url": rec["url"], "warc_ts": ts, "html": b"",
                 "http_status": None, "mime": "",
                 "charset": None, "content_encoding": None,
-                "redirect_to": None}
+                "redirect_to": None, "x_robots_tag": None}
     return {"url": rec["url"], "warc_ts": ts,
             "html": parsed["payload"],
             "http_status": parsed["status"], "mime": parsed["mime"],
             "charset": parsed["charset"] or None,
             "content_encoding": parsed["content_encoding"] or None,
-            "redirect_to": parsed["location"] or None}
+            "redirect_to": parsed["location"] or None,
+            "x_robots_tag": parsed["x_robots_tag"] or None}
 
 
 def iter_warc_records(read: Callable[[int], bytes],
@@ -438,6 +442,7 @@ def read_warc_file(path: str,
 WARC_PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                      "http_status int, mime string, charset string, "
                      "content_encoding string, redirect_to string, "
+                     "x_robots_tag string, "
                      "warc_file string, record_idx int, offset long")
 
 
@@ -484,6 +489,7 @@ def warc_pages(spark, path: str, glob: str = "*.warc.gz",
         ("charset", pa.string()),
         ("content_encoding", pa.string()),
         ("redirect_to", pa.string()),
+        ("x_robots_tag", pa.string()),
         ("warc_file", pa.string()),
         ("record_idx", pa.int32()),
         ("offset", pa.int64()),
@@ -654,6 +660,7 @@ def warc_pages_sliced(spark, path: str,
         ("charset", pa.string()),
         ("content_encoding", pa.string()),
         ("redirect_to", pa.string()),
+        ("x_robots_tag", pa.string()),
         ("warc_file", pa.string()),
         ("offset", pa.int64()),
     ])
@@ -702,6 +709,7 @@ def warc_pages_sliced(spark, path: str,
                                "mime string, charset string, "
                                "content_encoding string, "
                                "redirect_to string, "
+                               "x_robots_tag string, "
                                "warc_file string, offset long"))
 
 
@@ -985,6 +993,15 @@ def corpus_rows(lo: int, hi: int,
                 row["content_encoding"] = "gzip"
             elif e == 1:
                 row["content_encoding"] = "deflate"
+            # ~1/23 of OK responses carry the header-level indexing
+            # directive (X-Robots-Tag) — the compliance signal that
+            # never appears in the HTML
+            x = _stable_mod(row["url"] + "#xrt", 23)
+            if x == 0:
+                row["http_headers"] = (("X-Robots-Tag", "noindex"),)
+            elif x == 1:
+                row["http_headers"] = (
+                    ("X-Robots-Tag", "noindex, nofollow"),)
             if row["html"][:4] != b"%PDF":
                 c = _stable_mod(row["url"] + "#charset", 12)
                 if c == 0:

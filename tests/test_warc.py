@@ -474,3 +474,22 @@ def test_extraction_job_emits_wet(spark, tmp_path):
 
     assert not os.path.exists(wet + "/" + r2["run_id"])
     assert not os.path.exists(wat + "/" + r2["run_id"])
+
+
+def test_x_robots_tag_surfaces(rows):
+    # header-level indexing directives survive the envelope parse
+    # exactly; untagged rows stay None
+    decorated = [dict(r) for r in rows]
+    decorated[2]["http_headers"] = (("X-Robots-Tag", "noindex"),)
+    decorated[5]["http_headers"] = (
+        ("X-Robots-Tag", "noindex, nofollow"),)
+    got = _parse(W.build_warc_gz(decorated))
+    assert got[2]["x_robots_tag"] == "noindex"
+    assert got[5]["x_robots_tag"] == "noindex, nofollow"
+    assert got[0]["x_robots_tag"] is None
+    # and the deterministic corpus actually draws tagged rows
+    from credit_ocr_system_spark.sources.warc import corpus_rows
+
+    tags = [tuple(r.get("http_headers", ())) for r in
+            corpus_rows(0, 240)]
+    assert any("noindex" in v for hs in tags for _, v in hs)
