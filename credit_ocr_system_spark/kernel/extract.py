@@ -10,6 +10,7 @@ function so the Spark stage touches each document's bytes exactly once
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Optional
 from urllib.parse import urljoin
 
@@ -24,6 +25,30 @@ from .pdf_layout import PDF_MAGIC, extract_pdf
 PROCESSING_TIMESTAMP = "2024-01-01T00:00:00Z"
 
 MAX_RESOLVED_URL = 4096  # drop absurd resolved URLs (spider traps)
+
+
+# Characters whose presence disables the resolved-href fast path:
+# '#' (fragment), ';' (params re-split), WHATWG-stripped tab/CR/LF,
+# and spaces (urlsplit strips them at the ends). See _resolve_links.
+_FAST_SAFE = re.compile(r"[^#;\t\r\n ]*\Z")  # \Z: '$' matches pre-\n
+
+# A base eligible for the RELATIVE-href fast path: plain http(s)
+# origin + optional clean path — no query/fragment/params, no
+# backslash-in-host, no dot segments (urljoin would normalize those
+# out of the merged path).
+_FAST_BASE = re.compile(
+    r"(https?://[^/?#;\t\r\n \\]+)(/[^?#;\t\r\n ]*)?\Z")
+
+
+def _has_colon_first_segment(href: str) -> bool:
+    """True when a ':' precedes any '/' — the href then carries a
+    scheme (``mailto:``, ``javascript:``, ``tel:``) and must take the
+    full urljoin path."""
+    c = href.find(":")
+    if c < 0:
+        return False
+    s = href.find("/")
+    return s < 0 or c < s
 
 
 def _resolve_links(url: str, base_href: str,
@@ -45,17 +70,69 @@ def _resolve_links(url: str, base_href: str,
             base = urljoin(base, base_href)
         except ValueError:
             pass
+    # Fast path for the two shapes that dominate real link surfaces
+    # (~85% of corpus hrefs): already-absolute http(s) and
+    # protocol-relative. ``urljoin`` on these is a parse+unparse
+    # round-trip whose only effects are (a) lowercasing an uppercase
+    # scheme, (b) dropping an empty trailing query ('?'), and
+    # (c) re-splitting a ';' params component — so the fast path
+    # applies ONLY when none of those can fire (lowercase scheme
+    # matched literally, no '#'/';', no trailing '?'), and is then
+    # string-identical to urljoin (pinned by
+    # ``tests/test_links.py::test_resolve_fast_path_is_urljoin``).
+    # Skipping two urlparse calls per link is ~15% of whole-document
+    # kernel time on link-dense pages.
+    base_scheme = ("https" if base.startswith("https://") else
+                   "http" if base.startswith("http://") else None)
+    safe = _FAST_SAFE.match
+    # Per-document precompute for the relative-href fast path: the
+    # origin and the base directory (path up to the last '/'). RFC
+    # 3986 §5.3 merge for a dot-free relative path is then pure
+    # string concatenation.
+    origin = bdir = None
+    bm = _FAST_BASE.match(base)
+    if bm is not None and "./" not in base:
+        origin = bm.group(1)
+        bpath = bm.group(2) or "/"
+        bdir = origin + bpath[:bpath.rfind("/") + 1]
     out: List[Dict[str, Any]] = []
     for idx, ln in enumerate(raw_links):
+        href = ln["href"]
         resolved: Optional[str] = None
-        try:
-            r = urljoin(base, ln["href"]).split("#", 1)[0]
-            if (r.startswith(("http://", "https://"))
-                    and len(r) <= MAX_RESOLVED_URL):
-                resolved = r
-        except ValueError:
-            pass
-        out.append({"link_idx": idx, "href": ln["href"],
+        plen = (8 if href.startswith("https://") else
+                7 if href.startswith("http://") else 0)
+        # non-empty netloc required: 'https://' or 'https:///x'
+        # would merge with the base's authority in urljoin
+        if (plen and len(href) > plen and href[plen] not in "/?"
+                and safe(href) and not href.endswith("?")):
+            r = href
+        elif (base_scheme is not None and href.startswith("//")
+              and len(href) > 2 and href[2] not in "/?\\"
+              and safe(href) and not href.endswith("?")):
+            r = base_scheme + ":" + href
+        elif (origin is not None and href
+              # '//…' is authority-relative, never path-relative
+              and not href.startswith("//")
+              and safe(href) and not href.endswith("?")
+              # no scheme (':' in the first segment), no dot segments
+              and not _has_colon_first_segment(href)
+              and "./" not in href and href not in (".", "..")
+              and not href.endswith(("/.", "/.."))):
+            if href.startswith("/"):
+                r = origin + href
+            elif href.startswith("?"):
+                r = base + href
+            else:
+                r = bdir + href
+        else:
+            try:
+                r = urljoin(base, href).split("#", 1)[0]
+            except ValueError:
+                r = ""
+        if (r.startswith(("http://", "https://"))
+                and len(r) <= MAX_RESOLVED_URL):
+            resolved = r
+        out.append({"link_idx": idx, "href": href,
                     "url": resolved, "anchor": ln["anchor"],
                     "nofollow": ln["nofollow"]})
     return out

@@ -216,3 +216,77 @@ class TestCorpusLinks:
                 if l["url"]:
                     hosts.add(l["url"].split("/")[2])
         assert len(hosts) > 10  # cross-host fan-out exists
+
+
+def test_resolve_fast_path_is_urljoin():
+    # the fast path must be STRING-IDENTICAL to the pure-urljoin
+    # reference on every corpus href and on the adversarial shapes
+    # that target its guard conditions
+    from urllib.parse import urljoin
+
+    from credit_ocr_system_spark.kernel.extract import (
+        MAX_RESOLVED_URL,
+        _resolve_links,
+    )
+    from credit_ocr_system_spark.kernel.html_extract import extract_html
+    from credit_ocr_system_spark.sources.pages import gen_page
+
+    def reference(url, base_href, raw_links):
+        base = url or ""
+        if base_href:
+            try:
+                base = urljoin(base, base_href)
+            except ValueError:
+                pass
+        out = []
+        for idx, ln in enumerate(raw_links):
+            resolved = None
+            try:
+                r = urljoin(base, ln["href"]).split("#", 1)[0]
+                if (r.startswith(("http://", "https://"))
+                        and len(r) <= MAX_RESOLVED_URL):
+                    resolved = r
+            except ValueError:
+                pass
+            out.append({"link_idx": idx, "href": ln["href"],
+                        "url": resolved, "anchor": ln["anchor"],
+                        "nofollow": ln["nofollow"]})
+        return out
+
+    # full corpus sweep
+    n_checked = 0
+    for i in range(300):
+        p = gen_page(i)
+        if p["html"][:4] == b"%PDF":
+            continue
+        base = extract_html(p["html"])
+        raw = base.get("links", [])
+        got = _resolve_links(p["url"], base.get("base_href", ""), raw)
+        assert got == reference(p["url"], base.get("base_href", ""),
+                                raw)
+        n_checked += len(raw)
+    assert n_checked > 3000
+
+    # adversarial shapes: each guard condition, both branches
+    adv = ["https://x/y", "http://x/y?a=1", "https://x", "HTTPS://x/Y",
+           "https://x/y?", "https://x/y;p=1", "https://x/y#f",
+           "https://x/\ty", "https://x/y ", " https://x/y",
+           "https://x/y\n", "//h/p", "//h/p?q", "///p", "//\\h/p",
+           "//h", "//", "//h/p;x", "//h/p?", "rel/path", "/abs/path",
+           "?query", "#frag", "javascript:alert(1)", "mailto:a@b",
+           "https://" , "data:text/plain,x", "ftp://h/p",
+           "https://x/%20y", "https://x:8080/y", "https://u:p@x/y",
+           "https:///p", "http:///p", "https://?q",
+           # relative fast-path guard targets
+           "../up", "./same", "x/../y", "x/./y", ".", "..", "x/..",
+           "x/.", "..x", ".hidden", "x?a=1", "x?", "tel:123",
+           "a:b/c", "a/b:c", "rel;p=1", "rel#f", "rel\npath",
+           "rel path", "\\x", "x\\y", "?", "/", "more/info.html",
+           "deep/a/b/c?z=1"]
+    raw = [{"href": h, "anchor": "", "nofollow": False} for h in adv]
+    for base_url, bh in [("https://ex.org/a/b", ""),
+                         ("http://ex.org/a/b", "/app/"),
+                         ("https://ex.org/a/b", "https://other.example/z/"),
+                         ("", "")]:
+        assert _resolve_links(base_url, bh, raw) \
+            == reference(base_url, bh, raw)
