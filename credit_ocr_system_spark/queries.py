@@ -588,6 +588,36 @@ def q_indexable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & ~F.col("noindex")).select("url")
 
 
+def x_indexable_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pipeline composed as one plan, oracled end-to-end:
+    WARC scan → HTTP gate (status 200 ∧ extractable mime ∧ non-empty)
+    → extraction (meta-robots noindex) ⋈ header directive
+    (X-Robots-Tag) → RFC 9309 robots verdict — the set of urls a
+    compliant training pipeline may actually keep from a crawl.
+    Restricted to the rows the docs golden covers (the WARC corpus is
+    a superset). The oracle composes the warc-scan golden, the docs
+    golden, and the shared robots-eval CTE chain — every stage
+    re-derived or independently materialized."""
+    from .operators.extraction import extract_pages
+    from .operators.weburl import robots_gate
+    from .sources.robots import robots_df
+    from .sources.warc import ok_pages, warc_pages
+
+    pages = warc_pages(spark, G.ensure_warc_corpus()).filter(
+        F.regexp_extract("url", r"/credit/(\d{9})$", 1).cast("int")
+        < G.X_N_PAGES)
+    ok = ok_pages(pages)
+    docs = extract_pages(ok.select("url", "html")) \
+        .select("url", "noindex")
+    keep = docs.join(ok.select("url", "x_robots_tag"), "url")
+    gated = robots_gate(keep, robots_df(spark))
+    return gated.filter(
+        F.col("allowed") & ~F.col("noindex")
+        & (F.col("x_robots_tag").isNull()
+           | ~F.lower("x_robots_tag").contains("noindex"))
+    ).select("url")
+
+
 def q_incremental_canonical_pages(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Append-mode crawl collapse: the first 80% of visits collapse
@@ -2237,6 +2267,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "incremental_canonical_pages": q_incremental_canonical_pages,
         "robots_verdicts": q_robots_verdicts,
         "robots_sitemaps": q_robots_sitemaps,
+        "x_indexable_crawl": x_indexable_crawl,
         "indexable_docs": q_indexable_docs,
         "sitemap_frontier": q_sitemap_frontier,
         "sitemap_frontier_bloom": q_sitemap_frontier_bloom,
@@ -2326,6 +2357,7 @@ _DRIVER_PRIORITY = [
     "x_canonical_groups", "x_published_mix",
     "canonical_pages", "blocklist_filter", "domain_stats",
     "resolve_redirects", "robots_verdicts", "robots_sitemaps",
+    "x_indexable_crawl",
     "indexable_docs", "sitemap_frontier", "sitemap_frontier_bloom",
     "incremental_canonical_pages",
     # new in r4
@@ -2761,6 +2793,27 @@ SELECT host,
             - 1 AS INT) AS sm_idx,
        url AS sitemap_url
 FROM firsts
+""",
+        # the whole pipeline: warc-scan golden × docs golden × the
+        # shared robots-eval chain, header + meta noindex both applied
+        "x_indexable_crawl": f"""
+WITH w AS (
+  SELECT url, x_robots_tag
+  FROM read_parquet('{G.golden_path("x_warc_pages.parquet")}')
+  WHERE CAST(regexp_extract(url, '/credit/(\\d{{9}})$', 1) AS INT)
+        < {G.X_N_PAGES}
+    AND http_status = 200
+    AND mime IN ('text/html', 'application/pdf')
+    AND n_bytes > 0),
+u AS (
+  SELECT w.url, d.noindex, w.x_robots_tag
+  FROM w JOIN read_parquet('{G.golden_path("x_docs.parquet")}') d
+  USING (url)),
+{_robots_eval_ctes(carry="url, noindex, x_robots_tag")}
+SELECT url FROM ev
+WHERE best.allow AND NOT noindex
+  AND (x_robots_tag IS NULL
+       OR NOT contains(lower(x_robots_tag), 'noindex'))
 """,
         # parse re-derived in SQL (regexp block extraction over the
         # stored XML), then canonical anti-join against the crawl log
