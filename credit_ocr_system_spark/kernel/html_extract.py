@@ -36,10 +36,18 @@ STRIP_TAGS = frozenset(
      "nav", "header", "footer", "aside", "iframe", "form", "button"}
 )
 BLOCK_TAGS = frozenset(
-    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li",
      "dt", "dd", "blockquote", "pre", "section", "article", "main",
      "figcaption", "caption", "tr", "table", "ul", "ol", "body"}
 )
+# Table cells are SEGMENT boundaries inside their <tr> block, not
+# blocks of their own: a rendered table row is one visual line with
+# its cells at column stops, which is exactly the row/column geometry
+# the pairing kernel consumes — so '<tr><td>Label:</td><td>value'
+# pairs identically to '<div class="row"><span>Label:</span> value'.
+# Cells always start a fresh column (saw_ws forced) regardless of
+# inter-tag whitespace, matching how tables actually render.
+CELL_TAGS = frozenset({"td", "th"})
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 SEGMENT_TAGS = frozenset({"span", "a", "b", "i", "em", "strong", "label",
                           "code", "u", "small", "sup", "sub"})
@@ -225,6 +233,9 @@ class _BlockCollector(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush_block()
             self._block_tag = tag
+        elif tag in CELL_TAGS:
+            self._flush_segment()
+            self._saw_ws = True  # a cell is always a fresh column
         elif tag in SEGMENT_TAGS:
             self._flush_segment()
             if tag == "a":
@@ -242,6 +253,9 @@ class _BlockCollector(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush_block()
+        elif tag in CELL_TAGS:
+            self._flush_segment()
+            self._saw_ws = True  # content after a cell: new column
         elif tag in SEGMENT_TAGS:
             self._flush_segment()
             if tag == "a" and self._anchor_depth:

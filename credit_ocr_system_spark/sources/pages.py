@@ -168,7 +168,15 @@ def _filler(rng: random.Random, n_words: int) -> str:
 
 
 def _html_page(rng: random.Random, values: Dict[str, str],
-               fields: List[str], title: str) -> str:
+               fields: List[str], title: str,
+               table_form: bool = False) -> str:
+    """One synthetic page. ``table_form`` renders the form section as
+    a real ``<table>`` (cells instead of flex spans) — the OTHER
+    markup idiom real sites use for label/value layouts. The rng draw
+    sequence is identical in both modes, and the kernel's tr/td
+    geometry makes extraction BYTE-IDENTICAL to the div twin
+    (``tests/test_table_markup.py``), so the variant costs no golden
+    churn while pinning markup robustness."""
     nav_links = "".join(
         f'<a href="/s/{i}">Section {i}</a> ' for i in range(8))
     sidebar = "".join(
@@ -181,8 +189,15 @@ def _html_page(rng: random.Random, values: Dict[str, str],
         val = values[f]
         if f in _SPLITTABLE and rng.random() < 0.4:
             a, b = _SPLITTABLE[f]
-            rows.append(f'<div class="row"><span>{a}</span>'
-                        f'<span>{b}</span> <span>{val}</span></div>')
+            if table_form:
+                rows.append(f'<tr><td><span>{a}</span><span>{b}</span>'
+                            f'</td><td>{val}</td></tr>')
+            else:
+                rows.append(f'<div class="row"><span>{a}</span>'
+                            f'<span>{b}</span> <span>{val}</span></div>')
+        elif table_form:
+            rows.append(f'<tr><td>{_LABELS[f]}:</td>'
+                        f'<td>{val}</td></tr>')
         else:
             rows.append(f'<div class="row"><span>{_LABELS[f]}:</span> '
                         f'<span>{val}</span></div>')
@@ -195,7 +210,9 @@ def _html_page(rng: random.Random, values: Dict[str, str],
         f"<nav>{nav_links}</nav><header><h1>{title}</h1></header>"
         f'<div class="sidebar"><ul>{sidebar}</ul></div>'
         f"<main><h2>Credit Request — {title}</h2>{paras}"
-        f'<section class="form">{"".join(rows)}</section>'
+        + (f'<section class="form"><table>{"".join(rows)}</table>'
+           '</section>' if table_form
+           else f'<section class="form">{"".join(rows)}</section>') +
         f"{paras}</main>{comments}"
         f"<footer><a href='/imprint'>Imprint</a> · "
         f"<a href='/privacy'>Privacy</a></footer></body></html>"
@@ -552,7 +569,14 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
     else:
         payload = _encode_html(url, _decorate_metas(
             url, _decorate_links(url, _decorate_head(
-                url, _html_page(rng, values, fields, title)))))
+                url, _html_page(
+                    rng, values, fields, title,
+                    # ~1/7 of pages use real <table> form markup —
+                    # url-hash keyed (rng stream identical), and the
+                    # kernel's cell geometry makes extraction
+                    # byte-identical to the div twin, so goldens
+                    # never notice
+                    table_form=stable_mod(url + "#tbl", 7) == 0)))))
     return {
         "url": url,
         "warc_ts": _EPOCH + timedelta(seconds=row_id),
