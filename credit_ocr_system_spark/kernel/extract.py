@@ -84,7 +84,15 @@ def _resolve_links(url: str, base_href: str,
     # kernel time on link-dense pages.
     base_scheme = ("https" if base.startswith("https://") else
                    "http" if base.startswith("http://") else None)
-    safe = _FAST_SAFE.match
+    # urlsplit strips LEADING/TRAILING C0-control-or-space from the
+    # whole URL (WHATWG); interior C0 (other than the tab/CR/LF that
+    # _FAST_SAFE already rejects anywhere) survives. So the fast
+    # paths additionally require clean edge characters.
+    _safe = _FAST_SAFE.match
+
+    def safe(h: str) -> bool:
+        return (_safe(h) is not None
+                and h[0] > " " and h[-1] > " ")
     # Per-document precompute for the relative-href fast path: the
     # origin and the base directory (path up to the last '/'). RFC
     # 3986 §5.3 merge for a dot-free relative path is then pure
@@ -122,6 +130,14 @@ def _resolve_links(url: str, base_href: str,
                 r = origin + href
             elif href.startswith("?"):
                 r = base + href
+            elif "//" in href:
+                # the NON-ROOTED relative merge collapses interior
+                # empty segments ('img//logo.png' → 'img/logo.png');
+                # rooted and absolute paths keep them — slow path
+                try:
+                    r = urljoin(base, href).split("#", 1)[0]
+                except ValueError:
+                    r = ""
             else:
                 r = bdir + href
         else:

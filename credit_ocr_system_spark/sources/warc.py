@@ -277,9 +277,19 @@ def _parse_http_payload(block: bytes) -> Optional[Dict[str, Any]]:
     except (IndexError, ValueError):
         return None
     hmap = {}
+    xrt: List[bytes] = []
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        hmap[k.strip().lower()] = v.strip()
+        k = k.strip().lower()
+        hmap[k] = v.strip()
+        if k == b"x-robots-tag":
+            # repeated X-Robots-Tag headers are legal and common; a
+            # last-wins map would silently drop 'noindex' when a
+            # later header says 'nofollow' — join like RFC 9110 list
+            # headers instead
+            xrt.append(v.strip())
+    if len(xrt) > 1:
+        hmap[b"x-robots-tag"] = b", ".join(xrt)
     ctype = hmap.get(b"content-type", b"")
     parts = ctype.split(b";")
     mime = parts[0].strip().decode("ascii", "replace")
@@ -796,8 +806,24 @@ def write_wet(docs, out_dir: str, prefix: str = "extract") -> int:
 # A REAL control-char escape in json.dumps output is a `\u00xx` whose
 # backslash is its own (count of preceding backslashes is even). The
 # literal text `«` dumps as `\\u00ab` — odd count — and Jackson
-# leaves its hex alone, so the uppercase pass must skip it.
-_UPPER_ESC = re.compile(r"((?:^|[^\\])(?:\\\\)*\\u00)([0-9a-f]{2})")
+# leaves its hex alone, so the uppercase pass must skip it. The
+# parity is counted per match (not baked into the pattern: a
+# consume-the-preceding-char pattern misses the second of two
+# ADJACENT escapes (its lead-in char is the first escape's hex).
+_UPPER_ESC = re.compile(r"\\u00([0-9a-f]{2})")
+
+
+def _upper_ctrl_escapes(s: str) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        j, n = m.start() - 1, 0
+        while j >= 0 and s[j] == "\\":
+            n += 1
+            j -= 1
+        if n % 2:  # the matched backslash is itself escaped: literal
+            return m.group(0)
+        return "\\u00" + m.group(1).upper()
+
+    return _UPPER_ESC.sub(sub, s)
 
 
 def wat_payload(doc_kind: str, title, base_href, link_canonical,
@@ -837,8 +863,7 @@ def wat_payload(doc_kind: str, title, base_href, link_canonical,
     env = {"Envelope": {"Payload-Metadata": {"HTML-Metadata": {
         "Head": head, "Links": out_links}}}}
     s = json.dumps(env, ensure_ascii=False, separators=(",", ":"))
-    return _UPPER_ESC.sub(
-        lambda m: m.group(1) + m.group(2).upper(), s)
+    return _upper_ctrl_escapes(s)
 
 
 def wat_payload_col():
@@ -1000,8 +1025,10 @@ def corpus_rows(lo: int, hi: int,
             if x == 0:
                 row["http_headers"] = (("X-Robots-Tag", "noindex"),)
             elif x == 1:
-                row["http_headers"] = (
-                    ("X-Robots-Tag", "noindex, nofollow"),)
+                # REPEATED header (legal, common): the parse must
+                # join, not last-wins
+                row["http_headers"] = (("X-Robots-Tag", "noindex"),
+                                       ("X-Robots-Tag", "nofollow"))
             if row["html"][:4] != b"%PDF":
                 c = _stable_mod(row["url"] + "#charset", 12)
                 if c == 0:

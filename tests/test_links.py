@@ -282,7 +282,12 @@ def test_resolve_fast_path_is_urljoin():
            "x/.", "..x", ".hidden", "x?a=1", "x?", "tel:123",
            "a:b/c", "a/b:c", "rel;p=1", "rel#f", "rel\npath",
            "rel path", "\\x", "x\\y", "?", "/", "more/info.html",
-           "deep/a/b/c?z=1"]
+           "deep/a/b/c?z=1",
+           # interior empty segments (non-rooted merge collapses
+           # them) and WHATWG edge-control-char stripping
+           "img//logo.png", "a//b//c", "/x//y", "x//",
+           "\x01foo", "x\x01y", "foo\x01", "https://x/y\x01",
+           "\x01https://x/y", "https://h/a//b", "//h/p//q"]
     raw = [{"href": h, "anchor": "", "nofollow": False} for h in adv]
     for base_url, bh in [("https://ex.org/a/b", ""),
                          ("http://ex.org/a/b", "/app/"),

@@ -483,9 +483,14 @@ def test_x_robots_tag_surfaces(rows):
     decorated[2]["http_headers"] = (("X-Robots-Tag", "noindex"),)
     decorated[5]["http_headers"] = (
         ("X-Robots-Tag", "noindex, nofollow"),)
+    # REPEATED header: both directives must survive (join, not
+    # last-wins — dropping 'noindex' keeps an opted-out page)
+    decorated[6]["http_headers"] = (("X-Robots-Tag", "noindex"),
+                                    ("X-Robots-Tag", "nofollow"))
     got = _parse(W.build_warc_gz(decorated))
     assert got[2]["x_robots_tag"] == "noindex"
     assert got[5]["x_robots_tag"] == "noindex, nofollow"
+    assert got[6]["x_robots_tag"] == "noindex, nofollow"
     assert got[0]["x_robots_tag"] is None
     # and the deterministic corpus actually draws tagged rows
     from credit_ocr_system_spark.sources.warc import corpus_rows

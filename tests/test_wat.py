@@ -46,7 +46,9 @@ def wat_docs(spark):
                    _ln(1, "https://spam.example/", "ad", True)],
          "metas": [_mt(0, "description", "a page"),
                    _mt(1, "og:type", ""),  # empty content kept
-                   _mt(2, "og:«title»", 'q"uote\x02ctl')]},
+                   # adjacent control chars + escaped-backslash lead-in:
+                   # the uppercase-parity hazards, twin-compared
+                   _mt(2, "og:«title»", 'q"uote\x02\x03ctl \\\x1f')]},
         # adversarial strings: control chars, literal « text,
         # raw unicode, quotes and backslashes
         {"url": "https://ex.org/b", "warc_ts": ts, "doc_kind": "html",
@@ -102,6 +104,12 @@ def test_wat_payload_escaping_pinned(spark, wat_docs):
     assert env["Links"] == [{"path": "A@/href", "url": "/y?a=1&b=2",
                              "text": "an\x01chor\nnl"}]
     assert "\\u0002" in p
+    # ADJACENT control escapes: BOTH must uppercase (a lead-in-char
+    # regex misses the second), and an escaped-backslash prefix must
+    # not flip the parity decision
+    p2 = W.wat_payload("html", "a\x1f\x1eb \\\x1f c", None, None, [])
+    assert "\\u001F\\u001E" in p2
+    assert "\\\\\\u001F" in p2  # literal \ then a REAL escape
 
 
 def test_wat_round_trip(spark, wat_docs, tmp_path):
