@@ -116,6 +116,7 @@ HEADLINE = [
     # canonical keep-best selection, TF-IDF top terms, exact
     # substring-dedup signal, capped inverted index
     "dedup_keep_best",
+    "bm25_topk",
     "tfidf_top_terms",
     "duplicate_spans",
     "inverted_index",

@@ -2095,3 +2095,80 @@ def dedup_lines_global(documents: DataFrame,
         (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text")))
+
+
+# --- Okapi BM25 retrieval ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Default query for the bench/oracle entry: terms drawn from the
+# documents table's vocabulary at different document frequencies.
+BM25_QUERY = ("spark", "merge", "customer")
+BM25_TOP_K = 10
+
+
+def bm25_topk(documents: DataFrame,
+              query: tuple = BM25_QUERY,
+              k: int = BM25_TOP_K,
+              k1: float = BM25_K1,
+              b: float = BM25_B) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for one query over the corpus
+    (Robertson et al.; idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    tf saturation ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``).
+
+    Shape: the corpus tokenizes once and the per-document length
+    rides the explode (no corpus self-join); term frequencies are
+    computed for the QUERY terms only — a map-side ``isin`` filter,
+    so rows for non-query vocabulary never shuffle — then one
+    (doc, term) count shuffle. Corpus stats (N, avgdl) broadcast as a
+    1-row scalar; per-term df re-aggregates from the tf table
+    (≤ |query| rows) and broadcasts back. At 10^12 documents the only
+    corpus-sized exchange is the tf count, whose cardinality is the
+    query's posting lists, not the corpus.
+
+    Determinism: the per-document score is an ORDERED fold over the
+    term-sorted partial scores (float + isn't associative — same
+    discipline as ``unigram_lm_score``), rounded via ``pround`` so
+    every engine ranks identical values; final order breaks ties on
+    doc_id. Output: (doc_id, score, n_terms) — top-k.
+    """
+    docs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id",
+                     F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (docs.select(
+            "doc_id", F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*query))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf"),
+               F.min("dl").alias("dl")))
+    df_t = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df")
+                                + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)))
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf") + F.lit(k1)
+               * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                lambda x: x["s"]),
+            F.lit(0.0), lambda a, x: a + x).alias("raw"),
+        F.count("*").cast("int").alias("n_terms"))
+    return (per_doc
+            .select("doc_id", pround(F.col("raw"), 6).alias("score"),
+                    "n_terms")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

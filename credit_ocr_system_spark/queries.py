@@ -1321,6 +1321,43 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                                    doc_id) AS rn
       FROM documents)
 """,
+    # Okapi BM25: same tokenize prefix; the per-doc score re-derived
+    # with the identical formula parenthesization and the SAME
+    # term-ordered fold (list_reduce over list(s ORDER BY term))
+    "bm25_topk": f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+ dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+ stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  AVG(dl) AS avgdl FROM dl),
+ tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM (SELECT d.doc_id, unnest(d.toks) AS term,
+               CAST(len(d.toks) AS DOUBLE) AS dl
+        FROM docs d)
+  WHERE term IN ({", ".join(f"'{t}'" for t in T.BM25_QUERY)})
+  GROUP BY doc_id, term),
+ dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+         FROM tf GROUP BY term),
+ scored AS (
+  SELECT tf.doc_id, tf.term,
+   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+   * (tf.tf * {T.BM25_K1 + 1.0})
+   / (tf.tf + {T.BM25_K1}
+      * ({1.0 - T.BM25_B} + {T.BM25_B} * tf.dl / avgdl)) AS s
+  FROM tf JOIN dft USING (term) CROSS JOIN stats),
+ per_doc AS (
+  SELECT doc_id,
+   list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+               (a, x) -> a + x) AS raw,
+   CAST(COUNT(*) AS INT) AS n_terms
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, {sql_pround("raw", 6)} AS score, n_terms
+FROM per_doc
+ORDER BY score DESC, doc_id ASC
+LIMIT {T.BM25_TOP_K}
+""",
     "tfidf_top_terms": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKS}) AS term
@@ -2233,6 +2270,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "leakage_safe_split": lambda s, d: T.leakage_safe_split(
             R.load(s, d, "documents")),
+        "bm25_topk": lambda s, d: T.bm25_topk(
+            R.load(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: T.tfidf_top_terms(
             R.load(s, d, "documents")),
         "duplicate_spans": lambda s, d: T.duplicate_spans(
@@ -2382,7 +2421,7 @@ _DRIVER_PRIORITY = [
     "decontaminate", "deterministic_sample", "quality_filter",
     "unigram_lm_score", "temperature_mixture", "language_id",
     "quality_score", "repetition_score", "token_counts",
-    "fingerprints", "tfidf_top_terms", "inverted_index",
+    "fingerprints", "bm25_topk", "tfidf_top_terms", "inverted_index",
     "candidate_pagerank", "corpus_percentiles", "simhash",
     "simhash_candidates",
 ]

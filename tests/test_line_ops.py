@@ -98,3 +98,37 @@ def test_dedup_lines_all_equi_joins(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_min" in plan or "min(" in plan  # map-side combine
+
+
+# --- BM25 ------------------------------------------------------------------
+
+def test_bm25_semantics(spark):
+    from credit_ocr_system_spark.operators.textops import bm25_topk
+
+    rows = [(1, "spark spark spark filler words here to pad length"),
+            (2, "spark filler words here to pad out the length"),
+            (3, "nothing relevant at all in this document text"),
+            (4, "rare rare word document mentioning spark once only")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, query=("spark", "rare"), k=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 3 not in got                    # no query term: no row
+    assert got[1]["score"] > got[2]["score"]  # tf saturation ranks
+    # 'rare' appears only in doc 4: its idf outweighs one 'spark'
+    assert got[4]["score"] > got[2]["score"]
+    assert got[4]["n_terms"] == 2 and got[1]["n_terms"] == 1
+
+
+def test_bm25_plan_shape(spark):
+    # df and corpus stats broadcast; no corpus-sized window/sort
+    # before the final top-k; the non-query vocabulary is filtered
+    # map-side before any exchange
+    from credit_ocr_system_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark a"), (2, "b merge")], "doc_id long, text string")
+    plan = plan_of(bm25_topk(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
