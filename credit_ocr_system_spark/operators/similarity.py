@@ -323,6 +323,57 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5,
     )
 
 
+SEMDEDUP_COS = 0.35
+
+
+def semdedup(embeddings: DataFrame, threshold: float = SEMDEDUP_COS,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside the
+    coarse k-means clusters — drop every vector that has a
+    lower-id cluster-mate with cosine ≥ ``threshold``, keep the rest.
+
+    The paper's shape exactly: cluster first (the trained
+    :func:`kmeans_codebook` quantizer, broadcast argmax assignment —
+    map-side), then compare only WITHIN clusters, so the n² semantic
+    comparison becomes k cluster-local self-joins on ``centroid_id``.
+    Keep-lowest-id is this engine's deterministic stand-in for the
+    paper's keep-farthest-from-centroid (a tie-broken rule both
+    engines compute identically; the keep policy is orthogonal to the
+    candidate structure). Cluster-local self-join scale caveat, same
+    as the LSH buckets: cluster population is ~n/k, so k must scale
+    with the corpus (codebooks train on a sample at any k —
+    ``kmeans_codebook(sample_rate_hex=…)``), and exact dedup runs
+    first so identical-vector mass never lands in one cluster.
+
+    Output: (vec_id, centroid_id, kept).
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    cents = centroids if centroids is not None else _centroids(embeddings)
+    # assignment feeds both self-join sides and the output — one
+    # eager cut, or the codebook training re-runs three times
+    assigned = _nearest_centroids(
+        corpus, cents, "vec_id", "v", 1).localCheckpoint(eager=True)
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    drops = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True)))
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(drops, "vec_id", "left")
+        .select("vec_id", "centroid_id",
+                F.col("dropped").isNull().alias("kept"))
+    )
+
+
 def _lcg_doubles(seed: int, n: int) -> list[float]:
     """``n`` exactly-representable doubles in [-1, 1) from a 64-bit
     LCG (Knuth MMIX constants). Every value is a 53-bit integer

@@ -604,6 +604,58 @@ def decontaminate(documents: DataFrame,
     )
 
 
+DECONTAM_FUZZY_JACCARD = 0.5
+
+
+def fuzzy_decontaminate(documents: DataFrame,
+                        n_bench: int = DECONTAM_BENCH_IDS,
+                        threshold: float = DECONTAM_FUZZY_JACCARD,
+                        n_bands: int = N_BANDS,
+                        rows_per_band: int = 1) -> DataFrame:
+    """Fuzzy train/test decontamination: flag documents whose exact
+    shingle-Jaccard against ANY held-out benchmark document reaches
+    ``threshold``, with MinHash LSH proposing the candidate pairs.
+
+    The n-gram pass (:func:`decontaminate`) only catches verbatim
+    overlap; paraphrased or lightly-edited benchmark leakage needs a
+    similarity check. Running Jaccard corpus × benchmark is an n×m
+    cross product, so the same candidates→verify shape as the dedup
+    pipeline applies — except the benchmark side is tiny (eval suites
+    vs the corpus), so its band signatures BROADCAST and the candidate
+    step is a map-side probe: the corpus never shuffles at all, at any
+    corpus size. The exact verify then runs on candidates only
+    (O(candidates × shingles/doc)).
+
+    Output: (doc_id, n_bench_matches, max_jaccard, is_contaminated)
+    for EVERY document; benchmark members (doc_id < ``n_bench``)
+    trivially match themselves at jaccard 1.0 — the positive control,
+    same convention as :func:`decontaminate`.
+    """
+    sigs = minhash_signatures(documents, n_bands, rows_per_band)
+    bench = (sigs.where(F.col("doc_id") < n_bench)
+             .select(F.col("doc_id").alias("bench_id"),
+                     "band", "minhash"))
+    cands = (sigs.join(F.broadcast(bench), ["band", "minhash"])
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("bench_id").alias("doc_b"))
+             .distinct())
+    hits = _verify_jaccard(documents, cands, threshold)
+    per_doc = hits.groupBy("doc_a").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.max("jaccard").alias("mx"))
+    return (
+        documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .join(per_doc, F.col("doc_id") == F.col("doc_a"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+             .alias("n_bench_matches"),
+            F.coalesce(F.col("mx"), F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")) > 0)
+            .alias("is_contaminated"))
+    )
+
+
 # --- deterministic sampling ----------------------------------------------
 
 SAMPLE_RATE_HEX = "40000000"  # md5-prefix cutoff: keep ≈ 25%
@@ -1526,6 +1578,56 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
         .select("doc_id", "n_tokens", "n_distinct",
                 pround(F.col("s") / F.col("n_tokens").cast("double"),
                        6).alias("cross_entropy"))
+    )
+
+
+# --- CCNet-style perplexity bucketing -------------------------------------
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail split: each document lands in the
+    lowest-/middle-/highest-perplexity third of its language, by the
+    unigram-LM cross-entropy (:func:`unigram_lm_score`; CCNet proper
+    uses a KenLM 5-gram — same shape, richer model).
+
+    The scale-critical choice is how the tertile boundaries are
+    computed. Ranking documents directly (``row_number() over
+    (partition by lang ...)``) would sort the whole corpus inside a
+    handful of language partitions — the classic hot-key window. This
+    instead builds a per-(lang, score) HISTOGRAM (map-side combinable
+    groupBy over scores already rounded to 6 digits), takes the
+    running count over that histogram — bounded by distinct score
+    values, orders of magnitude under the corpus — and broadcasts the
+    two per-language cutoffs back for a map-side comparison. Cutoff
+    rule, deterministic in every engine: ``c1`` is the smallest score
+    with ``3·cum ≥ n_docs`` (ties at the boundary all go to the lower
+    bucket), ``c2`` likewise at ``2·n_docs``.
+
+    Output: (doc_id, lang, cross_entropy, ppl_bucket).
+    """
+    scores = unigram_lm_score(documents).select(
+        "doc_id", "cross_entropy")
+    langs = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+    sc = scores.join(langs, "doc_id")
+    hist = sc.groupBy("lang", "cross_entropy").agg(
+        F.count("*").alias("n"))
+    w = (Window.partitionBy("lang").orderBy("cross_entropy")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    cuts = (
+        cum.join(tot, "lang").groupBy("lang").agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n_docs"),
+                         F.col("cross_entropy"))).alias("c1"),
+            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n_docs"),
+                         F.col("cross_entropy"))).alias("c2")))
+    return (
+        sc.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "cross_entropy",
+                F.when(F.col("cross_entropy") <= F.col("c1"), "head")
+                 .when(F.col("cross_entropy") <= F.col("c2"), "middle")
+                 .otherwise("tail").alias("ppl_bucket"))
     )
 
 

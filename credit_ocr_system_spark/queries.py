@@ -1803,6 +1803,60 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 5
 """,
+    # mirrors similarity.semdedup: trained-codebook assignment (the
+    # exact ivf_assign CTE chain), cluster-local pairs, drop the
+    # higher id of any pair at cosine >= the identical literal
+    "semdedup": f"""
+WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+{_IVF_CTE},
+ pairs AS (
+  SELECT a.neighbor_id AS ia, b.neighbor_id AS ib
+  FROM corpus_assign a JOIN corpus_assign b
+    ON a.centroid_id = b.centroid_id
+   AND a.neighbor_id < b.neighbor_id
+  WHERE {_COS_CD.format(a="a.v", b="b.v")} >= {S.SEMDEDUP_COS!r}),
+ drops AS (SELECT DISTINCT ib FROM pairs)
+SELECT ca.neighbor_id AS vec_id, ca.centroid_id,
+ (d.ib IS NULL) AS kept
+FROM corpus_assign ca LEFT JOIN drops d ON d.ib = ca.neighbor_id
+""",
+    # mirrors textops.fuzzy_decontaminate: corpus sigs vs the
+    # held-out set's sigs (same _MINHASH_CTE both sides), exact
+    # shingle-Jaccard verify on candidates, per-doc rollup with the
+    # identical rounded threshold comparison
+    "fuzzy_decontaminate": f"""
+WITH {_MINHASH_CTE},
+ live AS (SELECT * FROM sigs WHERE minhash IS NOT NULL),
+ bench AS (SELECT doc_id AS bench_id, band, minhash FROM live
+           WHERE doc_id < {T.DECONTAM_BENCH_IDS}),
+ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.bench_id AS doc_b
+          FROM live a JOIN bench b
+            ON a.band = b.band AND a.minhash = b.minhash),
+ sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s
+        FROM shingled),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_inter
+           FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                     JOIN sh sb ON sb.doc_id = cand.doc_b
+                               AND sb.s = sa.s
+           GROUP BY 1, 2),
+ hits AS (SELECT doc_a, jaccard FROM (
+   SELECT doc_a,
+    {sql_pround("n_inter / (sa.n_sh + sb.n_sh - n_inter)", 6)}
+      AS jaccard
+   FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+              JOIN sizes sb ON sb.doc_id = inter.doc_b)
+  WHERE jaccard >= {T.DECONTAM_FUZZY_JACCARD!r}),
+ per_doc AS (SELECT doc_a, CAST(COUNT(*) AS BIGINT) AS n,
+              MAX(jaccard) AS mx FROM hits GROUP BY doc_a)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+ CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bench_matches,
+ COALESCE(p.mx, 0.0) AS max_jaccard,
+ COALESCE(p.n, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN per_doc p ON p.doc_a = d.doc_id
+""",
 }
 
 
@@ -2288,6 +2342,12 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
             R.load(s, d, "documents")),
+        "perplexity_buckets": lambda s, d: T.perplexity_buckets(
+            R.load(s, d, "documents")),
+        "fuzzy_decontaminate": lambda s, d: T.fuzzy_decontaminate(
+            R.load(s, d, "documents")),
+        "semdedup": lambda s, d: S.semdedup(
+            R.load(s, d, "embeddings")),
         "temperature_mixture": lambda s, d: T.temperature_mixture(
             R.load(s, d, "documents")),
         "pack_sequences": lambda s, d: T.pack_sequences(
@@ -2387,6 +2447,9 @@ def build_queries() -> Dict[str, QueryFn]:
 _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
+    # new in r4 (fourth pass): CCNet bucketing, fuzzy decontamination,
+    # SemDeDup
+    "perplexity_buckets", "fuzzy_decontaminate", "semdedup",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -2431,6 +2494,32 @@ _DRIVER_PRIORITY = [
 # BY CONSTRUCTION — one oracle string, referenced twice, so an edit to
 # the banding SQL can never drift the value-identity proof
 ORACLES["value_banding_salted"] = ORACLES["value_banding"]
+
+# CCNet head/middle/tail: the score CTE IS the unigram_lm_score
+# oracle (structural reuse); the cutoff rule is the same
+# integer-count comparison over the per-(lang, rounded-score)
+# histogram the Spark side computes
+ORACLES["perplexity_buckets"] = f"""
+WITH u AS ({ORACLES["unigram_lm_score"]}),
+ sc AS (SELECT u.doc_id, d.lang, u.cross_entropy
+        FROM u JOIN documents d ON d.doc_id = u.doc_id),
+ hist AS (SELECT lang, cross_entropy, COUNT(*) AS n
+          FROM sc GROUP BY 1, 2),
+ cum AS (SELECT lang, cross_entropy,
+          SUM(n) OVER (PARTITION BY lang ORDER BY cross_entropy
+                       ROWS UNBOUNDED PRECEDING) AS cum
+         FROM hist),
+ tot AS (SELECT lang, SUM(n) AS n_docs FROM hist GROUP BY lang),
+ cuts AS (SELECT c.lang,
+   MIN(CASE WHEN 3 * cum >= n_docs THEN cross_entropy END) AS c1,
+   MIN(CASE WHEN 3 * cum >= 2 * n_docs THEN cross_entropy END) AS c2
+  FROM cum c JOIN tot t USING (lang) GROUP BY c.lang)
+SELECT sc.doc_id, sc.lang, sc.cross_entropy,
+ CASE WHEN sc.cross_entropy <= cuts.c1 THEN 'head'
+      WHEN sc.cross_entropy <= cuts.c2 THEN 'middle'
+      ELSE 'tail' END AS ppl_bucket
+FROM sc JOIN cuts USING (lang)
+"""
 
 # clusters over VERIFIED edges: the edge CTE IS the
 # verified_near_dup_pairs oracle (structural reuse), followed by the

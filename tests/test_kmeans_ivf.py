@@ -136,3 +136,23 @@ def test_sampled_training_contract(spark):
     # neighbor flips when a cluster edge vector is sampled out)
     assert _recall(emb, sampled) >= _recall(emb, _seed_centroids(emb))
     assert _recall(emb, sampled) >= 0.9
+
+
+def test_semdedup_drops_higher_id_of_near_identical_pair(spark, sf_dir):
+    from credit_ocr_system_spark.operators.similarity import semdedup
+
+    emb = _emb(spark, sf_dir)
+    # plant an exact duplicate: vec 9001 is a copy of vec 3
+    dup = (emb.where(F.col("vec_id") == 3)
+           .select(F.lit(9001).alias("vec_id"), "embedding",
+                   F.lit("dup").alias("label")))
+    out = {r["vec_id"]: r for r in semdedup(emb.unionByName(dup)).collect()}
+    assert len(out) == emb.count() + 1        # every vector, once
+    # identical vectors share the same nearest centroid; cosine = 1.0
+    # >= any threshold, so the higher id is dropped, the lower kept
+    assert out[3]["centroid_id"] == out[9001]["centroid_id"]
+    assert out[3]["kept"] is True
+    assert out[9001]["kept"] is False
+    # kept + dropped partition the corpus
+    n_kept = sum(1 for r in out.values() if r["kept"])
+    assert 0 < n_kept < len(out)

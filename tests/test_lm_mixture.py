@@ -122,3 +122,49 @@ def test_quality_filter_verdict_composes_components(spark, sf_dir):
     # the chain must not be degenerate: both verdicts occur
     kept = sum(r["kept"] for r in out)
     assert 0 < kept < len(out)
+
+
+@pytest.fixture(scope="module")
+def ppl_docs(spark):
+    # two languages; within each, an all-mode boilerplate doc, a block
+    # of ordinary docs, and an all-rare doc — the tertile structure is
+    # known by construction
+    rows = []
+    for lang, base in (("de", 0), ("en", 100)):
+        rows.append((base + 0, "common " * 20, lang))
+        # a gradient of rarity: doc i mixes (8 - i) mode tokens with i
+        # unique ones, so every score is distinct and the tertiles are
+        # populated (ties at a cutoff all go to the lower bucket —
+        # that collapse is tested implicitly by using distinct scores)
+        rows += [(base + i,
+                  " ".join(["common"] * (8 - i)
+                           + [f"w{lang}{i}{j}" for j in range(i)]),
+                  lang)
+                 for i in range(1, 8)]
+        rows.append((base + 8, f"r{lang}0 r{lang}1 r{lang}2", lang))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+
+def test_perplexity_buckets_tertiles_per_language(ppl_docs):
+    from credit_ocr_system_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    out = perplexity_buckets(ppl_docs).collect()
+    assert len(out) == ppl_docs.count()
+    by_doc = {r["doc_id"]: r for r in out}
+    # boilerplate = head, all-rare = tail, in BOTH languages
+    for base in (0, 100):
+        assert by_doc[base + 0]["ppl_bucket"] == "head"
+        assert by_doc[base + 8]["ppl_bucket"] == "tail"
+    # buckets are score-monotone within a language: every head score
+    # <= every middle score <= every tail score
+    for lang in ("de", "en"):
+        rows = [r for r in out if r["lang"] == lang]
+        ce = {b: [r["cross_entropy"] for r in rows
+                  if r["ppl_bucket"] == b]
+              for b in ("head", "middle", "tail")}
+        assert ce["head"] and ce["middle"] and ce["tail"]
+        assert max(ce["head"]) <= min(ce["middle"])
+        assert max(ce["middle"]) <= min(ce["tail"])

@@ -411,3 +411,48 @@ def test_split_adds_no_exchange_over_clusters(spark, sf_dir):
     assert "CartesianProduct" not in split
     assert split.count("Exchange") == base.count("Exchange")
     assert split.count("Join") == base.count("Join")
+
+
+def test_perplexity_buckets_cutoffs_broadcast(spark, sf_dir):
+    """CCNet bucketing must assign via broadcast per-language cutoffs
+    (histogram → two rows per language), never rank the corpus inside
+    per-language window partitions: the only row_number windows in the
+    plan are the ones unigram_lm_score itself already carries (none),
+    and the cutoff join onto scores is a broadcast."""
+    from credit_ocr_system_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    plan = plan_of(perplexity_buckets(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan      # cutoffs onto scores
+    assert "row_number" not in plan         # no corpus-wide ranking
+
+
+def test_fuzzy_decontaminate_bench_side_broadcasts(spark, sf_dir):
+    """Fuzzy decontamination: the benchmark band signatures must probe
+    as a broadcast (the corpus never shuffles for candidate
+    generation) and no nested-loop/cartesian join may appear."""
+    from credit_ocr_system_spark.operators.textops import (
+        fuzzy_decontaminate,
+    )
+
+    plan = plan_of(fuzzy_decontaminate(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan      # bench sigs probe
+
+
+def test_semdedup_pairs_are_cluster_local(spark, sf_dir):
+    """SemDeDup: the semantic comparison must be the cluster-local
+    equi-join on centroid_id over the materialized assignment (no
+    all-pairs nested loop; the assignment subtree is checkpointed, so
+    the plan reads RDDs, not a re-derived k-means)."""
+    from credit_ocr_system_spark.operators.similarity import semdedup
+
+    plan = plan_of(semdedup(R.load(spark, sf_dir, "embeddings")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Scan ExistingRDD" in plan       # assignment lineage cut
