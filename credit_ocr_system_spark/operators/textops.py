@@ -1581,6 +1581,96 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     )
 
 
+# --- BPE merge training ----------------------------------------------------
+
+BPE_MERGES = 8
+BPE_SEP = "·"  # '·' — cannot occur in [a-z0-9]+ vocabulary words
+
+
+def bpe_merges(documents: DataFrame,
+               n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) as
+    DataFrame operations: the first ``n_merges`` merge rules learned
+    from the corpus. Output: (merge_rank, lhs, rhs, pair_count).
+
+    The tokenizer-training step of a pre-training pipeline, and the
+    textbook case for the word-frequency contraction: merges happen
+    INSIDE words, so after one map-side-combinable groupBy the working
+    set is the distinct-word table (Heap's law: ~10⁶–10⁷ rows at any
+    corpus size), not the corpus — every Lloyd-style round thereafter
+    costs O(vocabulary), independent of the 10^12 input rows.
+
+    Determinism, the oracle-ability property: the winning pair each
+    round is (count DESC, lhs ASC, rhs ASC) — a total order — and
+    merge application is the exact greedy left-to-right scan of the
+    reference algorithm, expressed as a string fold over the word's
+    symbols: the accumulator is the '·'-delimited symbol string, and
+    a step either replaces its suffix ``·lhs·`` with ``·lhs rhs·``
+    (when the incoming symbol is ``rhs``) or appends. A merged symbol
+    can never chain into the next step's suffix check (``lhs·rhs ≠
+    lhs``), which is precisely the reference's skip-after-merge.
+    Vocabulary words are restricted to ``[a-z0-9]+`` tokens, so the
+    delimiter is unambiguous by construction.
+
+    Per round: one groupBy over the vocabulary's adjacent symbol
+    pairs (map-side combinable), a 1-row TakeOrderedAndProject for
+    the winner, and a broadcast of that 1-row winner onto the
+    vocabulary for the rewrite — with an eager lineage cut per round
+    (same discipline as the CC/k-means/PageRank loops).
+    """
+    sep = F.lit(BPE_SEP)
+    words = (
+        documents
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .withColumn("repr", F.concat(
+            F.regexp_replace(F.col("w"), "(.)", BPE_SEP + "$1"), sep))
+        .localCheckpoint(eager=True))
+    merges: list[DataFrame] = []
+    for t in range(1, n_merges + 1):
+        split = F.split(F.col("repr"), BPE_SEP)
+        sy = words.select(
+            "w", "freq",
+            F.slice(split, 2, F.size(split) - 2).alias("s"))
+        npairs = F.greatest(F.lit(0), F.size("s") - 1)
+        pairs = sy.select(
+            "freq",
+            F.explode(F.zip_with(
+                F.slice("s", 1, npairs), F.slice("s", 2, npairs),
+                lambda le, ri: F.struct(le.alias("l"), ri.alias("r")),
+            )).alias("p"))
+        counts = pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("freq").cast("bigint").alias("pair_count"))
+        best = (counts
+                .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .localCheckpoint(eager=True))
+        merges.append(best.select(
+            F.lit(t).cast("int").alias("merge_rank"),
+            F.col("l").alias("lhs"), F.col("r").alias("rhs"),
+            "pair_count"))
+        fold = F.aggregate(
+            F.col("s"), sep,
+            lambda a, x: F.when(
+                F.endswith(a, F.concat(sep, F.col("l"), sep))
+                & (x == F.col("r")),
+                F.concat(
+                    F.substring(
+                        a, F.lit(1),
+                        F.length(a) - F.length(F.col("l")) - F.lit(1)),
+                    F.col("l"), F.col("r"), sep),
+            ).otherwise(F.concat(a, x, sep)))
+        words = (sy.crossJoin(F.broadcast(best.select("l", "r")))
+                 .select("w", "freq", fold.alias("repr"))
+                 .localCheckpoint(eager=True))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 # --- CCNet-style perplexity bucketing -------------------------------------
 
 

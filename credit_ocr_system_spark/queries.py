@@ -845,6 +845,53 @@ SELECT doc_id, {hit_cols},
 FROM wide
 """
 
+def _bpe_oracle() -> str:
+    """Unrolled fixed-round BPE training mirroring
+    ``textops.bpe_merges`` statement-for-statement: the same
+    ``[a-z0-9]+`` vocabulary contraction, the same (count DESC, lhs
+    ASC, rhs ASC) winner order, and the IDENTICAL greedy
+    suffix-replace fold (list_reduce with the '·'-delimited string
+    accumulator), so merge application cannot drift between engines."""
+    parts = [f"""words0 AS (
+  SELECT w, freq,
+   regexp_replace(w, '(.)', '·\\1', 'g') || '·' AS repr
+  FROM (SELECT tok AS w, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        WHERE regexp_matches(tok, '^[a-z0-9]+$')
+        GROUP BY tok))"""]
+    for t in range(1, T.BPE_MERGES + 1):
+        parts.append(f"""sy{t} AS (
+  SELECT w, freq,
+   list_slice(string_split(repr, '·'), 2,
+              len(string_split(repr, '·')) - 1) AS s
+  FROM words{t - 1})""")
+        parts.append(f"""pairs{t} AS (
+  SELECT freq,
+   unnest([struct_pack(l := s[i], r := s[i + 1])
+           FOR i IN generate_series(1, len(s) - 1)]) AS p
+  FROM sy{t})""")
+        parts.append(f"""cnt{t} AS (
+  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs{t} GROUP BY 1, 2)""")
+        parts.append(f"""best{t} AS (
+  SELECT l, r, pair_count FROM cnt{t}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)""")
+        parts.append(f"""words{t} AS (
+  SELECT w, freq,
+   list_reduce(list_prepend('·', s),
+     (a, x) -> CASE WHEN ends_with(a, '·' || b.l || '·') AND x = b.r
+               THEN substr(a, 1, len(a) - len(b.l) - 1)
+                    || b.l || b.r || '·'
+               ELSE a || x || '·' END) AS repr
+  FROM sy{t} CROSS JOIN best{t} b)""")
+    body = ",\n ".join(parts)
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" pair_count FROM best{t}"
+        for t in range(1, T.BPE_MERGES + 1))
+    return f"WITH {body}\n{sel}"
+
+
 _ANN_CTE = """
 corpus AS (SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
                   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1803,6 +1850,7 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE rn <= 5
 """,
+    "bpe_merges": _bpe_oracle(),
     # mirrors similarity.semdedup: trained-codebook assignment (the
     # exact ivf_assign CTE chain), cluster-local pairs, drop the
     # higher id of any pair at cosine >= the identical literal
@@ -2344,6 +2392,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "perplexity_buckets": lambda s, d: T.perplexity_buckets(
             R.load(s, d, "documents")),
+        "bpe_merges": lambda s, d: T.bpe_merges(
+            R.load(s, d, "documents")),
         "fuzzy_decontaminate": lambda s, d: T.fuzzy_decontaminate(
             R.load(s, d, "documents")),
         "semdedup": lambda s, d: S.semdedup(
@@ -2448,8 +2498,9 @@ _DRIVER_PRIORITY = [
     # never driver-checked
     "kmeans_codebook", "x_media_real",
     # new in r4 (fourth pass): CCNet bucketing, fuzzy decontamination,
-    # SemDeDup
+    # SemDeDup, BPE tokenizer training
     "perplexity_buckets", "fuzzy_decontaminate", "semdedup",
+    "bpe_merges",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
