@@ -845,7 +845,7 @@ SELECT doc_id, {hit_cols},
 FROM wide
 """
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
     """Unrolled fixed-round BPE training mirroring
     ``textops.bpe_merges`` statement-for-statement: the same
     ``[a-z0-9]+`` vocabulary contraction, the same (count DESC, lhs
@@ -884,12 +884,32 @@ def _bpe_oracle() -> str:
                     || b.l || b.r || '·'
                ELSE a || x || '·' END) AS repr
   FROM sy{t} CROSS JOIN best{t} b)""")
-    body = ",\n ".join(parts)
+    return ",\n ".join(parts)
+
+
+def _bpe_oracle() -> str:
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({t} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
         f" pair_count FROM best{t}"
         for t in range(1, T.BPE_MERGES + 1))
-    return f"WITH {body}\n{sel}"
+    return f"WITH {_bpe_ctes()}\n{sel}"
+
+
+def _bpe_vocab_oracle() -> str:
+    """Encode-side twin: the final words{K} CTE of the training chain
+    IS the merged encoding of every vocabulary word, so the token
+    table is one explode+aggregate over it — the training CTEs are
+    shared verbatim with the bpe_merges oracle (structural reuse)."""
+    k = T.BPE_MERGES
+    return f"""WITH {_bpe_ctes()}
+SELECT token, n_occurrences FROM (
+ SELECT s_tok AS token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+ FROM (SELECT freq,
+        unnest(list_slice(string_split(repr, '·'), 2,
+                          len(string_split(repr, '·')) - 1)) AS s_tok
+       FROM words{k})
+ GROUP BY 1)
+ORDER BY n_occurrences DESC, token ASC LIMIT {T.BPE_VOCAB_TOPK}"""
 
 
 _ANN_CTE = """
@@ -1851,6 +1871,7 @@ FROM (SELECT query_id, neighbor_id,
 WHERE rn <= 5
 """,
     "bpe_merges": _bpe_oracle(),
+    "bpe_vocab": _bpe_vocab_oracle(),
     # mirrors similarity.semdedup: trained-codebook assignment (the
     # exact ivf_assign CTE chain), cluster-local pairs, drop the
     # higher id of any pair at cosine >= the identical literal
@@ -2394,6 +2415,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "bpe_merges": lambda s, d: T.bpe_merges(
             R.load(s, d, "documents")),
+        "bpe_vocab": lambda s, d: T.bpe_vocab(
+            R.load(s, d, "documents")),
         "fuzzy_decontaminate": lambda s, d: T.fuzzy_decontaminate(
             R.load(s, d, "documents")),
         "semdedup": lambda s, d: S.semdedup(
@@ -2500,7 +2523,7 @@ _DRIVER_PRIORITY = [
     # new in r4 (fourth pass): CCNet bucketing, fuzzy decontamination,
     # SemDeDup, BPE tokenizer training
     "perplexity_buckets", "fuzzy_decontaminate", "semdedup",
-    "bpe_merges",
+    "bpe_merges", "bpe_vocab",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family

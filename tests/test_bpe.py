@@ -70,3 +70,30 @@ def test_bpe_greedy_run_semantics(spark):
            for r in bpe_merges(docs, n_merges=2)
            .orderBy("merge_rank").collect()]
     assert got == [("a", "a", 3), ("aa", "aa", 1)]
+
+
+def test_bpe_vocab_emits_merged_tokens(bpe_docs):
+    from credit_ocr_system_spark.operators.textops import bpe_vocab
+
+    docs, words = bpe_docs
+    got = {r["token"]: r["n_occurrences"]
+           for r in bpe_vocab(docs, n_merges=6).collect()}
+    # reference: re-encode every word with the reference merges
+    merges = [(l, r) for l, r, _c in _ref_bpe(words, 6)]
+    from collections import Counter
+    expect: Counter = Counter()
+    for w, f in words.items():
+        s = list(w)
+        for l, r in merges:
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            s = new
+        for tok in s:
+            expect[tok] += f
+    assert got == dict(expect)
