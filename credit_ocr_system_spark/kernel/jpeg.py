@@ -823,7 +823,7 @@ def _decode_baseline_scan(scan_data, scan_comps, sampling, huff, coefs,
     calls — and nonzero coefficients accumulate as (flat index, value)
     pairs scattered into the numpy stores in one bulk assignment per
     component instead of one numpy scalar write per coefficient
-    (~1.4× the previous decode_block loop on scanned-page payloads).
+    (~1.3× the previous decode_block loop on scanned-page payloads).
     Amplitude categories are ≤ 11 bits and huffman codes ≤ 16, so a
     3-byte window starting at the cursor's byte always covers a read
     (the _BitReader buffer carries 3 guard bytes past each segment).
@@ -871,7 +871,16 @@ def _decode_baseline_scan(scan_data, scan_comps, sampling, huff, coefs,
                                 "invalid huffman code in scan")
                         cat = hit[0]
                         pos += hit[1]
+                        # bounds BEFORE the amplitude read: a code that
+                        # decoded from guard zeros can leave pos past
+                        # nbits, and the 3-byte window must not index
+                        # past the guard bytes
+                        if pos > nbits:
+                            raise EOFError("entropy stream exhausted")
                         if cat:
+                            if cat > 11:      # T.81 F.1.2.1.1
+                                raise ValueError(
+                                    f"bad DC category {cat}")
                             bi = pos >> 3
                             chunk = ((buf[bi] << 16)
                                      | (buf[bi + 1] << 8) | buf[bi + 2])
@@ -883,8 +892,6 @@ def _decode_baseline_scan(scan_data, scan_comps, sampling, huff, coefs,
                                     "entropy stream exhausted")
                             pred += (bits if bits >> (cat - 1)
                                      else bits - (1 << cat) + 1)
-                        elif pos > nbits:
-                            raise EOFError("entropy stream exhausted")
                         ix.append(base)
                         vl.append(pred)
                         k = 1

@@ -1618,6 +1618,15 @@ def bpe_merges(documents: DataFrame,
     vocabulary for the rewrite — with an eager lineage cut per round
     (same discipline as the CC/k-means/PageRank loops).
     """
+    return _bpe_train(documents, n_merges)[0]
+
+
+def _bpe_train(documents: DataFrame, n_merges: int
+               ) -> tuple[DataFrame, DataFrame]:
+    """Returns (merge rules, merged vocabulary) — the final rewrite
+    round leaves every word in trained-tokenizer form, so the encode
+    side (:func:`bpe_vocab`) reads it directly instead of re-applying
+    the rules."""
     sep = F.lit(BPE_SEP)
     words = (
         documents
@@ -1668,7 +1677,7 @@ def bpe_merges(documents: DataFrame,
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, words
 
 
 BPE_VOCAB_TOPK = 50
@@ -1682,17 +1691,12 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES,
     n_occurrences) rows, (count DESC, token ASC)-ranked.
 
     Training already left every vocabulary word in its merged symbol
-    form, so encoding is free: explode the final symbol strings
-    weighted by word frequency and aggregate. Same vocabulary-sized
-    working set as training — corpus-size-independent after the one
-    word-count groupBy.
+    form (the last rewrite round's checkpoint), so encoding is free:
+    explode the final symbol strings weighted by word frequency and
+    aggregate. Same vocabulary-sized working set as training —
+    corpus-size-independent after the one word-count groupBy.
     """
-    sep = F.lit(BPE_SEP)
-    words = documents.select(
-        F.explode(_tokens(F.col("text"))).alias("w")).where(
-        F.col("w").rlike("^[a-z0-9]+$")).groupBy("w").agg(
-        F.count("*").alias("freq"))
-    merged = _bpe_apply(words, bpe_merges(documents, n_merges))
+    merged = _bpe_train(documents, n_merges)[1]
     split = F.split(F.col("repr"), BPE_SEP)
     toks = merged.select(
         "freq",
@@ -1701,47 +1705,6 @@ def bpe_vocab(documents: DataFrame, n_merges: int = BPE_MERGES,
             .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(top_k))
-
-
-def _bpe_apply(words: DataFrame, merges: DataFrame) -> DataFrame:
-    """Apply trained merges to a (w, freq) vocabulary in rank order:
-    the same greedy delimiter-string fold as training, chained once
-    per merge rule inside ONE plan — the merge table joins as a
-    broadcast and each rule's (lhs, rhs) is picked out of it by rank,
-    so encoding needs no per-rule round trip."""
-    sep = F.lit(BPE_SEP)
-    n = merges.count()
-    out = words.withColumn("repr", F.concat(
-        F.regexp_replace(F.col("w"), "(.)", BPE_SEP + "$1"), sep))
-    rules = F.broadcast(
-        merges.groupBy().agg(F.map_from_entries(F.array_sort(
-            F.collect_list(F.struct("merge_rank",
-                                    F.struct("lhs", "rhs").alias("m"))
-            ))).alias("rules")))
-    out = out.crossJoin(rules)
-
-    def merge_step(lhs, rhs):
-        # pyspark HOF lambdas must take exactly the declared arity —
-        # capture the rule columns by closure, not default args
-        def step(a, x):
-            return F.when(
-                F.endswith(a, F.concat(sep, lhs, sep)) & (x == rhs),
-                F.concat(
-                    F.substring(a, F.lit(1),
-                                F.length(a) - F.length(lhs) - F.lit(1)),
-                    lhs, rhs, sep),
-            ).otherwise(F.concat(a, x, sep))
-
-        return step
-
-    for t in range(1, n + 1):
-        lhs = F.col("rules")[t]["lhs"]
-        rhs = F.col("rules")[t]["rhs"]
-        split = F.split(F.col("repr"), BPE_SEP)
-        inter = F.slice(split, 2, F.size(split) - 2)
-        out = out.withColumn(
-            "repr", F.aggregate(inter, sep, merge_step(lhs, rhs)))
-    return out.drop("rules")
 
 
 # --- CCNet-style perplexity bucketing -------------------------------------
