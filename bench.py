@@ -138,6 +138,13 @@ HEADLINE = [
     "pack_sequences",
     "dsir_importance",
     "leakage_safe_split",
+    # round 4, fifth pass: CCNet perplexity tertiles, fuzzy benchmark
+    # decontamination, SemDeDup, BPE tokenizer training + encode
+    "perplexity_buckets",
+    "fuzzy_decontaminate",
+    "semdedup",
+    "bpe_merges",
+    "bpe_vocab",
     # round 4, late: crawl-log canonicalization + collapse (the stage
     # that precedes every content-level operator at web scale)
     "canonical_pages",

@@ -5,6 +5,8 @@ resumable batch job that takes the documents table through the full
 pre-training curation stack —
 
     documents ──► quality_filter        (keep/drop verdict chain)
+              ──► perplexity_buckets    (CCNet tail cut)
+              ──► fuzzy_decontaminate   (paraphrase-level leakage)
               ──► remove_duplicate_spans (keep-first span rewrite)
               ──► temperature_mixture    (α=0.5 source rebalancing)
               ──► curated snapshot + per-bucket lineage sidecar
@@ -34,8 +36,10 @@ from pyspark.sql import functions as F
 
 from ..operators.metrics import portable_bucket
 from ..operators.textops import (
+    fuzzy_decontaminate,
     incremental_near_dup_clusters,
     minhash_signatures,
+    perplexity_buckets,
     quality_filter,
     remove_duplicate_spans,
     temperature_mixture,
@@ -62,13 +66,21 @@ def curate_documents(documents: DataFrame) -> DataFrame:
     """The curated view, one composed plan per document:
 
     * ``kept_quality`` — the :func:`quality_filter` verdict;
+    * ``ppl_bucket`` — the :func:`perplexity_buckets` tertile (CCNet
+      convention: the highest-perplexity 'tail' third of each
+      language is cut; token-less documents have no LM score and
+      land in 'tail');
+    * ``fuzzy_contaminated`` — the :func:`fuzzy_decontaminate`
+      verdict (paraphrase-level benchmark leakage, on top of the
+      exact n-gram ``is_contaminated`` inside the quality chain);
     * ``clean_text`` / ``n_removed`` — the
       :func:`remove_duplicate_spans` rewrite (corpus-duplicated spans
       dropped, first copy kept);
     * ``kept_mixture`` / ``mix_q`` — the :func:`temperature_mixture`
       draw;
     * ``curated`` — in the output corpus: passes the filter chain,
-      drawn by the mixture, and not rewritten to emptiness.
+      not in the perplexity tail, not fuzzily contaminated, drawn by
+      the mixture, and not rewritten to emptiness.
 
     Dropped documents stay in the table with their verdict bits (the
     audit trail a curation pass owes its consumers); the curated
@@ -81,17 +93,28 @@ def curate_documents(documents: DataFrame) -> DataFrame:
         "doc_id", "lang_ok", "quality_ok", "lm_ok", "is_repetitive",
         "is_dup_span", "is_contaminated",
         F.col("kept").alias("kept_quality"))
+    ppl = perplexity_buckets(documents).select("doc_id", "ppl_bucket")
+    fuzzy = fuzzy_decontaminate(documents).select(
+        "doc_id",
+        F.col("is_contaminated").alias("fuzzy_contaminated"))
     rewrite = remove_duplicate_spans(documents).select(
         "doc_id", "n_tokens", "n_removed", "clean_text")
     mixture = temperature_mixture(documents).select(
         "doc_id", F.col("q").alias("mix_q"),
         F.col("kept").alias("kept_mixture"))
     return (
-        base.join(verdict, "doc_id").join(rewrite, "doc_id")
+        base.join(verdict, "doc_id")
+        .join(ppl, "doc_id", "left")      # token-less docs: no score
+        .join(fuzzy, "doc_id")
+        .join(rewrite, "doc_id")
         .join(mixture, "doc_id")
+        .withColumn("ppl_bucket",
+                    F.coalesce(F.col("ppl_bucket"), F.lit("tail")))
         .withColumn(
             "curated",
             F.col("kept_quality") & F.col("kept_mixture")
+            & (F.col("ppl_bucket") != "tail")
+            & ~F.col("fuzzy_contaminated")
             & (F.col("n_removed") < F.col("n_tokens")))
     )
 
@@ -116,6 +139,10 @@ def curation_lineage(curated: DataFrame, run_id: str,
             F.sum((F.col("kept_quality")
                    & ~F.col("kept_mixture")).cast("int"))
             .alias("n_mixture_dropped"),
+            F.sum((F.col("ppl_bucket") == "tail").cast("int"))
+            .alias("n_ppl_tail"),
+            F.sum(F.col("fuzzy_contaminated").cast("int"))
+            .alias("n_fuzzy_contaminated"),
             F.sum("n_removed").alias("n_span_tokens_removed"))
         .withColumn("run_id", F.lit(run_id))
     )

@@ -5,6 +5,8 @@ import pytest
 
 from credit_ocr_system_spark.operators import relational as R
 from credit_ocr_system_spark.operators.textops import (
+    fuzzy_decontaminate,
+    perplexity_buckets,
     quality_filter,
     temperature_mixture,
 )
@@ -28,11 +30,18 @@ def test_curated_view_composes_the_operators(spark, docs):
     qf = {r["doc_id"]: r["kept"] for r in quality_filter(docs).collect()}
     mx = {r["doc_id"]: r["kept"]
           for r in temperature_mixture(docs).collect()}
+    ppl = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(docs).collect()}
+    fz = {r["doc_id"]: r["is_contaminated"]
+          for r in fuzzy_decontaminate(docs).collect()}
     for d, r in rows.items():
         assert r["kept_quality"] == qf[d]
         assert r["kept_mixture"] == mx[d]
+        assert r["ppl_bucket"] == ppl.get(d, "tail")
+        assert r["fuzzy_contaminated"] == fz[d]
         assert r["curated"] == (
-            qf[d] and mx[d] and r["n_removed"] < r["n_tokens"])
+            qf[d] and mx[d] and ppl.get(d, "tail") != "tail"
+            and not fz[d] and r["n_removed"] < r["n_tokens"])
     # non-degenerate at the corpus scale the suite runs at
     n_cur = sum(r["curated"] for r in rows.values())
     assert 0 < n_cur < len(rows)

@@ -437,3 +437,40 @@ def test_missing_restart_marker_is_a_named_error():
             break
     with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg(bytes(enc))
+
+
+def test_truncated_scan_raises_named_error_never_indexerror():
+    # the fused DC path must bounds-check BEFORE its amplitude read:
+    # truncating the entropy segment at every byte boundary must yield
+    # a NAMED decode error (EOFError/ValueError), never an IndexError
+    # escaping from guard-byte indexing
+    import pytest as _pytest
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=85)
+    sos = payload.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(payload[sos + 2:sos + 4], "big")
+    for cut in range(scan_start + 1, len(payload) - 2, 7):
+        with _pytest.raises((EOFError, ValueError)):
+            decode_jpeg(payload[:cut] + b"\xff\xd9")
+
+
+def test_hostile_dc_table_category_is_named_error():
+    # a DHT that maps a code to DC category > 11 (spec max) must be a
+    # named ValueError, not a negative-shift crash mid-scan
+    import pytest as _pytest
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=85))
+    dht = payload.find(b"\xff\xc4")
+    assert dht > 0
+    ln = int.from_bytes(payload[dht + 2:dht + 4], "big")
+    # huffval bytes live after the 17-byte (class/id + bits) header
+    body = payload[dht + 4:dht + 2 + ln]
+    if (body[0] >> 4) == 0:          # DC table: corrupt its symbols
+        for k in range(17, len(body)):
+            body[k] = 0xFE           # category 254
+        payload[dht + 4:dht + 2 + ln] = body
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
