@@ -145,6 +145,10 @@ HEADLINE = [
     "semdedup",
     "bpe_merges",
     "bpe_vocab",
+    # round 4, sixth pass: trained weak-label quality classifier
+    # (GPT-3-style curated-vs-crawl weak supervision)
+    "qc_weights",
+    "quality_classifier",
     # round 4, late: crawl-log canonicalization + collapse (the stage
     # that precedes every content-level operator at web scale)
     "canonical_pages",

@@ -33,3 +33,13 @@ def sql_pround(expr: str, digits: int) -> str:
     """The SQL twin of :func:`pround` (same IEEE operation sequence)."""
     scale = 10 ** digits
     return f"floor(({expr}) * {scale}.0 + 0.5) / {scale}.0"
+
+
+def pround_signed(col, digits: int):
+    """:func:`pround` for columns that may go negative (e.g. trained
+    model weights). Same formula — floor-based round-half-up is
+    *toward +inf* for negatives (-0.0005 → 0.0), which is fine for
+    the only property these rounds exist for: both engines evaluate
+    the identical IEEE sequence, so the tie direction is shared.
+    ``sql_pround`` is the twin for this too."""
+    return pround(col, digits)

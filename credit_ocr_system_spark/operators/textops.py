@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .portable import pround
+from .portable import pround, pround_signed
 
 # Shared tokenization: lowercase, split on whitespace runs, drop empties.
 
@@ -2400,3 +2400,171 @@ def bm25_topk(documents: DataFrame,
                     "n_terms")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+# --- trained quality classifier (GPT-3/CCNet-style weak supervision) --------
+
+# The GPT-3 / PaLM / Llama curation stacks all train a *quality
+# classifier* against weak labels — a trusted source set as the
+# positive class, random crawl as the negative — and keep documents
+# the classifier scores high (Brown et al. 2020 §A; CCNet trains its
+# LM on Wikipedia the same way). This is that operator, as DataFrame
+# ops end to end.
+QC_ITERS = 8
+QC_LR = 2.0
+# weak-label convention: documents from these sources are the
+# positive ("curated") class, everything else is the crawl negative
+QC_POSITIVE_SOURCES = ("src0", "src1", "src2", "src3")
+QC_FEATURES = ("bias", "len_sat", "stop_ratio", "diversity",
+               "punct_ratio", "digit_ratio")
+# training-sample rate as an md5 hex-prefix bound (engine-portable
+# Bernoulli, the same mechanism as deterministic_sample /
+# KMEANS_SAMPLE_HEX): "c0000000" keeps ~3/4 of the corpus
+QC_SAMPLE_HEX = "c0000000"
+
+
+def _qc_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, y, x1..x5): the classifier's feature vector plus the
+    weak label. The features are ``quality_score``'s raw signals —
+    integer counts cast to double, combined with IEEE-exact ``+ /
+    least greatest`` only and deliberately UNROUNDED (they feed a
+    training loop; rounding belongs at emission)."""
+    text = F.col("text")
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+    n_digits = (n_chars - F.length(
+        F.regexp_replace(text, r"[0-9]", ""))).cast("double")
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(text, r"[^\w\s]", ""))).cast("double")
+    safe_t = F.greatest(n_tokens, F.lit(1.0))
+    safe_c = F.greatest(n_chars, F.lit(1.0))
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.when(F.col("source").isin(*QC_POSITIVE_SOURCES), F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("y"),
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)).alias("x1"),
+        (stop_hits / safe_t).alias("x2"),
+        (n_distinct / safe_t).alias("x3"),
+        (n_punct / safe_c).alias("x4"),
+        (n_digits / safe_c).alias("x5"),
+    )
+
+
+def _qc_margin():
+    """z = w·x, written as one fixed left-associated chain so Spark
+    and the SQL oracle add in the identical order (float addition is
+    not associative)."""
+    return (F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            + F.col("w4") * F.col("x4")
+            + F.col("w5") * F.col("x5"))
+
+
+def _qc_prob(z):
+    """Engine-portable link function: the softsign squashing
+    ``0.5 + 0.5·z/(1+|z|)``. The logistic sigmoid needs ``exp()``,
+    which is NOT bit-reproducible across engines (JVM ``Math.exp``
+    vs libm differ in ULPs and the difference compounds over
+    training rounds); softsign is the same monotone S-curve built
+    from IEEE-exact ``+ * / abs`` only."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def _qc_ordered_sum(col):
+    """Bit-deterministic gradient sum: ordered left fold by doc_id
+    (shuffle arrival order is not)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("doc_id").alias("k"),
+                                             col.alias("v")))),
+        F.lit(0.0), lambda acc, s: acc + s["v"])
+
+
+def train_quality_classifier(documents: DataFrame,
+                             iters: int = QC_ITERS, lr: float = QC_LR,
+                             sample_rate_hex: str | None = None,
+                             ) -> DataFrame:
+    """Full-batch gradient training of the weak-label quality
+    classifier; output: one row (w0..w5).
+
+    Per round the 1-row weight table BROADCASTS onto the (checkpointed,
+    computed-once) feature table — a map-side score pass — and the
+    gradient is one global aggregation; the model comes back as a
+    1-row DataFrame with an eager lineage cut (the same per-round
+    discipline as ``bpe_merges``' winner row). No ``.collect()``:
+    weights never touch the driver.
+
+    Determinism: the gradient is an ordered fold by doc_id
+    (:func:`_qc_ordered_sum`), the link avoids ``exp`` entirely
+    (:func:`_qc_prob`), and the update ``w + lr·g/n`` uses identical
+    literals both sides. The fold materializes the training set's
+    per-doc contributions as one list — bounded by the executable
+    ``sample_rate_hex`` contract (as in ``kmeans_codebook``); at
+    10^12 rows train on a sample (classifier training saturates far
+    below corpus size) or swap the fold for a plain sum with a
+    tolerance oracle.
+    """
+    feats = _qc_features(documents)
+    if sample_rate_hex is not None:
+        feats = feats.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")),
+                        1, len(sample_rate_hex)) < sample_rate_hex)
+    # features computed once; every training round re-reads the cut
+    feats = feats.localCheckpoint(eager=True)
+    n = feats.agg(F.count("*").cast("double").alias("n_docs"))
+    spark = documents.sparkSession
+    w = spark.createDataFrame(
+        [(0.0,) * 6],
+        "w0 double, w1 double, w2 double, w3 double, w4 double, "
+        "w5 double")
+    xcols = [F.col(f"x{j}") for j in range(1, 6)]
+    for _ in range(iters):
+        err = (F.col("y") - _qc_prob(_qc_margin())).alias("err")
+        scored = (feats.crossJoin(F.broadcast(w))
+                  .select("doc_id", err, *xcols))
+        grads = scored.agg(
+            _qc_ordered_sum(F.col("err")).alias("g0"),
+            *[_qc_ordered_sum(F.col("err") * F.col(f"x{j}"))
+              .alias(f"g{j}") for j in range(1, 6)])
+        w = (w.crossJoin(F.broadcast(grads)).crossJoin(F.broadcast(n))
+             .select(*[(F.col(f"w{j}")
+                        + F.lit(lr) * F.col(f"g{j}") / F.col("n_docs"))
+                       .alias(f"w{j}") for j in range(6)])
+             .localCheckpoint(eager=True))
+    return w
+
+
+def quality_classifier_weights(documents: DataFrame,
+                               iters: int = QC_ITERS, lr: float = QC_LR,
+                               sample_rate_hex: str | None = QC_SAMPLE_HEX,
+                               ) -> DataFrame:
+    """The trained model, long format: (feature, weight)."""
+    w = train_quality_classifier(documents, iters, lr, sample_rate_hex)
+    return w.select(F.explode(F.array(*[
+        F.struct(F.lit(QC_FEATURES[j]).alias("feature"),
+                 pround_signed(F.col(f"w{j}"), 9).alias("weight"))
+        for j in range(6)])).alias("s")).select("s.feature", "s.weight")
+
+
+def quality_classifier_scores(documents: DataFrame,
+                              iters: int = QC_ITERS, lr: float = QC_LR,
+                              sample_rate_hex: str | None = QC_SAMPLE_HEX,
+                              ) -> DataFrame:
+    """Every document scored by the (sample-)trained classifier:
+    (doc_id, weak_label, qc_score, qc_keep). Scoring is a broadcast
+    of the 1-row model — pure map-side, no shuffle at any corpus
+    size; only training carries the sample-bounded fold."""
+    w = train_quality_classifier(documents, iters, lr, sample_rate_hex)
+    p = _qc_prob(_qc_margin())
+    return (_qc_features(documents)
+            .crossJoin(F.broadcast(w))
+            .select(
+                "doc_id",
+                F.col("y").cast("int").alias("weak_label"),
+                pround_signed(p, 9).alias("qc_score"),
+                (p >= F.lit(0.5)).alias("qc_keep")))

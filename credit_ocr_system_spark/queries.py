@@ -2421,6 +2421,10 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "semdedup": lambda s, d: S.semdedup(
             R.load(s, d, "embeddings")),
+        "qc_weights": lambda s, d: T.quality_classifier_weights(
+            R.load(s, d, "documents")),
+        "quality_classifier": lambda s, d: T.quality_classifier_scores(
+            R.load(s, d, "documents")),
         "temperature_mixture": lambda s, d: T.temperature_mixture(
             R.load(s, d, "documents")),
         "pack_sequences": lambda s, d: T.pack_sequences(
@@ -2524,6 +2528,8 @@ _DRIVER_PRIORITY = [
     # SemDeDup, BPE tokenizer training
     "perplexity_buckets", "fuzzy_decontaminate", "semdedup",
     "bpe_merges", "bpe_vocab",
+    # new in r4 (sixth pass): trained weak-label quality classifier
+    "qc_weights", "quality_classifier",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3158,3 +3164,92 @@ def build_oracles() -> Dict[str, str]:
     G.materialize()
     return {**ORACLES, **_x_oracles(), **_weburl_oracles(),
             **_webgraph_oracles()}
+
+
+# --- trained quality classifier: unrolled-iteration oracle ------------------
+
+def _qc_oracle(scores: bool) -> str:
+    """Unrolled fixed-iteration gradient training mirroring
+    ``textops.train_quality_classifier`` statement-for-statement:
+    the feature CTE reuses the quality_score raw-signal derivation,
+    the weak label is the same source IN-list (generated from
+    ``QC_POSITIVE_SOURCES`` so a convention edit cannot desynchronize
+    the oracle), the link is the identical softsign expression (no
+    ``exp`` on either side), gradient sums are ORDERED left folds by
+    doc_id, and the update literals match. ``scores=True`` emits the
+    per-document scoring pass with the final weights instead of the
+    weight table itself."""
+    qp = ", ".join(f"'{s}'" for s in T.QC_POSITIVE_SOURCES)
+    hx = T.QC_SAMPLE_HEX
+    lr = repr(T.QC_LR)
+    z = ("w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4"
+         " + w.w5*f.x5")
+    prob = f"0.5 + 0.5 * ({z}) / (1.0 + abs({z}))"
+    fold = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list({v} ORDER BY doc_id)), (a, b) -> a + b)")
+    parts = [
+        f"""feats AS (
+  SELECT doc_id,
+   CASE WHEN source IN ({qp}) THEN CAST(1.0 AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END AS y,
+   least(n_tokens / 50.0, 1.0) AS x1,
+   stop_hits / greatest(n_tokens, 1.0) AS x2,
+   n_distinct / greatest(n_tokens, 1.0) AS x3,
+   n_punct / greatest(n_chars, 1.0) AS x4,
+   n_digits / greatest(n_chars, 1.0) AS x5
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         CAST(len(list_filter(toks, t -> t IN ({_EN_IN})))
+           AS DOUBLE) AS stop_hits,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS DOUBLE) AS n_digits,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS DOUBLE) AS n_punct
+        FROM (SELECT doc_id, text, source, {_TOKS} AS toks
+              FROM documents)))""",
+        f"""train AS (SELECT * FROM feats
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, {len(hx)}) < '{hx}')""",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM train)",
+        "wt0 AS (SELECT " + ", ".join(
+            f"CAST(0 AS DOUBLE) AS w{j}" for j in range(6)) + ")",
+    ]
+    for t in range(1, T.QC_ITERS + 1):
+        parts.append(f"""e{t} AS (
+  SELECT f.doc_id, f.x1, f.x2, f.x3, f.x4, f.x5,
+   f.y - ({prob}) AS err
+  FROM train f CROSS JOIN wt{t - 1} w)""")
+        gcols = [fold.format(v="err") + " AS g0"] + [
+            fold.format(v=f"err * x{j}") + f" AS g{j}"
+            for j in range(1, 6)]
+        parts.append(
+            f"g{t} AS (SELECT " + ", ".join(gcols) + f" FROM e{t})")
+        parts.append(f"wt{t} AS (SELECT " + ", ".join(
+            f"w.w{j} + {lr} * g.g{j} / n.n_docs AS w{j}"
+            for j in range(6))
+            + f" FROM wt{t - 1} w CROSS JOIN g{t} g CROSS JOIN n)")
+    body = ",\n ".join(parts)
+    last = f"wt{T.QC_ITERS}"
+    if scores:
+        return f"""
+WITH {body}
+SELECT f.doc_id, CAST(f.y AS INT) AS weak_label,
+ {sql_pround(prob, 9)} AS qc_score,
+ ({prob}) >= 0.5 AS qc_keep
+FROM feats f CROSS JOIN {last} w
+"""
+    weight_rows = "\nUNION ALL ".join(
+        f"SELECT '{T.QC_FEATURES[j]}' AS feature, "
+        f"{sql_pround(f'w{j}', 9)} AS weight FROM {last}"
+        for j in range(6))
+    return f"""
+WITH {body}
+{weight_rows}
+"""
+
+
+ORACLES["qc_weights"] = _qc_oracle(scores=False)
+ORACLES["quality_classifier"] = _qc_oracle(scores=True)
