@@ -149,6 +149,10 @@ HEADLINE = [
     # (GPT-3-style curated-vs-crawl weak supervision)
     "qc_weights",
     "quality_classifier",
+    # round 4, seventh pass: product quantization (ADC search) and
+    # the interpolated bigram LM scorer
+    "pq_codebooks", "pq_encode", "pq_topk", "bigram_lm_score",
+    "approx_user_cardinality",
     # round 4, late: crawl-log canonicalization + collapse (the stage
     # that precedes every content-level operator at web scale)
     "canonical_pages",

@@ -567,3 +567,44 @@ def session_error_counts(spark, sf_dir) -> DataFrame:
                    & (F.col("err_ts") <= F.col("t_end")), 1)
             .otherwise(0)).cast("bigint").alias("n_errors"))
     )
+
+
+# --- approximate distinct counting (HyperLogLog++) with exact audit --------
+
+# HLL++ relative standard deviation for the registered query. 4 sigma
+# plus a +1 absolute slack makes the audit bound effectively certain
+# while staying tight enough to catch a broken sketch outright.
+CARDINALITY_RSD = 0.05
+
+
+def approx_user_cardinality(events: DataFrame,
+                            rsd: float = CARDINALITY_RSD) -> DataFrame:
+    """The 10^12-row COUNT DISTINCT path: ``approx_count_distinct``
+    (Spark's HyperLogLog++ — fixed-size mergeable registers, map-side
+    combinable, one aggregation pass, no expand/distinct shuffle),
+    plus an in-plan audit against the exact count.
+
+    Same contract shape as ``textops.approx_corpus_percentiles``: the
+    sketch estimate itself is engine-specific, so the driver-checked
+    output carries the exact count (the auditor — affordable at test
+    scale, the thing you precisely CAN'T do at 10^12) and
+    ``within_bound`` asserting |approx − exact| ≤ 4·rsd·exact + 1.
+    Spark's HLL++ is deterministic (fixed hash), so the flag is
+    stable for a given dataset; any sketch regression hash-mismatches
+    against the oracle's literal TRUE. At deployment the exact branch
+    is dropped and the estimate column is the product.
+
+    Output: (event_type, n_events, exact_users, within_bound).
+    """
+    base = events.select(
+        "event_type", F.col("user_id").cast("bigint").alias("user_id"))
+    agg = base.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    bound = F.lit(4.0 * rsd) * F.col("exact_users").cast("double") + 1.0
+    return agg.select(
+        "event_type", "n_events", "exact_users",
+        (F.abs(F.col("approx_users").cast("double")
+               - F.col("exact_users").cast("double"))
+         <= bound).alias("within_bound"))

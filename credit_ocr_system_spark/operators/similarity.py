@@ -503,3 +503,191 @@ def bucketed_topk(embeddings: DataFrame, n_queries: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int"))
     )
+
+
+# --- product quantization (Jégou et al. 2011, "Product Quantization for
+# --- Nearest Neighbor Search"): IVF-PQ's fine quantizer ------------------
+
+PQ_SUBS = 8                    # M subspaces
+PQ_SUBDIM = EMB_DIMS // PQ_SUBS
+PQ_K = 16                      # centroids per subspace (4-bit codes)
+PQ_ITERS = 2
+# training-sample rate for the registered queries, as an md5 hex-prefix
+# bound (the same engine-portable Bernoulli as KMEANS_SAMPLE_HEX)
+PQ_SAMPLE_HEX = "c0000000"
+
+
+def _l2(a, b):
+    """Squared L2 distance as an ordered left fold over the dimensions
+    (``zip_with`` then ``aggregate``): the identical IEEE operation
+    sequence runs as ``list_reduce`` over ``generate_series`` in the
+    DuckDB oracle, so distances land bit-for-bit in both engines.
+    PQ is an L2 construction (the subspace distances must ADD UP to
+    the full-space distance — true for squared L2 and inner product,
+    false for cosine), hence L2 here while the IVF coarse stage keeps
+    its cosine contract."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subvectors(vectors: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): the ``PQ_SUBS`` disjoint ``PQ_SUBDIM``-dim
+    slices of every vector — PQ's decomposition of the space into a
+    Cartesian product of small spaces. One ``posexplode`` per vector,
+    map-side."""
+    return vectors.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_SUBS)])).alias("sub", "sv"))
+
+
+def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest PQ centroid per (vector, subspace): broadcast the tiny
+    codebook (PQ_SUBS × PQ_K rows), equi-join on ``sub``, argmin L2
+    with (d asc, centroid_id asc) tie-break. Map-side at any corpus
+    size — the shuffle is only the per-(vec_id, sub) top-1 window."""
+    scored = sv.join(F.broadcast(cb), "sub").withColumn(
+        "d", _l2(F.col("sv"), F.col("c")))
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d"), F.asc("centroid_id"))
+    return (scored.withColumn("prn", F.row_number().over(w))
+            .where(F.col("prn") == 1).drop("c", "d", "prn"))
+
+
+def pq_codebooks(embeddings: DataFrame, iters: int = PQ_ITERS,
+                 sample_rate_hex: str | None = None) -> DataFrame:
+    """Trained PQ codebooks: fixed-iteration Lloyd's k-means run in
+    ALL ``PQ_SUBS`` subspaces simultaneously as one DataFrame loop.
+    Output: (sub, centroid_id, c array<double>).
+
+    Same determinism discipline as :func:`kmeans_codebook` — seeds are
+    the first ``PQ_K`` vectors' subvectors, assignment ties break on
+    centroid_id, centroid updates are ORDERED left folds by vec_id,
+    empty clusters keep their previous centroid, and the sampling
+    contract is executable (``sample_rate_hex``; seeds under sampling
+    are the first PQ_K *sampled* vectors). The subspace dimension is
+    just another grouping key, so training M codebooks costs one plan,
+    not M — and the per-(sub, centroid, dim) fold list is rate·n/K
+    values, bounded by the same sample argument as the coarse
+    quantizer. Lineage is cut per Lloyd round.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    if sample_rate_hex is not None:
+        corpus = corpus.where(
+            F.substring(F.md5(F.col("vec_id").cast("string")),
+                        1, len(sample_rate_hex)) < sample_rate_hex)
+    seeds = corpus.orderBy("vec_id").limit(PQ_K)
+    # codes must be the DENSE range 0..PQ_K-1 (they index the ADC
+    # lookup table), so seed centroid ids are renumbered by vec_id
+    # rank, not taken from the (sampled, possibly gappy) vec_ids.
+    # The window is global but runs on PQ_K rows post-limit.
+    seeds = seeds.withColumn(
+        "centroid_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("bigint"))
+    sv = _subvectors(corpus)
+    cb = seeds.select(
+        "centroid_id",
+        F.posexplode(F.array(*[
+            F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_SUBS)])).alias("sub", "c")
+    ).select("sub", "centroid_id", "c")
+    for _ in range(iters):
+        assigned = _pq_assign(sv, cb)
+        dims = assigned.select(
+            "sub", "centroid_id", "vec_id",
+            F.posexplode("sv").alias("pos", "val"))
+        sums = dims.groupBy("sub", "centroid_id", "pos").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0), lambda acc, s: acc + s["val"]).alias("s"),
+            F.count("*").alias("n"))
+        means = (sums.withColumn("m", F.col("s") / F.col("n"))
+                 .groupBy("sub", "centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda st: st["m"]).alias("c_new")))
+        cb = (cb.join(F.broadcast(means), ["sub", "centroid_id"], "left")
+              .select("sub", "centroid_id",
+                      F.coalesce("c_new", "c").alias("c"))
+              .localCheckpoint(eager=True))
+    return cb
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: DataFrame | None = None,
+              sample_rate_hex: str | None = None) -> DataFrame:
+    """PQ encoding of the FULL corpus: every vector → its per-subspace
+    code. Output: (vec_id, sub, code).
+
+    This is the 100 TB memory story of PQ: a 64-dim float64 vector
+    (512 bytes) compresses to PQ_SUBS 4-bit codes (4 bytes, 128×),
+    so a 10^12-row index fits where raw vectors cannot. Encoding is
+    a broadcast argmin — map-side, no shuffle beyond the top-1
+    window; the codebook trains on a sample (``sample_rate_hex``)
+    while encoding always covers every row.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    cb = (codebooks if codebooks is not None
+          else pq_codebooks(embeddings, sample_rate_hex=sample_rate_hex))
+    return _pq_assign(_subvectors(corpus), cb).select(
+        "vec_id", "sub", F.col("centroid_id").alias("code"))
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+            codebooks: DataFrame | None = None,
+            sample_rate_hex: str | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes. Output:
+    (query_id, neighbor_id, rank) — rank by approximate squared L2,
+    ties on neighbor_id.
+
+    The ADC shape that makes PQ scale: each query precomputes a
+    PQ_SUBS × PQ_K lookup table of exact subspace distances to every
+    codebook centroid (tiny — one broadcast row per query, nested
+    ``luts[sub][centroid]`` arrays), and a corpus row's distance is
+    the ordered fold ``Σ_sub luts[sub][code]`` — pure per-row array
+    indexing over the packed code vector. The corpus never touches
+    query vectors, never recomputes a distance, and never shuffles
+    for scoring; the only shuffle is the final per-query top-k
+    window. The same fold runs as ``list_reduce`` over
+    ``list(d ORDER BY sub)`` in the oracle, bit-identically.
+    """
+    cb = (codebooks if codebooks is not None
+          else pq_codebooks(embeddings, sample_rate_hex=sample_rate_hex))
+    codes = pq_encode(embeddings, codebooks=cb)
+    codes_wide = codes.groupBy(F.col("vec_id").alias("neighbor_id")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                    lambda s: s["code"]).alias("codes"))
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    lut = (_subvectors(queries)
+           .join(F.broadcast(cb), "sub")
+           .select(F.col("vec_id").alias("query_id"), "sub",
+                   "centroid_id",
+                   _l2(F.col("sv"), F.col("c")).alias("d")))
+    lut_sub = lut.groupBy("query_id", "sub").agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("centroid_id", "d"))), lambda s: s["d"]).alias("row"))
+    lut_wide = lut_sub.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                    lambda s: s["row"]).alias("luts"))
+    scored = codes_wide.join(F.broadcast(lut_wide)).withColumn(
+        "adist",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)), F.lit(0.0),
+            lambda acc, s: acc + F.element_at(
+                F.element_at(F.col("luts"), (s + 1).cast("int")),
+                (F.element_at(F.col("codes"),
+                              (s + 1).cast("int")) + 1).cast("int"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("rank").cast("int")))

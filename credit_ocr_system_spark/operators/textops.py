@@ -2568,3 +2568,109 @@ def quality_classifier_scores(documents: DataFrame,
                 F.col("y").cast("int").alias("weak_label"),
                 pround_signed(p, 9).alias("qc_score"),
                 (p >= F.lit(0.5)).alias("qc_keep")))
+
+
+# --- corpus-trained interpolated bigram LM (CCNet's n-gram direction) ------
+
+# Interpolation weight on the bigram term; 1-λ falls back to the
+# unigram relative frequency (Jelinek-Mercer smoothing). Both 0.75 and
+# 0.25 are exactly representable, so the mixing arithmetic is IEEE-
+# exact in any engine; only ln() needs the 9-digit snap (see
+# UNIGRAM_TERM_DIGITS).
+BIGRAM_LAMBDA = 0.75
+# Zipf-head split threshold for the scoring join, same rationale as
+# UNIGRAM_HEAD_MIN_COUNT: "of the" collides as hard as "the".
+BIGRAM_HEAD_MIN_COUNT = 100
+
+
+def _bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur): adjacent token pairs, built MAP-SIDE by
+    zipping the token array with itself shifted one position (two
+    slices + ``zip_with``) — no window over positions, no shuffle.
+    Documents with fewer than two tokens contribute nothing."""
+    toks = _tokens(F.col("text"))
+    return (documents
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    toks.alias("toks"))
+            .where(F.size("toks") >= 2)
+            .select("doc_id", F.explode(F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur"))))
+                .alias("b"))
+            .select("doc_id", "b.prev", "b.cur"))
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained interpolated
+    bigram LM — the n-gram step from :func:`unigram_lm_score` toward
+    CCNet's KenLM 5-gram:
+
+    ``p(cur | prev) = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/total``,
+    ``H(doc) = Σ tf(prev,cur)·(−ln p) / n_bigrams`` in nats.
+
+    Same two-pass, shuffle-light shape as the unigram scorer:
+
+    * **train**: bigram counts c2, context counts c1, unigram
+      fallback — all map-side-combinable groupBys; the model row
+      carries its pre-interpolated, 9-digit-snapped ``−ln p`` so the
+      transcendental happens once per VOCABULARY entry, never per
+      corpus position;
+    * **score**: per-(doc, prev, cur) tf joined against the model
+      with the identical Zipf head/tail split (head bigrams — which
+      are by definition the skewed keys — broadcast; only the
+      skew-free tail shuffles), then one ordered-fold groupBy(doc).
+
+    The model table is bounded by the corpus's DISTINCT bigram count
+    (Heap's law — vocabulary², not corpus-sized); at 10^12 tokens the
+    standard move is count-thresholding the tail into the unigram
+    fallback, which this formulation already degrades to gracefully
+    (λ·small + (1−λ)·pu). Output: (doc_id, n_bigrams, cross_entropy);
+    documents with < 2 tokens are not scored.
+    """
+    bg = _bigrams(documents)
+    toks = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_tokens(F.col("text"))).alias("tok"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    uni = (toks.groupBy("tok").agg(F.count("*").alias("nu"))
+           .crossJoin(F.broadcast(total))
+           .select(F.col("tok").alias("cur"),
+                   (F.col("nu").cast("double") / F.col("total"))
+                   .alias("pu")))
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("prev").agg(F.count("*").alias("n1"))
+    # model materialized once: it feeds both sides of the head/tail
+    # split (same eager-cut discipline as unigram_lm_score)
+    model = (c2.join(c1, "prev").join(uni, "cur")
+             .select("prev", "cur", "n2",
+                     pround(-F.log(
+                         F.lit(BIGRAM_LAMBDA)
+                         * (F.col("n2").cast("double")
+                            / F.col("n1").cast("double"))
+                         + F.lit(1.0 - BIGRAM_LAMBDA) * F.col("pu")),
+                         UNIGRAM_TERM_DIGITS).alias("nlogp"))
+             .localCheckpoint(eager=True))
+    head = F.broadcast(
+        model.where(F.col("n2") >= BIGRAM_HEAD_MIN_COUNT)
+        .select("prev", "cur", "nlogp"))
+    tail = model.where(
+        F.col("n2") < BIGRAM_HEAD_MIN_COUNT).select("prev", "cur",
+                                                    "nlogp")
+    tf = (bg.groupBy("doc_id", "prev", "cur")
+          .agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    # each tf row matches exactly one model entry, so head ∪ tail ≡
+    # the single equi-join, row for row — the oracle is the plain join
+    terms = tf.join(head, ["prev", "cur"]).unionByName(
+        tf.join(tail, ["prev", "cur"])).select(
+        "doc_id", "prev", "cur",
+        (F.col("tf").cast("double") * F.col("nlogp")).alias("t"), "tf")
+    return (terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("prev", "cur", "t"))),
+            F.lit(0.0), lambda acc, s: acc + s["t"]).alias("s"))
+        .select("doc_id", "n_bigrams",
+                pround(F.col("s") / F.col("n_bigrams").cast("double"),
+                       6).alias("cross_entropy")))

@@ -2409,6 +2409,10 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")).drop("approx_value"),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
+        "bigram_lm_score": lambda s, d: T.bigram_lm_score(
+            R.load(s, d, "documents")),
+        "approx_user_cardinality": lambda s, d: R.approx_user_cardinality(
+            R.load(s, d, "events")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
             R.load(s, d, "documents")),
         "perplexity_buckets": lambda s, d: T.perplexity_buckets(
@@ -2465,6 +2469,17 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: S.ivf_topk(
             R.load(s, d, "embeddings")),
+        "pq_codebooks": lambda s, d: S.pq_codebooks(
+            R.load(s, d, "embeddings"),
+            sample_rate_hex=S.PQ_SAMPLE_HEX).selectExpr(
+                "sub", "centroid_id",
+                "posexplode(c) AS (dim_idx, value)"),
+        "pq_encode": lambda s, d: S.pq_encode(
+            R.load(s, d, "embeddings"),
+            sample_rate_hex=S.PQ_SAMPLE_HEX),
+        "pq_topk": lambda s, d: S.pq_topk(
+            R.load(s, d, "embeddings"),
+            sample_rate_hex=S.PQ_SAMPLE_HEX),
         # extraction engine (oracled via golden materialization)
         "x_extract_pages": x_extract_pages,
         "x_extract_scanned": x_extract_scanned,
@@ -2530,6 +2545,10 @@ _DRIVER_PRIORITY = [
     "bpe_merges", "bpe_vocab",
     # new in r4 (sixth pass): trained weak-label quality classifier
     "qc_weights", "quality_classifier",
+    # new in r4 (seventh pass): product quantization (IVF-PQ fine stage)
+    # and the interpolated bigram LM scorer
+    "pq_codebooks", "pq_encode", "pq_topk", "bigram_lm_score",
+    "approx_user_cardinality",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3253,3 +3272,194 @@ WITH {body}
 
 ORACLES["qc_weights"] = _qc_oracle(scores=False)
 ORACLES["quality_classifier"] = _qc_oracle(scores=True)
+
+
+# --- product quantization: unrolled-training oracles -------------------------
+
+def _l2_sql(a: str, b: str, d: int) -> str:
+    """DuckDB twin of ``similarity._l2``: the identical ordered left
+    fold of (x-y)² over dimensions 1..d."""
+    sq = (f"(list_extract({a}, i) - list_extract({b}, i))"
+          f" * (list_extract({a}, i) - list_extract({b}, i))")
+    return ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {d}), i -> {sq})), "
+            "(x, y) -> x + y)")
+
+
+def _pq_ctes(sample_hex: str | None = None) -> str:
+    """Unrolled PQ codebook training mirroring
+    ``similarity.pq_codebooks`` statement-for-statement: the same
+    md5-prefix training sample, seeds renumbered 0..PQ_K-1 by vec_id
+    rank, argmin-L2 assignment with the identical ordered-fold
+    distance and (d, centroid_id) tie-break, ORDERED left-fold
+    dimension sums, and empty clusters keeping their previous
+    centroid. Final codebook CTE: ``pqcb``; full-corpus subvectors:
+    ``pencsv``; full-corpus encoding: ``penc``."""
+    sd = S.PQ_SUBDIM
+    sample = (
+        f" WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1,"
+        f" {len(sample_hex)}) < '{sample_hex}'" if sample_hex else "")
+    l2 = _l2_sql("k.sv", "p.c", sd)
+    parts = [
+        "pqcorpus AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        f" CAST(embedding AS DOUBLE[]) AS v FROM embeddings{sample})",
+        f"psubs AS (SELECT unnest(generate_series(0, {S.PQ_SUBS - 1}))"
+        " AS sub)",
+        "pseeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        " AS BIGINT) AS centroid_id, v FROM"
+        f" (SELECT vec_id, v FROM pqcorpus ORDER BY vec_id"
+        f" LIMIT {S.PQ_K}))",
+        f"psv AS (SELECT vec_id, sub, list_slice(v, sub * {sd} + 1,"
+        f" sub * {sd} + {sd}) AS sv FROM pqcorpus CROSS JOIN psubs)",
+        f"cb0 AS (SELECT sub, centroid_id, list_slice(v, sub * {sd} + 1,"
+        f" sub * {sd} + {sd}) AS c FROM pseeds CROSS JOIN psubs)",
+    ]
+    for t in range(1, S.PQ_ITERS + 1):
+        prev = f"cb{t - 1}"
+        parts.append(f"""passign{t} AS (
+  SELECT vec_id, sub, sv, centroid_id FROM (
+    SELECT k.vec_id, k.sub, k.sv, p.centroid_id,
+     row_number() OVER (PARTITION BY k.vec_id, k.sub ORDER BY
+       {l2} ASC, p.centroid_id ASC) AS prn
+    FROM psv k JOIN {prev} p ON p.sub = k.sub)
+  WHERE prn = 1)""")
+        parts.append(f"""pdims{t} AS (
+  SELECT sub, centroid_id, vec_id,
+   unnest(generate_series(1, len(sv))) AS i, unnest(sv) AS val
+  FROM passign{t})""")
+        parts.append(f"""psums{t} AS (
+  SELECT sub, centroid_id, i,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(val ORDER BY vec_id)),
+               (a, b) -> a + b) AS s,
+   COUNT(*) AS n
+  FROM pdims{t} GROUP BY 1, 2, 3)""")
+        parts.append(f"""cb{t} AS (
+  SELECT p.sub, p.centroid_id, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT sub, centroid_id, list(s / n ORDER BY i) AS c
+    FROM psums{t} GROUP BY sub, centroid_id) m
+  USING (sub, centroid_id))""")
+    parts.append(
+        f"pqcb AS (SELECT sub, centroid_id, c FROM cb{S.PQ_ITERS})")
+    # encoding always covers the FULL corpus, whatever the codebook
+    # trained on — the same contract as the Spark side
+    parts.append(
+        "pencfull AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    parts.append(
+        f"pencsv AS (SELECT vec_id, sub, list_slice(v, sub * {sd} + 1,"
+        f" sub * {sd} + {sd}) AS sv FROM pencfull CROSS JOIN psubs)")
+    parts.append(f"""penc AS (
+  SELECT vec_id, sub, centroid_id AS code FROM (
+    SELECT k.vec_id, k.sub, p.centroid_id,
+     row_number() OVER (PARTITION BY k.vec_id, k.sub ORDER BY
+       {_l2_sql("k.sv", "p.c", sd)} ASC, p.centroid_id ASC) AS prn
+    FROM pencsv k JOIN pqcb p ON p.sub = k.sub)
+  WHERE prn = 1)""")
+    return ",\n".join(parts)
+
+
+ORACLES["pq_codebooks"] = f"""
+WITH {_pq_ctes(S.PQ_SAMPLE_HEX)}
+SELECT CAST(sub AS INT) AS sub, centroid_id,
+ CAST(i - 1 AS INT) AS dim_idx, val AS value
+FROM (SELECT sub, centroid_id,
+       unnest(generate_series(1, len(c))) AS i, unnest(c) AS val
+      FROM pqcb)
+"""
+
+ORACLES["pq_encode"] = f"""
+WITH {_pq_ctes(S.PQ_SAMPLE_HEX)}
+SELECT vec_id, CAST(sub AS INT) AS sub, code FROM penc
+"""
+
+# ADC: the per-(query, neighbor) distance is the ordered fold of the
+# per-subspace LUT entries over sub — the same left fold the Spark
+# side runs over the packed code array, on bitwise-identical d values.
+ORACLES["pq_topk"] = f"""
+WITH {_pq_ctes(S.PQ_SAMPLE_HEX)},
+pqueries AS (SELECT vec_id AS query_id, v FROM pencfull
+             WHERE vec_id < 5),
+pqsv AS (SELECT query_id, sub,
+          list_slice(v, sub * {S.PQ_SUBDIM} + 1,
+                     sub * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}) AS sv
+         FROM pqueries CROSS JOIN psubs),
+plut AS (SELECT k.query_id, k.sub, p.centroid_id,
+          {_l2_sql("k.sv", "p.c", S.PQ_SUBDIM)} AS d
+         FROM pqsv k JOIN pqcb p ON p.sub = k.sub),
+pscored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(l.d ORDER BY l.sub)),
+               (x, y) -> x + y) AS adist
+  FROM penc e JOIN plut l ON l.sub = e.sub AND l.centroid_id = e.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, neighbor_id ASC) AS rn
+      FROM pscored)
+WHERE rn <= 5
+"""
+
+
+# --- interpolated bigram LM: oracle ------------------------------------------
+
+# Mirrors textops.bigram_lm_score statement-for-statement: map-side
+# bigram construction from the token array (list_transform over
+# positions ≡ the Spark zip_with of two slices), the identical
+# λ-interpolated probability with the 9-digit ln snap, the plain
+# model join (row-identical to the Spark head/tail split union), and
+# the ordered fold by (prev, cur).
+ORACLES["bigram_lm_score"] = f"""
+WITH dtoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+  FROM documents),
+ toks AS (SELECT doc_id, unnest(toks) AS tok FROM dtoks),
+ tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+ uni AS (SELECT tok AS cur,
+          CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot) AS pu
+         FROM toks GROUP BY tok),
+ bg AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+   SELECT doc_id, unnest(list_transform(
+     generate_series(1, len(toks) - 1),
+     i -> struct_pack(prev := list_extract(toks, i),
+                      cur := list_extract(toks, i + 1)))) AS b
+   FROM dtoks WHERE len(toks) >= 2)),
+ c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+ c1 AS (SELECT prev, COUNT(*) AS n1 FROM bg GROUP BY 1),
+ model AS (SELECT c2.prev, c2.cur,
+   {sql_pround(
+       f"-ln({T.BIGRAM_LAMBDA!r} * (CAST(n2 AS DOUBLE)"
+       f" / CAST(n1 AS DOUBLE)) + {1.0 - T.BIGRAM_LAMBDA!r} * pu)",
+       T.UNIGRAM_TERM_DIGITS)} AS nlogp
+  FROM c2 JOIN c1 USING (prev) JOIN uni ON uni.cur = c2.cur),
+ tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf
+        FROM bg GROUP BY 1, 2, 3),
+ terms AS (SELECT doc_id, prev, cur, CAST(tf AS DOUBLE) * nlogp AS t,
+            tf
+           FROM tf JOIN model USING (prev, cur)),
+ agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(t ORDER BY prev, cur)),
+               (a, b) -> a + b) AS s
+  FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+ {sql_pround("s / CAST(n_bigrams AS DOUBLE)", 6)} AS cross_entropy
+FROM agg
+"""
+
+
+# --- HLL++ distinct counting: contract oracle ---------------------------------
+
+# Like approx_percentiles, the sketch value is engine-specific, so the
+# CONTRACT is oracled: the exact per-group cardinality (the auditor)
+# plus a literal-TRUE error bound the Spark side computes from the
+# sketch — any violation hash-mismatches.
+ORACLES["approx_user_cardinality"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+ CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+ TRUE AS within_bound
+FROM events GROUP BY event_type
+"""

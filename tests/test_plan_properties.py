@@ -456,3 +456,54 @@ def test_semdedup_pairs_are_cluster_local(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "Scan ExistingRDD" in plan       # assignment lineage cut
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_dir):
+    """PQ encoding: the (PQ_SUBS x PQ_K)-row codebook must join as a
+    broadcast hash probe onto the subvector stream (map-side at any
+    corpus size), with the argmin pruned pre-shuffle; the trained
+    codebook arrives as a checkpointed RDD, never a re-derived
+    training subtree."""
+    from credit_ocr_system_spark.operators import similarity as S
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = plan_of(S.pq_encode(emb, sample_rate_hex=S.PQ_SAMPLE_HEX))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan   # codebook equi-join on sub
+    assert "WindowGroupLimit" in plan    # argmin pruned pre-shuffle
+    assert "Scan ExistingRDD" in plan    # checkpointed codebook
+
+
+def test_pq_topk_scores_map_side(spark, sf_dir):
+    """ADC: corpus scoring must be the packed-code fold against the
+    broadcast per-query LUT — the only non-broadcast joins are the
+    codebook equi-joins; the n x q cross product appears solely as
+    the LUT broadcast (q rows), never a shuffle join."""
+    from credit_ocr_system_spark.operators import similarity as S
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = plan_of(S.pq_topk(emb, sample_rate_hex=S.PQ_SAMPLE_HEX))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan    # top-k pruned pre-shuffle
+
+
+def test_bigram_lm_head_broadcasts_over_materialized_tf(spark, sf_dir):
+    """Bigram LM: same plan contract as the unigram scorer — the
+    Zipf-head model side broadcasts (the skewed bigram mass never
+    shuffles), tf/model are materialized once (checkpoint cut), and
+    no nested-loop or cartesian join anywhere."""
+    from credit_ocr_system_spark.operators.textops import (
+        bigram_lm_score,
+    )
+
+    plan = plan_of(bigram_lm_score(R.load(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan            # head probe
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
