@@ -151,8 +151,8 @@ HEADLINE = [
     "quality_classifier",
     # round 4, seventh pass: product quantization (ADC search) and
     # the interpolated bigram LM scorer
-    "pq_codebooks", "pq_encode", "pq_topk", "bigram_lm_score",
-    "approx_user_cardinality",
+    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
+    "bigram_lm_score", "approx_user_cardinality",
     # round 4, late: crawl-log canonicalization + collapse (the stage
     # that precedes every content-level operator at web scale)
     "canonical_pages",

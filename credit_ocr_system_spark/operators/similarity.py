@@ -531,13 +531,15 @@ def _l2(a, b):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _subvectors(vectors: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv): the ``PQ_SUBS`` disjoint ``PQ_SUBDIM``-dim
-    slices of every vector — PQ's decomposition of the space into a
-    Cartesian product of small spaces. One ``posexplode`` per vector,
-    map-side."""
+def _subvectors(vectors: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, [carry...], sub, sv): the ``PQ_SUBS`` disjoint
+    ``PQ_SUBDIM``-dim slices of every vector — PQ's decomposition of
+    the space into a Cartesian product of small spaces. One
+    ``posexplode`` per vector, map-side. ``carry`` names extra
+    columns to keep alongside (e.g. the coarse centroid id in
+    :func:`ivfpq_topk`)."""
     return vectors.select(
-        "vec_id",
+        "vec_id", *carry,
         F.posexplode(F.array(*[
             F.slice(F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
             for s in range(PQ_SUBS)])).alias("sub", "sv"))
@@ -686,6 +688,87 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
                 F.element_at(F.col("luts"), (s + 1).cast("int")),
                 (F.element_at(F.col("codes"),
                               (s + 1).cast("int")) + 1).cast("int"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("rank").cast("int")))
+
+
+def ivfpq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+               nprobe: int = N_PROBE,
+               centroids: DataFrame | None = None,
+               codebooks: DataFrame | None = None,
+               pq_sample_hex: str | None = None) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §IV): the composed trillion-row ANN
+    query — coarse inverted-list probe, then PQ asymmetric-distance
+    re-scoring INSIDE the probed lists only. Output:
+    (query_id, neighbor_id, rank), approximate-L2 order, ties on
+    neighbor_id.
+
+    The plan is the deployment shape end to end:
+
+    * one corpus pass computes BOTH the coarse assignment (broadcast
+      argmax against the trained :func:`kmeans_codebook`) and the PQ
+      codes (broadcast argmin against :func:`pq_codebooks`) — at
+      deployment this pass is the index build, stored partitioned by
+      ``centroid_id`` with 4-bit codes instead of raw vectors;
+    * queries probe their ``nprobe`` nearest coarse lists
+      (q×nprobe rows, BROADCAST) — the corpus-side join on
+      ``centroid_id`` is bucket-local, so only ~nprobe/k_coarse of
+      the corpus is ever scored per query;
+    * scoring joins the query's broadcast 8×16 ADC lookup table and
+      folds over the packed code array — per-row array indexing, no
+      vector arithmetic, no shuffle beyond the final top-k window.
+
+    Every stage is deterministic (trained quantizers with ordered
+    folds, tie-broken argmins), so the whole composition is
+    oracle-checked bit-for-bit.
+    """
+    cents = centroids if centroids is not None else _centroids(embeddings)
+    cb = (codebooks if codebooks is not None
+          else pq_codebooks(embeddings, sample_rate_hex=pq_sample_hex))
+    corpus = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    assigned = _nearest_centroids(corpus, cents, "vec_id", "v", 1)
+    codes = _pq_assign(
+        _subvectors(assigned, carry=("centroid_id",))
+        .withColumnRenamed("centroid_id", "coarse_id"), cb)
+    codes_wide = codes.groupBy(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("coarse_id").alias("centroid_id")).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct(
+            "sub", F.col("centroid_id").alias("code")))),
+            lambda s: s["code"]).alias("codes"))
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    probes = _nearest_centroids(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("q")),
+        cents, "query_id", "q", nprobe).select("query_id", "centroid_id")
+    lut = (_subvectors(queries)
+           .join(F.broadcast(cb), "sub")
+           .select(F.col("vec_id").alias("query_id"), "sub",
+                   "centroid_id",
+                   _l2(F.col("sv"), F.col("c")).alias("d")))
+    lut_sub = lut.groupBy("query_id", "sub").agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("centroid_id", "d"))), lambda s: s["d"]).alias("row"))
+    lut_wide = lut_sub.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                    lambda s: s["row"]).alias("luts"))
+    scored = (codes_wide
+              .join(F.broadcast(probes), "centroid_id")
+              .join(F.broadcast(lut_wide), "query_id")
+              .withColumn("adist", F.aggregate(
+                  F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)), F.lit(0.0),
+                  lambda acc, s: acc + F.element_at(
+                      F.element_at(F.col("luts"), (s + 1).cast("int")),
+                      (F.element_at(F.col("codes"),
+                                    (s + 1).cast("int")) + 1)
+                      .cast("int")))))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

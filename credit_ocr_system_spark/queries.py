@@ -2480,6 +2480,9 @@ def build_queries() -> Dict[str, QueryFn]:
         "pq_topk": lambda s, d: S.pq_topk(
             R.load(s, d, "embeddings"),
             sample_rate_hex=S.PQ_SAMPLE_HEX),
+        "ivfpq_topk": lambda s, d: S.ivfpq_topk(
+            R.load(s, d, "embeddings"),
+            pq_sample_hex=S.PQ_SAMPLE_HEX),
         # extraction engine (oracled via golden materialization)
         "x_extract_pages": x_extract_pages,
         "x_extract_scanned": x_extract_scanned,
@@ -2547,8 +2550,8 @@ _DRIVER_PRIORITY = [
     "qc_weights", "quality_classifier",
     # new in r4 (seventh pass): product quantization (IVF-PQ fine stage)
     # and the interpolated bigram LM scorer
-    "pq_codebooks", "pq_encode", "pq_topk", "bigram_lm_score",
-    "approx_user_cardinality",
+    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
+    "bigram_lm_score", "approx_user_cardinality",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3462,4 +3465,51 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
  TRUE AS within_bound
 FROM events GROUP BY event_type
+"""
+
+
+# --- IVF-PQ composed ANN: oracle ----------------------------------------------
+
+# Composition of the two trained quantizers, mirroring
+# similarity.ivfpq_topk: coarse cosine probe (the exact ivf_topk CTE
+# chain over the unsampled trained codebook), PQ codes from the
+# sampled-trained fine codebooks (_pq_ctes), ADC re-scoring ONLY on
+# rows whose coarse list a query probes, identical fold order.
+ORACLES["ivfpq_topk"] = f"""
+WITH {_ANN_CTE},
+{_IVF_CTE},
+{_pq_ctes(S.PQ_SAMPLE_HEX)},
+iprobes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+     row_number() OVER (PARTITION BY query_id ORDER BY
+       list_dot_product(q, c) /
+         (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(c, c)))
+       DESC, centroid_id ASC) AS crn
+    FROM queries CROSS JOIN cents)
+  WHERE crn <= {S.N_PROBE}),
+iqsv AS (SELECT query_id, sub,
+          list_slice(q, sub * {S.PQ_SUBDIM} + 1,
+                     sub * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}) AS sv
+         FROM queries CROSS JOIN psubs),
+ilut AS (SELECT k.query_id, k.sub, p.centroid_id,
+          {_l2_sql("k.sv", "p.c", S.PQ_SUBDIM)} AS d
+         FROM iqsv k JOIN pqcb p ON p.sub = k.sub),
+iscored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                            list(l.d ORDER BY l.sub)),
+               (x, y) -> x + y) AS adist
+  FROM penc e
+  JOIN corpus_assign a ON a.neighbor_id = e.vec_id
+  JOIN iprobes p ON p.centroid_id = a.centroid_id
+  JOIN ilut l ON l.query_id = p.query_id AND l.sub = e.sub
+             AND l.centroid_id = e.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, neighbor_id ASC) AS rn
+      FROM iscored)
+WHERE rn <= 5
 """

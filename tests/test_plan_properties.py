@@ -507,3 +507,18 @@ def test_bigram_lm_head_broadcasts_over_materialized_tf(spark, sf_dir):
     assert "BroadcastHashJoin" in plan            # head probe
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_ivfpq_probe_is_bucket_local_broadcast(spark, sf_dir):
+    """IVF-PQ: the probe join (q x nprobe rows) and the ADC LUT join
+    must both broadcast onto the coded corpus; no shuffle join, no
+    cartesian product anywhere in the composition."""
+    from credit_ocr_system_spark.operators import similarity as S
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = plan_of(S.ivfpq_topk(emb, pq_sample_hex=S.PQ_SAMPLE_HEX))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

@@ -95,3 +95,26 @@ def test_sampled_training_encodes_full_corpus(spark, sf_dir):
     assert len(enc) == n * S.PQ_SUBS
     assert enc.code.between(0, S.PQ_K - 1).all()
     assert enc.vec_id.nunique() == n
+
+
+def test_ivfpq_composes_probe_and_adc(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    got = S.ivfpq_topk(emb, pq_sample_hex=S.PQ_SAMPLE_HEX).toPandas()
+    # every query ranks itself first: the self-vector's coarse list is
+    # by definition probed, and its ADC distance is the global minimum
+    firsts = got[got["rank"] == 1].set_index("query_id").neighbor_id
+    assert all(firsts[q] == q for q in firsts.index)
+    # candidates are bucket-local: every returned neighbor sits in one
+    # of its query's nprobe probed coarse lists
+    cents = S.kmeans_codebook(emb)
+    assign = S.ivf_assign(emb, centroids=cents).toPandas()
+    assign = assign.set_index("vec_id").centroid_id
+    probes = (S._nearest_centroids(
+        emb.where("vec_id < 5").selectExpr(
+            "CAST(vec_id AS BIGINT) AS query_id",
+            "CAST(embedding AS ARRAY<DOUBLE>) AS q"),
+        cents, "query_id", "q", S.N_PROBE)
+        .select("query_id", "centroid_id").toPandas())
+    probed = probes.groupby("query_id").centroid_id.apply(set)
+    for row in got.itertuples():
+        assert assign[row.neighbor_id] in probed[row.query_id]
