@@ -90,6 +90,21 @@ def build_session(app_name: str = "credit-ocr-system-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # persistent bucketed tables (plans/bucketed.py) land in the
+        # session warehouse; default it OUT of the repo working tree
+        # Trust the write-time sortBy order of bucketed scans, which
+        # eliminates the per-join Sort as well as the Exchange. Sound
+        # because per-file ordering is all Spark can verify and
+        # plans/bucketed.py::write_bucketed — this engine's only
+        # bucketed-table producer — repartitions by the bucket key
+        # first, so every bucket is exactly one (sorted) file.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "true")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get(
+                    "SPARK_GRAFT_WAREHOUSE",
+                    os.path.join(tempfile.gettempdir(),
+                                 f"cos_warehouse_{os.getpid()}")))
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("spark://"):
