@@ -152,7 +152,7 @@ HEADLINE = [
     # round 4, seventh pass: product quantization (ADC search) and
     # the interpolated bigram LM scorer
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
-    "bigram_lm_score", "approx_user_cardinality",
+    "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
     # round 4, late: crawl-log canonicalization + collapse (the stage
     # that precedes every content-level operator at web scale)
     "canonical_pages",

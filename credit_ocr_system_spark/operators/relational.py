@@ -608,3 +608,58 @@ def approx_user_cardinality(events: DataFrame,
         (F.abs(F.col("approx_users").cast("double")
                - F.col("exact_users").cast("double"))
          <= bound).alias("within_bound"))
+
+
+# --- Luhn-validated PAN redaction -------------------------------------------
+
+# Candidate runs: digits with optional space/dash separators, bounded
+# so a cleaned candidate can reach 13-19 digits. No lookarounds — the
+# pattern must mean the same thing to Java regex and RE2 (the oracle).
+PAN_CANDIDATE_RE = "[0-9][0-9 -]{11,21}[0-9]"
+PAN_TOKEN = "<PAN>"
+
+# The whole detector is one scalar expression tree (regexp scan →
+# clean → Luhn checksum as an integer fold → literal replace fold):
+# map-side, no join, no UDF. The Luhn check is what separates a PAN
+# from an order id — redacting every digit run would destroy data the
+# pipeline needs (the reference's whole point is extracting amounts
+# and dates from credit documents; ``validation.py`` keeps numbers,
+# this drops only checksummed card numbers).
+_PAN_DIGIT = "(ascii(substring(s.num, length(s.num) - i + 1, 1)) - 48)"
+_PAN_VALID_EXPR = f"""
+array_sort(array_distinct(transform(filter(
+  transform(regexp_extract_all(text, '{PAN_CANDIDATE_RE}', 0),
+    c -> named_struct('orig', c,
+                      'num', replace(replace(c, ' ', ''), '-', ''))),
+  s -> length(s.num) >= 13 AND length(s.num) <= 19 AND
+       aggregate(sequence(1, length(s.num)), 0, (acc, i) -> acc +
+         CASE WHEN i % 2 = 0 THEN
+           CASE WHEN 2 * {_PAN_DIGIT} > 9
+                THEN 2 * {_PAN_DIGIT} - 9
+                ELSE 2 * {_PAN_DIGIT} END
+         ELSE {_PAN_DIGIT} END) % 10 = 0),
+  s -> s.orig)))
+"""
+
+
+def redact_pans(documents: DataFrame) -> DataFrame:
+    """Redact Luhn-valid payment-card numbers from document text.
+
+    Output: (doc_id, n_pans, text_redacted). Candidates are maximal
+    digit/space/dash runs; a candidate is redacted only if its cleaned
+    digits are 13–19 long AND pass the Luhn checksum (ISO/IEC 7812) —
+    computed as an ordered integer fold over the digit positions, all
+    JVM-side scalar expressions. Redaction itself is a literal-replace
+    fold over the (sorted, distinct) valid candidates, so the same
+    card written twice redacts both times and the fold order is
+    deterministic. The identical expression tree runs in the DuckDB
+    oracle (list_reduce/struct_extract spellings).
+    """
+    valid = F.expr(_PAN_VALID_EXPR)
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(valid).alias("n_pans"),
+        F.expr(
+            f"aggregate({_PAN_VALID_EXPR}, text,"
+            f" (acc, p) -> replace(acc, p, '{PAN_TOKEN}'))"
+        ).alias("text_redacted"))

@@ -2413,6 +2413,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "approx_user_cardinality": lambda s, d: R.approx_user_cardinality(
             R.load(s, d, "events")),
+        "pan_redaction": lambda s, d: R.redact_pans(
+            R.load(s, d, "documents")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
             R.load(s, d, "documents")),
         "perplexity_buckets": lambda s, d: T.perplexity_buckets(
@@ -2551,7 +2553,7 @@ _DRIVER_PRIORITY = [
     # new in r4 (seventh pass): product quantization (IVF-PQ fine stage)
     # and the interpolated bigram LM scorer
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
-    "bigram_lm_score", "approx_user_cardinality",
+    "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3512,4 +3514,41 @@ FROM (SELECT query_id, neighbor_id,
                           ORDER BY adist ASC, neighbor_id ASC) AS rn
       FROM iscored)
 WHERE rn <= 5
+"""
+
+
+# --- Luhn PAN redaction: oracle -----------------------------------------------
+
+# The identical expression tree as relational.redact_pans in DuckDB
+# spelling: RE2 regexp scan (pattern shared, no lookarounds), the same
+# clean → length-gate → Luhn integer fold, and the same sorted-distinct
+# literal-replace fold seeded with the original text.
+_PAN_DIGIT_CD = ("(ascii(substr(struct_extract(s, 'num'),"
+                 " length(struct_extract(s, 'num')) - i + 1, 1)) - 48)")
+_PAN_VALID_CD = f"""
+list_sort(list_distinct(list_transform(list_filter(
+  list_transform(regexp_extract_all(text, '{R.PAN_CANDIDATE_RE}'),
+    c -> struct_pack(orig := c,
+                     num := replace(replace(c, ' ', ''), '-', ''))),
+  s -> length(struct_extract(s, 'num')) >= 13
+   AND length(struct_extract(s, 'num')) <= 19
+   AND list_reduce(list_prepend(0,
+         list_transform(generate_series(1,
+             length(struct_extract(s, 'num'))), i ->
+           CASE WHEN i % 2 = 0 THEN
+             CASE WHEN 2 * {_PAN_DIGIT_CD} > 9
+                  THEN 2 * {_PAN_DIGIT_CD} - 9
+                  ELSE 2 * {_PAN_DIGIT_CD} END
+           ELSE {_PAN_DIGIT_CD} END)),
+         (a, b) -> a + b) % 10 = 0),
+  s -> struct_extract(s, 'orig'))))
+"""
+
+ORACLES["pan_redaction"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+ CAST(len({_PAN_VALID_CD}) AS INT) AS n_pans,
+ list_reduce(list_prepend(text, {_PAN_VALID_CD}),
+             (acc, p) -> replace(acc, p, '{R.PAN_TOKEN}'))
+   AS text_redacted
+FROM documents
 """
