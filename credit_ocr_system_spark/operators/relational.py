@@ -663,3 +663,113 @@ def redact_pans(documents: DataFrame) -> DataFrame:
             f"aggregate({_PAN_VALID_EXPR}, text,"
             f" (acc, p) -> replace(acc, p, '{PAN_TOKEN}'))"
         ).alias("text_redacted"))
+
+
+# --- count-min-sketch heavy hitters ------------------------------------------
+
+# The skew-detection front door for the salting story
+# (plans/pipeline.py::repartition_salted defuses hot keys; THIS is how
+# a 10^12-row job finds them without an exact groupBy over every key).
+# Depth x width are the classic CMS shape: error <= e*N/width per row,
+# failure probability exp(-depth) over the min.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# Candidate keys come from a record-level deterministic sample (first
+# md5 hex char of the record id): any key hot enough to matter appears
+# in the sample w.h.p. (a phi-hot key misses a rate-p sample with
+# probability (1-p)^(phi*N) -> 0 at any real N). 3/16 here; at 10^12
+# rows the rate drops orders of magnitude and the guarantee tightens.
+CMS_SAMPLE_HEX = ("0", "1", "2")
+# phi-heavy-hitter rule as an INTEGER compare (est * HOT_ONE_IN >=
+# N_total), so the threshold never touches doubles cross-engine.
+HOT_ONE_IN = 160
+
+
+def _cms_cells(key, depth: int, width: int):
+    """The CMS cell coordinates of ``key``: one (d, slot) struct per
+    sketch row, slot = portable hex-bucket of md5('<d>:' || key).
+    Identical ascii arithmetic runs in the DuckDB oracle."""
+    from .textops import _hex_bucket
+
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            _hex_bucket(
+                F.md5(F.concat(F.lit(f"{d}:"), key)), width).alias("slot"))
+        for d in range(depth)])
+
+
+def hot_keys(events: DataFrame,
+             key_col: str = "user_id",
+             depth: int = CMS_DEPTH,
+             width: int = CMS_WIDTH,
+             hot_one_in: int = HOT_ONE_IN) -> DataFrame:
+    """Count-min-sketch heavy-hitter detection with an in-plan exact
+    auditor — the hot-key *detector* that feeds ``repartition_salted``.
+
+    Scale shape (the reason this survives 10^12 rows where an exact
+    per-key count does not):
+
+    * **sketch build** — every record maps to ``depth`` (d, slot)
+      cells; the groupBy exchange is bounded by the SLOT SPACE
+      (depth x width rows, map-side partial counts), never by the
+      number of distinct keys. Same bounded-exchange argument as
+      ``weburl.sitemap_frontier_bloom``.
+    * **candidates** — distinct keys of a deterministic record-level
+      sample (md5-prefix rule, engine-portable); the sampled-candidate
+      set is what CMS needs because the sketch alone cannot enumerate
+      keys.
+    * **probe** — the depth x width sketch BROADCASTS; each candidate
+      reads its ``depth`` cells and takes the min (the CMS estimate).
+      No shuffle grows with the corpus.
+    * **auditor** — ``exact_count`` per candidate (a groupBy restricted
+      to sampled keys) plus ``never_under`` asserting the CMS
+      one-sided-error guarantee est >= exact; at deployment both drop
+      and ``is_hot`` routes keys into the salted path.
+
+    Everything is md5-deterministic, so the DuckDB oracle recomputes
+    the identical sketch, estimates, and verdicts — a full value-hash
+    check, not rows-only.
+
+    Output: (key, est_count, exact_count, is_hot, never_under).
+    """
+    key = F.col(key_col).cast("string")
+    base = events.select(
+        key.alias("key"),
+        F.col("event_id").cast("string").alias("rec_id"))
+
+    cells = (
+        base.select(F.explode(_cms_cells(F.col("key"), depth, width))
+                    .alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count("*").alias("cnt")))
+
+    total = base.agg(F.count("*").alias("n_total"))
+
+    cands = (
+        base.filter(F.substring(F.md5(F.concat(F.lit("hh:"),
+                                               F.col("rec_id"))), 1, 1)
+                    .isin(*CMS_SAMPLE_HEX))
+        .select("key").distinct())
+
+    probe = cands.select(
+        "key", F.explode(_cms_cells(F.col("key"), depth, width)).alias("c")
+    ).select("key", F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+
+    est = (probe.join(F.broadcast(cells), ["d", "slot"])
+           .groupBy("key").agg(F.min("cnt").alias("est_count")))
+
+    exact = (base.join(F.broadcast(cands), "key")
+             .groupBy("key").agg(F.count("*").alias("exact_count")))
+
+    return (
+        est.join(exact, "key")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") * hot_one_in >= F.col("n_total"))
+            .alias("is_hot"),
+            (F.col("est_count") >= F.col("exact_count"))
+            .alias("never_under")))

@@ -2325,6 +2325,69 @@ def dedup_lines_global(documents: DataFrame,
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text")))
 
 
+# --- C4 line-level document filter ------------------------------------------
+
+# Raffel et al. 2020 §2.2 (the C4 cleaning rules), line-level half:
+# keep a line only if it ends in terminal punctuation, has >= 3 words,
+# and doesn't mention javascript; drop the whole page if it carries a
+# blocked phrase or a curly brace (code), or the retained text has
+# fewer than 3 sentences. Sentence count is approximated as terminal-
+# punctuation characters in the kept text (C4 used a sentence
+# tokenizer; the approximation is deterministic and engine-portable).
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_WORDS = 3
+C4_MIN_SENTENCES = 3
+C4_PHRASE_BLOCKLIST = ("lorem ipsum",)
+
+
+def c4_line_filter(documents: DataFrame,
+                   id_col: str = "url",
+                   text_col: str = "extracted_text") -> DataFrame:
+    """C4-style line filter + page verdict, as ONE map-side projection.
+
+    Scale shape: zero shuffles — every rule is a higher-order array
+    expression over ``split(text, '\\n')`` (filter/transform lambdas,
+    whole-stage codegen), so the operator composes into any plan
+    without adding an exchange. Contrast
+    :func:`strip_boilerplate_lines` (needs a corpus frequency pass):
+    C4's rules are intentionally per-document, which is exactly what
+    makes them free at 10^12 rows.
+
+    Output: (id, n_lines, n_kept, n_sentences, keep, clean_text);
+    ``clean_text`` is the kept lines (trimmed) re-stitched, emitted
+    for every document so the verdict stays auditable downstream.
+    """
+    raw = F.split(F.col(text_col), "\n")
+
+    def _keep_line(line):
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        return (F.right(t, F.lit(1)).isin(*C4_TERMINALS)
+                & (F.size(words) >= C4_MIN_WORDS)
+                & ~F.contains(F.lower(t), F.lit("javascript")))
+
+    kept = F.filter(raw, _keep_line)
+    # NOT F.transform(kept, F.trim): trim has an optional 2nd param,
+    # so transform would bind the element INDEX to it
+    clean = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
+    lower_text = F.lower(F.col(text_col))
+    blocked = F.lit(False)
+    for phrase in C4_PHRASE_BLOCKLIST:
+        blocked = blocked | F.contains(lower_text, F.lit(phrase))
+    keep = ((F.size(kept) >= 1)
+            & (n_sent >= C4_MIN_SENTENCES)
+            & ~blocked
+            & ~F.contains(F.col(text_col), F.lit("{")))
+    return documents.select(
+        F.col(id_col),
+        F.size(raw).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        keep.alias("keep"),
+        clean.alias("clean_text"))
+
+
 # --- Okapi BM25 retrieval ---------------------------------------------------
 
 BM25_K1 = 1.2

@@ -325,6 +325,20 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(docs)
 
 
+def x_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: the C4 line-level cleaning rules + page verdict
+    (``operators/textops.py::c4_line_filter``) over the extraction
+    surface — terminal-punctuation/min-words/javascript line keeps,
+    blocked-phrase/brace/min-sentence page drops, zero shuffles;
+    DuckDB re-derives every rule with list lambdas over the docs
+    golden."""
+    from .operators.extraction import extract_pages
+    from .operators.textops import c4_line_filter
+
+    docs = extract_pages(_x_pages(spark))
+    return c4_line_filter(docs)
+
+
 def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-checked: the <head> metadata surface (rel=canonical
     href — including renders that declare ANOTHER url canonical —
@@ -2169,6 +2183,39 @@ SELECT d.url,
   COALESCE(a.clean_text, '') AS clean_text
 FROM read_parquet('{docs}') d LEFT JOIN agg a USING (url)
 """,
+        # C4 line rules + page verdict, every rule re-derived with
+        # DuckDB list lambdas (same trim/right/split/translate
+        # primitives the Spark expressions compile to)
+        "x_c4_filter": f"""
+WITH base AS (
+  SELECT url, extracted_text AS text,
+         str_split(extracted_text, chr(10)) AS rawl
+  FROM read_parquet('{docs}')),
+k AS (
+  SELECT url, text, rawl,
+    list_transform(list_filter(rawl, l ->
+      right(trim(l), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                          w -> w <> '')) >= 3
+      AND NOT contains(lower(trim(l)), 'javascript')),
+      l -> trim(l)) AS keptl
+  FROM base),
+c AS (SELECT url, text, rawl, keptl,
+             -- duckdb array_to_string([]) is NULL; spark's is ''
+             COALESCE(array_to_string(keptl, chr(10)), '') AS clean
+      FROM k)
+SELECT url,
+ CAST(len(rawl) AS INT) AS n_lines,
+ CAST(len(keptl) AS INT) AS n_kept,
+ CAST(length(clean) - length(translate(clean, '.!?', '')) AS INT)
+   AS n_sentences,
+ (len(keptl) >= 1
+  AND length(clean) - length(translate(clean, '.!?', '')) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{{')) AS keep,
+ clean AS clean_text
+FROM c
+""",
         # the WAT record re-assembled from the docs+links goldens:
         # JSON via to_json-escaped scalars concatenated in struct
         # order, null/empty fields omitted (Jackson ignoreNullFields),
@@ -2413,6 +2460,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "approx_user_cardinality": lambda s, d: R.approx_user_cardinality(
             R.load(s, d, "events")),
+        "hot_keys": lambda s, d: R.hot_keys(
+            R.load(s, d, "events")),
         "pan_redaction": lambda s, d: R.redact_pans(
             R.load(s, d, "documents")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
@@ -2517,6 +2566,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_wat_records": x_wat_records,
         "x_strip_boilerplate_lines": x_strip_boilerplate_lines,
         "x_line_dedup": x_line_dedup,
+        "x_c4_filter": x_c4_filter,
         "x_meta_tags": x_meta_tags,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
@@ -2554,6 +2604,9 @@ _DRIVER_PRIORITY = [
     # and the interpolated bigram LM scorer
     "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
     "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
+    # new in r4 (eighth pass): CMS heavy-hitter detection (the hot-key
+    # front door for repartition_salted), C4 line filter, soft-404
+    "hot_keys", "x_c4_filter",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3467,6 +3520,42 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
  TRUE AS within_bound
 FROM events GROUP BY event_type
+"""
+
+# Count-min-sketch heavy hitters: the oracle recomputes the identical
+# sketch (same md5 '<d>:key' cell hashing via the shared hex-bucket
+# arithmetic), the identical md5-prefix candidate sample, the min-over-
+# depth estimate, and the integer-compare hot rule — full value check.
+_CMS_SAMPLE_IN = ", ".join(f"'{h}'" for h in R.CMS_SAMPLE_HEX)
+ORACLES["hot_keys"] = f"""
+WITH base AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                     CAST(event_id AS VARCHAR) AS rec_id FROM events),
+ ds AS (SELECT UNNEST(range({R.CMS_DEPTH})) AS d),
+ cells AS (
+  SELECT ds.d,
+   {_hex_bucket_sql("md5(CAST(ds.d AS VARCHAR) || ':' || base.key)",
+                    R.CMS_WIDTH)} AS slot,
+   COUNT(*) AS cnt
+  FROM base CROSS JOIN ds GROUP BY 1, 2),
+ tot AS (SELECT COUNT(*) AS n_total FROM base),
+ cands AS (SELECT DISTINCT key FROM base
+           WHERE substr(md5('hh:' || rec_id), 1, 1)
+                 IN ({_CMS_SAMPLE_IN})),
+ probe AS (SELECT c.key, ds.d,
+   {_hex_bucket_sql("md5(CAST(ds.d AS VARCHAR) || ':' || c.key)",
+                    R.CMS_WIDTH)} AS slot
+  FROM cands c CROSS JOIN ds),
+ est AS (SELECT p.key, MIN(s.cnt) AS est_count
+         FROM probe p JOIN cells s ON s.d = p.d AND s.slot = p.slot
+         GROUP BY 1),
+ exact AS (SELECT b.key, COUNT(*) AS exact_count
+           FROM base b JOIN cands USING (key) GROUP BY 1)
+SELECT est.key,
+ CAST(est.est_count AS BIGINT) AS est_count,
+ CAST(exact.exact_count AS BIGINT) AS exact_count,
+ est.est_count * {R.HOT_ONE_IN} >= tot.n_total AS is_hot,
+ est.est_count >= exact.exact_count AS never_under
+FROM est JOIN exact USING (key) CROSS JOIN tot
 """
 
 
