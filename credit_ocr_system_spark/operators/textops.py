@@ -2388,6 +2388,46 @@ def c4_line_filter(documents: DataFrame,
         clean.alias("clean_text"))
 
 
+# --- soft-404 detection ------------------------------------------------------
+
+# A soft 404 is a page served 200-ok whose CONTENT is an error page —
+# invisible to HTTP-status filtering (weburl.domain_stats sees a
+# fetch_ok), so the extraction surface must catch it. Rule: an error
+# phrase in the title or body AND a short extraction (real articles
+# that merely discuss 404s don't trip the length guard).
+SOFT404_PATTERNS = ("page not found", "404 not found", "error 404",
+                    "no longer available", "does not exist")
+SOFT404_MAX_CHARS = 300
+
+
+def soft404_flags(documents: DataFrame,
+                  id_col: str = "url",
+                  text_col: str = "extracted_text",
+                  title_col: str = "title",
+                  max_chars: int = SOFT404_MAX_CHARS) -> DataFrame:
+    """Flag soft 404s on the extraction output — zero shuffles, pure
+    scalar predicates, so the gate composes into the extraction plan
+    (or the crawl-collapse keep decision) for free at 10^12 rows.
+
+    Output: (id, n_chars, title_hit, body_hit, soft404).
+    """
+    lower_title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    lower_text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    title_hit = F.lit(False)
+    body_hit = F.lit(False)
+    for p in SOFT404_PATTERNS:
+        title_hit = title_hit | F.contains(lower_title, F.lit(p))
+        body_hit = body_hit | F.contains(lower_text, F.lit(p))
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return documents.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        title_hit.alias("title_hit"),
+        body_hit.alias("body_hit"),
+        ((title_hit | body_hit) & (n_chars < max_chars))
+        .alias("soft404"))
+
+
 # --- Okapi BM25 retrieval ---------------------------------------------------
 
 BM25_K1 = 1.2

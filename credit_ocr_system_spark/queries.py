@@ -339,6 +339,19 @@ def x_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(docs)
 
 
+def x_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: soft-404 detection over the extraction surface
+    (``operators/textops.py::soft404_flags``) — 200-ok pages whose
+    content is an error page (the corpus carries ~1/30 such pages,
+    including the sneaky variant whose <title> stays legitimate);
+    DuckDB re-derives the phrase/length rule over the docs golden."""
+    from .operators.extraction import extract_pages
+    from .operators.textops import soft404_flags
+
+    docs = extract_pages(_x_pages(spark))
+    return soft404_flags(docs)
+
+
 def x_head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-checked: the <head> metadata surface (rel=canonical
     href — including renders that declare ANOTHER url canonical —
@@ -702,6 +715,12 @@ _UNI_BI = ("list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
            "[toks[i] || ' ' || toks[i+1] "
            "FOR i IN generate_series(1, len(toks) - 1)] "
            "ELSE CAST([] AS VARCHAR[]) END)")
+
+
+def _soft404_or(col: str) -> str:
+    # SQL twin of the soft404_flags pattern OR-chain, literals shared
+    return " OR ".join(
+        f"contains({col}, '{p}')" for p in T.SOFT404_PATTERNS)
 
 
 def _hex_bucket_sql(col: str, n_buckets: int) -> str:
@@ -2216,6 +2235,19 @@ SELECT url,
  clean AS clean_text
 FROM c
 """,
+        # soft-404 phrase/length rule re-derived over the docs golden;
+        # pattern literals shared with textops.SOFT404_PATTERNS
+        "x_soft404": f"""
+SELECT url,
+ CAST(length(COALESCE(extracted_text, '')) AS INT) AS n_chars,
+ ({_soft404_or("lower(COALESCE(title, ''))")}) AS title_hit,
+ ({_soft404_or("lower(COALESCE(extracted_text, ''))")}) AS body_hit,
+ (({_soft404_or("lower(COALESCE(title, ''))")})
+  OR ({_soft404_or("lower(COALESCE(extracted_text, ''))")}))
+ AND length(COALESCE(extracted_text, ''))
+     < {T.SOFT404_MAX_CHARS} AS soft404
+FROM read_parquet('{docs}')
+""",
         # the WAT record re-assembled from the docs+links goldens:
         # JSON via to_json-escaped scalars concatenated in struct
         # order, null/empty fields omitted (Jackson ignoreNullFields),
@@ -2567,6 +2599,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_strip_boilerplate_lines": x_strip_boilerplate_lines,
         "x_line_dedup": x_line_dedup,
         "x_c4_filter": x_c4_filter,
+        "x_soft404": x_soft404,
         "x_meta_tags": x_meta_tags,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
@@ -2606,7 +2639,7 @@ _DRIVER_PRIORITY = [
     "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
     # new in r4 (eighth pass): CMS heavy-hitter detection (the hot-key
     # front door for repartition_salted), C4 line filter, soft-404
-    "hot_keys", "x_c4_filter",
+    "hot_keys", "x_c4_filter", "x_soft404",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family

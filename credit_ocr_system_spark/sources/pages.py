@@ -219,6 +219,47 @@ def _html_page(rng: random.Random, values: Dict[str, str],
     )
 
 
+def _soft404_title(url: str, title: str) -> str:
+    """The <title> a soft-404 variant serves (the third variant keeps
+    the page's legitimate title — the sneaky case)."""
+    v = stable_mod(url + "#errv", 3)
+    return ("Page not found" if v == 0
+            else "404 Not Found" if v == 1 else title)
+
+
+def _soft404_html(url: str, title: str) -> str:
+    """A soft 404: the server answered 200 with a full-chrome page
+    whose *content* is an error message — the pages crawl-status
+    filtering can't catch (the HTTP envelope says ok) and content
+    heuristics must. URL-hash keyed, three phrasings so the detector's
+    pattern set is exercised, including the sneaky variant that keeps
+    the original <title> and only the body admits the page is gone."""
+    v = stable_mod(url + "#errv", 3)
+    t = h1 = _soft404_title(url, title)
+    if v == 0:
+        body = ("<p>The page you requested does not exist or may have "
+                "been moved.</p><p>Error 404. Try searching from our "
+                "homepage or browse the sections above.</p>")
+    elif v == 1:
+        body = ("<p>Sorry, this document is no longer available.</p>"
+                "<p>It may have been archived or removed by its "
+                "owner.</p>")
+    else:  # sneaky: original title survives, only the body admits it
+        body = ("<p>Error 404: page not found.</p><p>The application "
+                "record could not be located on this server.</p>")
+    nav_links = "".join(
+        f'<a href="/s/{i}">Section {i}</a> ' for i in range(8))
+    return (
+        "<!DOCTYPE html><html><head><title>"
+        f"{t}</title><script>var x=1;</script>"
+        "<style>.row{display:flex}</style></head><body>"
+        f"<nav>{nav_links}</nav><header><h1>{h1}</h1></header>"
+        f"<main>{body}</main>"
+        f"<footer><a href='/imprint'>Imprint</a> · "
+        f"<a href='/privacy'>Privacy</a></footer></body></html>"
+    )
+
+
 def _real_pdf_page(rng: random.Random, values: Dict[str, str],
                    fields: List[str], title: str,
                    link_uris: List[str] | None = None) -> bytes:
@@ -566,6 +607,14 @@ def gen_page(row_id: int, seed: int = DEFAULT_SEED) -> Dict[str, Any]:
                                  link_uris=uris)
     elif kind_draw < 0.08:
         payload = _pdf_page(rng, values, fields, title).encode("utf-8")
+    elif stable_mod(url + "#err", 30) == 0:
+        # soft 404 (~1/30 of HTML pages): 200-ok chrome, error content.
+        # URL-hash keyed off rows 0-31/557 so checked-in goldens stay
+        # byte-identical; same head/link decorations as a real page.
+        payload = _encode_html(url, _decorate_metas(
+            url, _decorate_links(url, _decorate_head(
+                url, _soft404_html(url, title)))))
+        title = _soft404_title(url, title)  # the served <title>
     else:
         payload = _encode_html(url, _decorate_metas(
             url, _decorate_links(url, _decorate_head(
