@@ -717,6 +717,12 @@ _UNI_BI = ("list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
            "ELSE CAST([] AS VARCHAR[]) END)")
 
 
+def _zorder_keys(events):
+    from .plans.zorder import zorder_keys
+
+    return zorder_keys(events)
+
+
 def _soft404_or(col: str) -> str:
     # SQL twin of the soft404_flags pattern OR-chain, literals shared
     return " OR ".join(
@@ -2494,6 +2500,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "events")),
         "hot_keys": lambda s, d: R.hot_keys(
             R.load(s, d, "events")),
+        "zorder_keys": lambda s, d: _zorder_keys(
+            R.load(s, d, "events")),
         "pan_redaction": lambda s, d: R.redact_pans(
             R.load(s, d, "documents")),
         "unigram_lm_score": lambda s, d: T.unigram_lm_score(
@@ -2639,7 +2647,7 @@ _DRIVER_PRIORITY = [
     "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
     # new in r4 (eighth pass): CMS heavy-hitter detection (the hot-key
     # front door for repartition_salted), C4 line filter, soft-404
-    "hot_keys", "x_c4_filter", "x_soft404",
+    "hot_keys", "x_c4_filter", "x_soft404", "zorder_keys",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family
@@ -3589,6 +3597,21 @@ SELECT est.key,
  est.est_count * {R.HOT_ONE_IN} >= tot.n_total AS is_hot,
  est.est_count >= exact.exact_count AS never_under
 FROM est JOIN exact USING (key) CROSS JOIN tot
+"""
+
+# Z-order clustering key: DuckDB recomputes the identical Morton
+# shift/mask/or fold over (user_id, epoch-day) — proves the layout
+# key cross-engine; the skipping measurement lives in
+# tests/test_zorder.py.
+from .plans.zorder import zvalue_sql as _zvalue_sql  # noqa: E402
+
+_ZDAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+ORACLES["zorder_keys"] = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+ CAST(user_id AS BIGINT) AS user_id,
+ CAST({_ZDAY} AS INT) AS day,
+ {_zvalue_sql("user_id", _ZDAY)} AS z
+FROM events
 """
 
 
