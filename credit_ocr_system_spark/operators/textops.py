@@ -2340,23 +2340,12 @@ C4_MIN_SENTENCES = 3
 C4_PHRASE_BLOCKLIST = ("lorem ipsum",)
 
 
-def c4_line_filter(documents: DataFrame,
-                   id_col: str = "url",
-                   text_col: str = "extracted_text") -> DataFrame:
-    """C4-style line filter + page verdict, as ONE map-side projection.
-
-    Scale shape: zero shuffles — every rule is a higher-order array
-    expression over ``split(text, '\\n')`` (filter/transform lambdas,
-    whole-stage codegen), so the operator composes into any plan
-    without adding an exchange. Contrast
-    :func:`strip_boilerplate_lines` (needs a corpus frequency pass):
-    C4's rules are intentionally per-document, which is exactly what
-    makes them free at 10^12 rows.
-
-    Output: (id, n_lines, n_kept, n_sentences, keep, clean_text);
-    ``clean_text`` is the kept lines (trimmed) re-stitched, emitted
-    for every document so the verdict stays auditable downstream.
-    """
+def c4_cols(text_col: str = "extracted_text") -> dict:
+    """The C4 rule columns over ``text_col`` as composable
+    expressions: {raw, kept, clean, n_sentences, keep}. Pure
+    higher-order array/scalar expressions — zero shuffles — so any
+    plan (the standalone query, the composed content gate) embeds
+    them without an exchange."""
     raw = F.split(F.col(text_col), "\n")
 
     def _keep_line(line):
@@ -2379,13 +2368,35 @@ def c4_line_filter(documents: DataFrame,
             & (n_sent >= C4_MIN_SENTENCES)
             & ~blocked
             & ~F.contains(F.col(text_col), F.lit("{")))
+    return {"raw": raw, "kept": kept, "clean": clean,
+            "n_sentences": n_sent, "keep": keep}
+
+
+def c4_line_filter(documents: DataFrame,
+                   id_col: str = "url",
+                   text_col: str = "extracted_text") -> DataFrame:
+    """C4-style line filter + page verdict, as ONE map-side projection.
+
+    Scale shape: zero shuffles — every rule is a higher-order array
+    expression over ``split(text, '\\n')`` (filter/transform lambdas,
+    whole-stage codegen), so the operator composes into any plan
+    without adding an exchange. Contrast
+    :func:`strip_boilerplate_lines` (needs a corpus frequency pass):
+    C4's rules are intentionally per-document, which is exactly what
+    makes them free at 10^12 rows.
+
+    Output: (id, n_lines, n_kept, n_sentences, keep, clean_text);
+    ``clean_text`` is the kept lines (trimmed) re-stitched, emitted
+    for every document so the verdict stays auditable downstream.
+    """
+    c = c4_cols(text_col)
     return documents.select(
         F.col(id_col),
-        F.size(raw).cast("int").alias("n_lines"),
-        F.size(kept).cast("int").alias("n_kept"),
-        n_sent.cast("int").alias("n_sentences"),
-        keep.alias("keep"),
-        clean.alias("clean_text"))
+        F.size(c["raw"]).cast("int").alias("n_lines"),
+        F.size(c["kept"]).cast("int").alias("n_kept"),
+        c["n_sentences"].cast("int").alias("n_sentences"),
+        c["keep"].alias("keep"),
+        c["clean"].alias("clean_text"))
 
 
 # --- soft-404 detection ------------------------------------------------------
@@ -2400,6 +2411,25 @@ SOFT404_PATTERNS = ("page not found", "404 not found", "error 404",
 SOFT404_MAX_CHARS = 300
 
 
+def soft404_cols(text_col: str = "extracted_text",
+                 title_col: str = "title",
+                 max_chars: int = SOFT404_MAX_CHARS) -> dict:
+    """The soft-404 rule columns as composable expressions:
+    {n_chars, title_hit, body_hit, soft404}. Pure scalar predicates —
+    zero shuffles."""
+    lower_title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    lower_text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    title_hit = F.lit(False)
+    body_hit = F.lit(False)
+    for p in SOFT404_PATTERNS:
+        title_hit = title_hit | F.contains(lower_title, F.lit(p))
+        body_hit = body_hit | F.contains(lower_text, F.lit(p))
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return {"n_chars": n_chars, "title_hit": title_hit,
+            "body_hit": body_hit,
+            "soft404": (title_hit | body_hit) & (n_chars < max_chars)}
+
+
 def soft404_flags(documents: DataFrame,
                   id_col: str = "url",
                   text_col: str = "extracted_text",
@@ -2411,21 +2441,13 @@ def soft404_flags(documents: DataFrame,
 
     Output: (id, n_chars, title_hit, body_hit, soft404).
     """
-    lower_title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
-    lower_text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    title_hit = F.lit(False)
-    body_hit = F.lit(False)
-    for p in SOFT404_PATTERNS:
-        title_hit = title_hit | F.contains(lower_title, F.lit(p))
-        body_hit = body_hit | F.contains(lower_text, F.lit(p))
-    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    c = soft404_cols(text_col, title_col, max_chars)
     return documents.select(
         F.col(id_col),
-        n_chars.cast("int").alias("n_chars"),
-        title_hit.alias("title_hit"),
-        body_hit.alias("body_hit"),
-        ((title_hit | body_hit) & (n_chars < max_chars))
-        .alias("soft404"))
+        c["n_chars"].cast("int").alias("n_chars"),
+        c["title_hit"].alias("title_hit"),
+        c["body_hit"].alias("body_hit"),
+        c["soft404"].alias("soft404"))
 
 
 # --- Okapi BM25 retrieval ---------------------------------------------------

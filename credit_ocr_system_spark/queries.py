@@ -645,6 +645,31 @@ def x_indexable_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url")
 
 
+def x_content_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full content-side keep gate composed as ONE plan, oracled
+    end-to-end: extraction (one kernel pass) → compliance (robots
+    verdict ∧ ¬noindex) ∧ content quality (¬soft-404 ∧ C4 page
+    verdict). All three content rules are pure column expressions
+    over the SAME extraction output — the plan-guard test asserts a
+    single MapInArrow, so composing the gates costs zero extra kernel
+    or shuffle work. The oracle carries the soft404/C4 expressions
+    through the shared robots-eval CTE chain."""
+    from .operators.extraction import extract_pages
+    from .operators.textops import c4_cols, soft404_cols
+    from .operators.weburl import robots_gate
+    from .sources.robots import robots_df
+
+    docs = extract_pages(_x_pages(spark))
+    flags = docs.select(
+        "url", "noindex",
+        soft404_cols()["soft404"].alias("soft404"),
+        c4_cols()["keep"].alias("c4_keep"))
+    gated = robots_gate(flags, robots_df(spark))
+    return (gated.filter(F.col("allowed") & ~F.col("noindex")
+                         & ~F.col("soft404") & F.col("c4_keep"))
+            .select("url"))
+
+
 def q_incremental_canonical_pages(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Append-mode crawl collapse: the first 80% of visits collapse
@@ -727,6 +752,37 @@ def _soft404_or(col: str) -> str:
     # SQL twin of the soft404_flags pattern OR-chain, literals shared
     return " OR ".join(
         f"contains({col}, '{p}')" for p in T.SOFT404_PATTERNS)
+
+
+def _soft404_sql(title: str, text: str) -> str:
+    # the full soft404 verdict (phrase OR-chain + length guard) —
+    # shared by the x_soft404 oracle and the composed content gate
+    lt = f"lower(COALESCE({title}, ''))"
+    lx = f"lower(COALESCE({text}, ''))"
+    return (f"((({_soft404_or(lt)}) OR ({_soft404_or(lx)})) AND "
+            f"length(COALESCE({text}, '')) < {T.SOFT404_MAX_CHARS})")
+
+
+# SQL twin of textops.c4_cols' kept-lines lambda (shared by the
+# x_c4_filter oracle and the composed content gate)
+_C4_KEPTL_SQL = """list_transform(list_filter(str_split({text}, chr(10)), l ->
+      right(trim(l), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                          w -> w <> '')) >= 3
+      AND NOT contains(lower(trim(l)), 'javascript')),
+      l -> trim(l))"""
+
+
+def _c4_keptl_sql(text: str) -> str:
+    return _C4_KEPTL_SQL.format(text=text)
+
+
+def _c4_keep_sql(keptl: str, clean: str, text: str) -> str:
+    # the C4 page verdict over precomputed kept-lines/clean columns
+    return ("(len(" + keptl + ") >= 1 AND length(" + clean + ") - "
+            "length(translate(" + clean + ", '.!?', '')) >= 3 "
+            "AND NOT contains(lower(" + text + "), 'lorem ipsum') "
+            "AND NOT contains(" + text + ", '{'))")
 
 
 def _hex_bucket_sql(col: str, n_buckets: int) -> str:
@@ -2214,32 +2270,40 @@ FROM read_parquet('{docs}') d LEFT JOIN agg a USING (url)
         "x_c4_filter": f"""
 WITH base AS (
   SELECT url, extracted_text AS text,
-         str_split(extracted_text, chr(10)) AS rawl
+         str_split(extracted_text, chr(10)) AS rawl,
+         {_c4_keptl_sql("extracted_text")} AS keptl
   FROM read_parquet('{docs}')),
-k AS (
-  SELECT url, text, rawl,
-    list_transform(list_filter(rawl, l ->
-      right(trim(l), 1) IN ('.', '!', '?', '"')
-      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
-                          w -> w <> '')) >= 3
-      AND NOT contains(lower(trim(l)), 'javascript')),
-      l -> trim(l)) AS keptl
-  FROM base),
 c AS (SELECT url, text, rawl, keptl,
              -- duckdb array_to_string([]) is NULL; spark's is ''
              COALESCE(array_to_string(keptl, chr(10)), '') AS clean
-      FROM k)
+      FROM base)
 SELECT url,
  CAST(len(rawl) AS INT) AS n_lines,
  CAST(len(keptl) AS INT) AS n_kept,
  CAST(length(clean) - length(translate(clean, '.!?', '')) AS INT)
    AS n_sentences,
- (len(keptl) >= 1
-  AND length(clean) - length(translate(clean, '.!?', '')) >= 3
-  AND NOT contains(lower(text), 'lorem ipsum')
-  AND NOT contains(text, '{{')) AS keep,
+ {_c4_keep_sql("keptl", "clean", "text")} AS keep,
  clean AS clean_text
 FROM c
+""",
+        # the composed content gate: soft404/C4 expressions carried
+        # THROUGH the shared robots-eval CTE chain — structural reuse
+        # on all three rule families
+        "x_content_gate": f"""
+WITH u0 AS (
+  SELECT url, noindex, title, extracted_text AS text,
+         {_c4_keptl_sql("extracted_text")} AS keptl
+  FROM read_parquet('{docs}')),
+u1 AS (SELECT url, noindex, title, text, keptl,
+        COALESCE(array_to_string(keptl, chr(10)), '') AS clean
+       FROM u0),
+u AS (SELECT url, noindex,
+       {_soft404_sql("title", "text")} AS soft404,
+       {_c4_keep_sql("keptl", "clean", "text")} AS c4_keep
+      FROM u1),
+{_robots_eval_ctes(carry="url, noindex, soft404, c4_keep")}
+SELECT url FROM ev
+WHERE best.allow AND NOT noindex AND NOT soft404 AND c4_keep
 """,
         # soft-404 phrase/length rule re-derived over the docs golden;
         # pattern literals shared with textops.SOFT404_PATTERNS
@@ -2248,10 +2312,7 @@ SELECT url,
  CAST(length(COALESCE(extracted_text, '')) AS INT) AS n_chars,
  ({_soft404_or("lower(COALESCE(title, ''))")}) AS title_hit,
  ({_soft404_or("lower(COALESCE(extracted_text, ''))")}) AS body_hit,
- (({_soft404_or("lower(COALESCE(title, ''))")})
-  OR ({_soft404_or("lower(COALESCE(extracted_text, ''))")}))
- AND length(COALESCE(extracted_text, ''))
-     < {T.SOFT404_MAX_CHARS} AS soft404
+ {_soft404_sql("title", "extracted_text")} AS soft404
 FROM read_parquet('{docs}')
 """,
         # the WAT record re-assembled from the docs+links goldens:
@@ -2608,6 +2669,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "x_line_dedup": x_line_dedup,
         "x_c4_filter": x_c4_filter,
         "x_soft404": x_soft404,
+        "x_content_gate": x_content_gate,
         "x_meta_tags": x_meta_tags,
         # web-graph family over the outlink surface
         "x_page_links": x_page_links,
@@ -2647,7 +2709,8 @@ _DRIVER_PRIORITY = [
     "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
     # new in r4 (eighth pass): CMS heavy-hitter detection (the hot-key
     # front door for repartition_salted), C4 line filter, soft-404
-    "hot_keys", "x_c4_filter", "x_soft404", "zorder_keys",
+    "hot_keys", "x_c4_filter", "x_soft404", "x_content_gate",
+    "zorder_keys",
     # new in r4 (third pass): the outlink / web-graph family
     "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
     # new in r4 (late): WARC container scan + web-URL crawl-log family

@@ -522,3 +522,16 @@ def test_ivfpq_probe_is_bucket_local_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_content_gate_single_kernel_pass(spark):
+    """Composed content gate (robots ∧ ¬noindex ∧ ¬soft404 ∧ C4):
+    all three content rules are column expressions over ONE
+    extraction pass — the kernel must appear exactly once — and the
+    robots side joins as a broadcast, never a shuffle join."""
+    from credit_ocr_system_spark.queries import x_content_gate
+
+    plan = plan_of(x_content_gate(spark, ""))
+    assert plan.count("MapInArrow") == 2   # one node: tree + detail
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan     # per-host rules broadcast
