@@ -168,6 +168,10 @@ HEADLINE = [
     "sitemap_frontier_bloom",
     # append-mode crawl collapse (delta cost, batch-equal)
     "incremental_canonical_pages",
+    # round 4, eighth pass: CMS heavy-hitter detection (the hot-key
+    # front door for repartition_salted) and write-time Z-order keys
+    "hot_keys",
+    "zorder_keys",
 ]
 
 
@@ -966,8 +970,13 @@ def main() -> None:
     ensure_pages(spark)
     t_all = time.time()
     timings, rows = run_headline(spark)
-    # best-of-3: single-rep walls swing ~20% on this shared VM
-    extraction = run_extraction(spark, args.cpus, reps=3)
+    # best-of-5: single-rep walls swing ~20% on this shared VM, and
+    # whole multi-rep windows have been caught at 5-8% steal (the r4
+    # "final artifact" run recorded 1951 docs/sec on a corpus the same
+    # code moves at 6300+ in a clean window) — more reps widen the
+    # chance at least one lands clean; per-rep steal%% is recorded so
+    # a reader can see which
+    extraction = run_extraction(spark, args.cpus, reps=5)
     total = round(time.time() - t_all, 2)
     spark.stop()
 
