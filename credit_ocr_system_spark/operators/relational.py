@@ -612,32 +612,62 @@ def approx_user_cardinality(events: DataFrame,
 
 # --- Luhn-validated PAN redaction -------------------------------------------
 
-# Candidate runs: digits with optional space/dash separators, bounded
-# so a cleaned candidate can reach 13-19 digits. No lookarounds — the
-# pattern must mean the same thing to Java regex and RE2 (the oracle).
-PAN_CANDIDATE_RE = "[0-9][0-9 -]{11,21}[0-9]"
+# Candidate runs: MAXIMAL digit/space/dash runs, unbounded. The old
+# bounded pattern ([0-9][0-9 -]{11,21}[0-9]) let a valid PAN escape
+# whenever ANY other digit group sat next to it ('4111111111111111
+# 2024' merged into one 21-digit candidate that failed the length
+# gate) — a silent PII leak on very plausible document text. No
+# lookarounds — the pattern must mean the same thing to Java regex
+# and RE2 (the oracle).
+PAN_CANDIDATE_RE = "[0-9][0-9 -]*[0-9]"
 PAN_TOKEN = "<PAN>"
+# ISO/IEC 7812 PAN lengths, and the most groups a separator-formatted
+# PAN realistically spans (4-4-4-4-3 is 5; 6 leaves margin). The
+# group cap is what keeps the detector LINEAR in run length and keeps
+# its false-positive surface identical to the bounded detector's: a
+# 26-digit contiguous reference number is ONE group, never window-
+# scanned, so it survives exactly as before (scanning every 13-19
+# digit window instead would Luhn-hit ~10% of windows and start
+# eating long order ids).
+PAN_MIN_DIGITS = 13
+PAN_MAX_DIGITS = 19
+PAN_MAX_GROUPS = 6
 
 # The whole detector is one scalar expression tree (regexp scan →
-# clean → Luhn checksum as an integer fold → literal replace fold):
-# map-side, no join, no UDF. The Luhn check is what separates a PAN
-# from an order id — redacting every digit run would destroy data the
-# pipeline needs (the reference's whole point is extracting amounts
-# and dates from credit documents; ``validation.py`` keeps numbers,
-# this drops only checksummed card numbers).
-_PAN_DIGIT = "(ascii(substring(s.num, length(s.num) - i + 1, 1)) - 48)"
+# split into digit groups → Luhn checksum over contiguous group
+# subsequences as integer folds → literal replace fold): map-side, no
+# join, no UDF. The Luhn check is what separates a PAN from an order
+# id — redacting every digit run would destroy data the pipeline
+# needs (the reference's whole point is extracting amounts and dates
+# from credit documents; ``validation.py`` keeps numbers, this drops
+# only runs carrying a checksummed card number). A run is flagged
+# when ANY contiguous subsequence of <= PAN_MAX_GROUPS of its digit
+# groups concatenates to 13-19 Luhn-valid digits — so a PAN glued to
+# a year or quantity ('4111111111111111 2024') is still caught — and
+# the WHOLE run is redacted (privacy-first: the neighbouring digits
+# go with it; reconstructing the subsequence's separator-preserving
+# original substring would buy back a year digit at the cost of an
+# offset-mapping fold in two engines). `exists` short-circuits, so
+# clean text pays one group pass per digit run.
+_PAN_DIGIT = "(ascii(substring(num, length(num) - i + 1, 1)) - 48)"
 _PAN_VALID_EXPR = f"""
 array_sort(array_distinct(transform(filter(
   transform(regexp_extract_all(text, '{PAN_CANDIDATE_RE}', 0),
     c -> named_struct('orig', c,
-                      'num', replace(replace(c, ' ', ''), '-', ''))),
-  s -> length(s.num) >= 13 AND length(s.num) <= 19 AND
-       aggregate(sequence(1, length(s.num)), 0, (acc, i) -> acc +
-         CASE WHEN i % 2 = 0 THEN
-           CASE WHEN 2 * {_PAN_DIGIT} > 9
-                THEN 2 * {_PAN_DIGIT} - 9
-                ELSE 2 * {_PAN_DIGIT} END
-         ELSE {_PAN_DIGIT} END) % 10 = 0),
+                      'grps', filter(split(c, '[ -]+'), g -> g != ''))),
+  s -> exists(
+    flatten(transform(sequence(1, size(s.grps)), a ->
+      transform(sequence(a, least(size(s.grps),
+                                  a + {PAN_MAX_GROUPS - 1})), b ->
+        array_join(slice(s.grps, a, b - a + 1), '')))),
+    num -> length(num) >= {PAN_MIN_DIGITS} AND
+           length(num) <= {PAN_MAX_DIGITS} AND
+           aggregate(sequence(1, length(num)), 0, (acc, i) -> acc +
+             CASE WHEN i % 2 = 0 THEN
+               CASE WHEN 2 * {_PAN_DIGIT} > 9
+                    THEN 2 * {_PAN_DIGIT} - 9
+                    ELSE 2 * {_PAN_DIGIT} END
+             ELSE {_PAN_DIGIT} END) % 10 = 0)),
   s -> s.orig)))
 """
 
@@ -646,21 +676,37 @@ def redact_pans(documents: DataFrame) -> DataFrame:
     """Redact Luhn-valid payment-card numbers from document text.
 
     Output: (doc_id, n_pans, text_redacted). Candidates are maximal
-    digit/space/dash runs; a candidate is redacted only if its cleaned
-    digits are 13–19 long AND pass the Luhn checksum (ISO/IEC 7812) —
-    computed as an ordered integer fold over the digit positions, all
-    JVM-side scalar expressions. Redaction itself is a literal-replace
-    fold over the (sorted, distinct) valid candidates, so the same
-    card written twice redacts both times and the fold order is
-    deterministic. The identical expression tree runs in the DuckDB
-    oracle (list_reduce/struct_extract spellings).
+    digit/space/dash runs, split into separator-delimited digit
+    groups; a run is redacted iff some contiguous subsequence of at
+    most ``PAN_MAX_GROUPS`` groups concatenates to 13-19 digits that
+    pass the Luhn checksum (ISO/IEC 7812) — computed as ordered
+    integer folds over the digit positions, all JVM-side scalar
+    expressions. ``n_pans`` counts redacted runs. Redaction itself is
+    a literal-replace fold over the (sorted, distinct) flagged runs,
+    so the same card written twice redacts both times and the fold
+    order is deterministic. The identical expression tree runs in the
+    DuckDB oracle (list_filter/list_reduce/struct_extract spellings).
+
+    Known bound: a PAN written as >6 separator groups (e.g. one digit
+    per group) escapes; a PAN embedded inside a LONGER contiguous
+    digit run (no separators) also escapes — both are non-formats no
+    issuer prints, and scanning them would false-positive on long
+    reference numbers (see the PAN_MAX_GROUPS note above).
+
+    The candidate array is computed ONCE into a mid-plan column;
+    Catalyst keeps the two projections separate (CollapseProject
+    refuses to duplicate non-cheap expressions), so each row pays one
+    regexp scan + Luhn pass, not two.
     """
-    valid = F.expr(_PAN_VALID_EXPR)
-    return documents.select(
+    with_pans = documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size(valid).alias("n_pans"),
+        F.col("text"),
+        F.expr(_PAN_VALID_EXPR).alias("pans"))
+    return with_pans.select(
+        "doc_id",
+        F.size("pans").alias("n_pans"),
         F.expr(
-            f"aggregate({_PAN_VALID_EXPR}, text,"
+            f"aggregate(pans, text,"
             f" (acc, p) -> replace(acc, p, '{PAN_TOKEN}'))"
         ).alias("text_redacted"))
 

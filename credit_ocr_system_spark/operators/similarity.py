@@ -642,6 +642,51 @@ def pq_encode(embeddings: DataFrame,
         "vec_id", "sub", F.col("centroid_id").alias("code"))
 
 
+def _adc_luts(queries: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup tables: (query_id, luts) where
+    ``luts[sub][centroid]`` is the exact squared-L2 distance from the
+    query's ``sub``-th subvector to that codebook centroid. One tiny
+    row per query (PQ_SUBS x PQ_K doubles) — the broadcast side of
+    every ADC scoring join. ``queries`` must carry (vec_id, v)."""
+    lut = (_subvectors(queries)
+           .join(F.broadcast(cb), "sub")
+           .select(F.col("vec_id").alias("query_id"), "sub",
+                   "centroid_id",
+                   _l2(F.col("sv"), F.col("c")).alias("d")))
+    lut_sub = lut.groupBy("query_id", "sub").agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("centroid_id", "d"))), lambda s: s["d"]).alias("row"))
+    return lut_sub.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                    lambda s: s["row"]).alias("luts"))
+
+
+def _adc_fold():
+    """The ADC distance fold: Σ_sub luts[sub][codes[sub]] — ordered,
+    +1 for 1-based element_at, int casts pinned. ONE definition shared
+    by pq_topk and ivfpq_topk so a tie-break or index-cast change can
+    never desynchronize the two (both oracles mirror this exact
+    fold). A function, not a module constant: Columns need an active
+    session."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at(F.col("luts"), (s + 1).cast("int")),
+            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
+            .cast("int")))
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ADC tail: fold the distance, rank per query (ties on
+    neighbor_id), keep the top k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("adist", _adc_fold())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.col("rank").cast("int")))
+
+
 def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
             codebooks: DataFrame | None = None,
             sample_rate_hex: str | None = None) -> DataFrame:
@@ -669,30 +714,8 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"))
-    lut = (_subvectors(queries)
-           .join(F.broadcast(cb), "sub")
-           .select(F.col("vec_id").alias("query_id"), "sub",
-                   "centroid_id",
-                   _l2(F.col("sv"), F.col("c")).alias("d")))
-    lut_sub = lut.groupBy("query_id", "sub").agg(
-        F.transform(F.array_sort(F.collect_list(
-            F.struct("centroid_id", "d"))), lambda s: s["d"]).alias("row"))
-    lut_wide = lut_sub.groupBy("query_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("sub", "row"))),
-                    lambda s: s["row"]).alias("luts"))
-    scored = codes_wide.join(F.broadcast(lut_wide)).withColumn(
-        "adist",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)), F.lit(0.0),
-            lambda acc, s: acc + F.element_at(
-                F.element_at(F.col("luts"), (s + 1).cast("int")),
-                (F.element_at(F.col("codes"),
-                              (s + 1).cast("int")) + 1).cast("int"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adist"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", F.col("rank").cast("int")))
+    scored = codes_wide.join(F.broadcast(_adc_luts(queries, cb)))
+    return _adc_topk(scored, k)
 
 
 def ivfpq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
@@ -748,29 +771,7 @@ def ivfpq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
         queries.select(F.col("vec_id").alias("query_id"),
                        F.col("v").alias("q")),
         cents, "query_id", "q", nprobe).select("query_id", "centroid_id")
-    lut = (_subvectors(queries)
-           .join(F.broadcast(cb), "sub")
-           .select(F.col("vec_id").alias("query_id"), "sub",
-                   "centroid_id",
-                   _l2(F.col("sv"), F.col("c")).alias("d")))
-    lut_sub = lut.groupBy("query_id", "sub").agg(
-        F.transform(F.array_sort(F.collect_list(
-            F.struct("centroid_id", "d"))), lambda s: s["d"]).alias("row"))
-    lut_wide = lut_sub.groupBy("query_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("sub", "row"))),
-                    lambda s: s["row"]).alias("luts"))
     scored = (codes_wide
               .join(F.broadcast(probes), "centroid_id")
-              .join(F.broadcast(lut_wide), "query_id")
-              .withColumn("adist", F.aggregate(
-                  F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)), F.lit(0.0),
-                  lambda acc, s: acc + F.element_at(
-                      F.element_at(F.col("luts"), (s + 1).cast("int")),
-                      (F.element_at(F.col("codes"),
-                                    (s + 1).cast("int")) + 1)
-                      .cast("int")))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adist"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", F.col("rank").cast("int")))
+              .join(F.broadcast(_adc_luts(queries, cb)), "query_id"))
+    return _adc_topk(scored, k)

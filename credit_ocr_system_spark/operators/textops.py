@@ -2347,18 +2347,21 @@ def c4_cols(text_col: str = "extracted_text") -> dict:
     plan (the standalone query, the composed content gate) embeds
     them without an exchange."""
     raw = F.split(F.col(text_col), "\n")
+    # btrim with an explicit char set, NOT F.trim: trim strips only
+    # ASCII spaces, so a CRLF corpus (lines ending '\r' after the
+    # '\n' split) would never end in terminal punctuation and EVERY
+    # page would be silently rejected; same for tab-padded lines.
+    _ws = F.lit(" \t\r")
 
     def _keep_line(line):
-        t = F.trim(line)
+        t = F.btrim(line, _ws)
         words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
         return (F.right(t, F.lit(1)).isin(*C4_TERMINALS)
                 & (F.size(words) >= C4_MIN_WORDS)
                 & ~F.contains(F.lower(t), F.lit("javascript")))
 
     kept = F.filter(raw, _keep_line)
-    # NOT F.transform(kept, F.trim): trim has an optional 2nd param,
-    # so transform would bind the element INDEX to it
-    clean = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    clean = F.array_join(F.transform(kept, lambda l: F.btrim(l, _ws)), "\n")
     n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
     lower_text = F.lower(F.col(text_col))
     blocked = F.lit(False)

@@ -42,7 +42,24 @@ def write_bucketed(df: DataFrame, table: str, key: str,
                    mode: str = "overwrite") -> None:
     """Persist ``df`` as a parquet table bucketed (and by default
     sorted) by ``key``. The one-time shuffle that buys every later
-    join its Exchange back."""
+    join its Exchange back.
+
+    ``mode='append'`` is rejected: a second write would put a second
+    file in every bucket, and Spark only trusts (and reuses) the
+    write-time sort order when a bucket is a single file — the
+    appended table would silently regain a per-join Sort, the exact
+    cost this module exists to eliminate. To grow a bucketed table,
+    union the delta with the existing rows and rewrite (the one-time
+    shuffle is the layout's price), or keep deltas in a separate
+    bucketed table with the same (key, n_buckets) — bucket-local
+    union still avoids the exchange.
+    """
+    if mode == "append":
+        raise ValueError(
+            "write_bucketed(mode='append') would break the one-file-"
+            "per-bucket invariant the zero-sort co-located joins rely "
+            "on; rewrite the table (union delta + overwrite) or keep "
+            "deltas in a second identically-bucketed table")
     # one file per bucket: Spark only trusts (and reuses) the
     # write-time sort order when a bucket is a single file, so the
     # writer co-locates each bucket's rows in one task first. This IS

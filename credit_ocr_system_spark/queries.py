@@ -764,13 +764,17 @@ def _soft404_sql(title: str, text: str) -> str:
 
 
 # SQL twin of textops.c4_cols' kept-lines lambda (shared by the
-# x_c4_filter oracle and the composed content gate)
-_C4_KEPTL_SQL = """list_transform(list_filter(str_split({text}, chr(10)), l ->
-      right(trim(l), 1) IN ('.', '!', '?', '"')
-      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+# x_c4_filter oracle and the composed content gate). trim with the
+# same explicit char set as the Spark btrim — space, tab, CR — so a
+# CRLF corpus reads identically in both engines.
+_C4_WS_SQL = "concat(' ', chr(9), chr(13))"
+_C4_KEPTL_SQL = f"""list_transform(list_filter(str_split({{text}}, chr(10)), l ->
+      right(trim(l, {_C4_WS_SQL}), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split_regex(trim(l, {_C4_WS_SQL}),
+                                             '\\s+'),
                           w -> w <> '')) >= 3
-      AND NOT contains(lower(trim(l)), 'javascript')),
-      l -> trim(l))"""
+      AND NOT contains(lower(trim(l, {_C4_WS_SQL})), 'javascript')),
+      l -> trim(l, {_C4_WS_SQL}))"""
 
 
 def _c4_keptl_sql(text: str) -> str:
@@ -3729,34 +3733,42 @@ WHERE rn <= 5
 
 # The identical expression tree as relational.redact_pans in DuckDB
 # spelling: RE2 regexp scan (pattern shared, no lookarounds), the same
-# clean → length-gate → Luhn integer fold, and the same sorted-distinct
-# literal-replace fold seeded with the original text.
-_PAN_DIGIT_CD = ("(ascii(substr(struct_extract(s, 'num'),"
-                 " length(struct_extract(s, 'num')) - i + 1, 1)) - 48)")
+# group split → contiguous-group-subsequence Luhn integer folds
+# (DuckDB has no `exists` lambda, so `len(list_filter(...)) > 0`
+# plays its role — order-independent, so parity holds), and the same
+# sorted-distinct literal-replace fold seeded with the original text.
+_PAN_DIGIT_CD = "(ascii(substr(num, length(num) - i + 1, 1)) - 48)"
+_PAN_GRPS_CD = "struct_extract(s, 'grps')"
 _PAN_VALID_CD = f"""
 list_sort(list_distinct(list_transform(list_filter(
   list_transform(regexp_extract_all(text, '{R.PAN_CANDIDATE_RE}'),
     c -> struct_pack(orig := c,
-                     num := replace(replace(c, ' ', ''), '-', ''))),
-  s -> length(struct_extract(s, 'num')) >= 13
-   AND length(struct_extract(s, 'num')) <= 19
-   AND list_reduce(list_prepend(0,
-         list_transform(generate_series(1,
-             length(struct_extract(s, 'num'))), i ->
-           CASE WHEN i % 2 = 0 THEN
-             CASE WHEN 2 * {_PAN_DIGIT_CD} > 9
-                  THEN 2 * {_PAN_DIGIT_CD} - 9
-                  ELSE 2 * {_PAN_DIGIT_CD} END
-           ELSE {_PAN_DIGIT_CD} END)),
-         (a, b) -> a + b) % 10 = 0),
+                     grps := list_filter(string_split_regex(c, '[ -]+'),
+                                         g -> g <> ''))),
+  s -> len(list_filter(
+    flatten(list_transform(generate_series(1, len({_PAN_GRPS_CD})), a ->
+      list_transform(generate_series(a, least(len({_PAN_GRPS_CD}),
+                                     a + {R.PAN_MAX_GROUPS - 1})), b ->
+        array_to_string(list_slice({_PAN_GRPS_CD}, a, b), '')))),
+    num -> length(num) >= {R.PAN_MIN_DIGITS}
+       AND length(num) <= {R.PAN_MAX_DIGITS}
+       AND list_reduce(list_prepend(0,
+             list_transform(generate_series(1, length(num)), i ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN 2 * {_PAN_DIGIT_CD} > 9
+                      THEN 2 * {_PAN_DIGIT_CD} - 9
+                      ELSE 2 * {_PAN_DIGIT_CD} END
+               ELSE {_PAN_DIGIT_CD} END)),
+             (x, y) -> x + y) % 10 = 0)) > 0),
   s -> struct_extract(s, 'orig'))))
 """
 
 ORACLES["pan_redaction"] = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
- CAST(len({_PAN_VALID_CD}) AS INT) AS n_pans,
- list_reduce(list_prepend(text, {_PAN_VALID_CD}),
+SELECT doc_id, CAST(len(pans) AS INT) AS n_pans,
+ list_reduce(list_prepend(text, pans),
              (acc, p) -> replace(acc, p, '{R.PAN_TOKEN}'))
    AS text_redacted
-FROM documents
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       {_PAN_VALID_CD} AS pans
+      FROM documents)
 """

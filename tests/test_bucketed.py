@@ -72,3 +72,12 @@ def test_bucket_key_filter_prunes_to_one_bucket(spark, bucketed_tables):
         assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
     finally:
         spark.conf.set(flag, "true")
+
+
+def test_append_mode_rejected(spark, bucketed_tables):
+    """append would put a second file in each bucket and silently
+    void the write-time sort order every zero-sort join relies on."""
+    _, _, docs, _ = bucketed_tables
+    with pytest.raises(ValueError, match="one-file-per-bucket"):
+        write_bucketed(docs, "bt_docs", "doc_id", N_BUCKETS,
+                       mode="append")

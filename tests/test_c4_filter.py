@@ -49,6 +49,29 @@ def test_line_rules(spark):
     assert bool(r.keep)  # 3 sentences, no blockers
 
 
+def test_crlf_and_tab_padded_lines_survive(spark):
+    """The round-4 review bug: space-only trim left the trailing '\\r'
+    of CRLF corpora (and trailing tabs) on every line, so no line
+    ended in terminal punctuation and whole pages were silently
+    rejected. The char-set trim must keep them."""
+    crlf = ("Good sentence one is here.\r\n"
+            "Good sentence two is here.\r\n"
+            "Good sentence three is here.\r\n")
+    r = _run(spark, crlf)
+    assert r.n_kept == 3 and bool(r.keep)
+    assert r.clean_text.split("\n") == [
+        "Good sentence one is here.",
+        "Good sentence two is here.",
+        "Good sentence three is here.",
+    ]
+    tabbed = ("First tabbed line stays here.\t\n"
+              "Second tabbed line stays here.\t\n"
+              "\tThird tabbed line stays here.\t")
+    r2 = _run(spark, tabbed)
+    assert r2.n_kept == 3 and bool(r2.keep)
+    assert "\t" not in r2.clean_text
+
+
 def test_min_sentences_drops_page(spark):
     r = _run(spark, "one good sentence here.\nanother good one here?")
     assert r.n_kept == 2 and r.n_sentences == 2

@@ -69,3 +69,49 @@ def test_non_pans_survive(spark):
 def test_repeated_pan_redacts_every_occurrence(spark):
     out = _run(spark, [f"{VALID_16} and again {VALID_16}"])
     assert out.loc[0, "text_redacted"] == "<PAN> and again <PAN>"
+
+
+def test_pan_adjacent_to_other_digit_groups_still_redacts(spark):
+    """The round-4 review leak: a valid PAN next to a year/quantity
+    merged into one too-long candidate and escaped. The group-
+    subsequence scan must catch all three repros (the whole run is
+    redacted — over-redaction of the neighbour digits is the
+    documented privacy-first trade)."""
+    out = _run(spark, [
+        f"{VALID_16} 2024 annual fee",
+        f"total 12 {VALID_16}",
+        "4111 1111 1111 1111 12",
+    ])
+    assert (out.n_pans >= 1).all()
+    for t in out.text_redacted:
+        assert "4111" not in t and VALID_16 not in t
+    assert out.loc[0, "text_redacted"] == "<PAN> annual fee"
+    assert out.loc[1, "text_redacted"] == "total <PAN>"
+    assert out.loc[2, "text_redacted"] == "<PAN>"
+
+
+def test_long_contiguous_reference_numbers_still_survive(spark):
+    """The group cap's no-false-positive half: contiguous long runs
+    are ONE group, never window-scanned, so order ids keep surviving
+    even when some interior 13-19 window happens to be Luhn-valid."""
+    out = _run(spark, [
+        "ref 12345678901234567890123456 ok",
+        f"id 9{VALID_16}7 stays",  # PAN embedded in a longer run
+    ])
+    assert out.n_pans.tolist() == [0, 0]
+    assert (out.text_redacted.str.contains("<PAN>") == False).all()  # noqa: E712
+
+
+def test_single_regexp_scan_in_plan(spark):
+    """The candidate array must be computed once: CollapseProject
+    refuses to merge the two projections because the expression is
+    non-cheap, so the physical plan carries exactly one
+    regexp_extract_all. Guards the double-evaluation regression."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        R.redact_pans(df).explain("formatted")
+    assert buf.getvalue().count("regexp_extract_all") == 1
