@@ -49,6 +49,45 @@ BLOCK_TAGS = frozenset(
 # inter-tag whitespace, matching how tables actually render.
 CELL_TAGS = frozenset({"td", "th"})
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# HTML5 void elements (no end tag ever arrives). Strip-depth
+# bookkeeping must skip them on BOTH sides: a <wbr> inside a stripped
+# nav would otherwise raise the depth with no close to lower it
+# (over-strip: the rest of the document vanishes), and a self-closed
+# <img/> (stdlib synthesizes starttag+endtag) would decrement a depth
+# it never incremented, ending the strip mid-nav and leaking
+# boilerplate into content.
+VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"})
+# Elements whose end tag is OPTIONAL in the HTML spec (parsers imply
+# the close): valid real-world markup writes '<ul><li>Home<li>About'
+# with no </li> at all. Counting their starts inside a strip region
+# would raise the depth with no close to lower it and swallow the
+# rest of the document, so depth bookkeeping skips them on both sides
+# (symmetric: their end tags, when present, are skipped too).
+_OPTIONAL_END = frozenset(
+    {"li", "p", "dt", "dd", "tr", "td", "th", "option", "optgroup",
+     "thead", "tbody", "tfoot", "caption", "colgroup", "rt", "rp"})
+# When a strip region is ROOTED at an optional-end element (a
+# negative-class '<li class="menu-item">'), the strip must end where
+# a browser would imply the element's close: at a sibling start tag
+# that auto-closes it. Maps root tag -> start tags that imply its
+# close (HTML spec §13.1.2.4 'optional tags').
+_IMPLIES_CLOSE = {
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "p": BLOCK_TAGS,
+    "tr": frozenset({"tr"}),
+    "td": frozenset({"td", "th", "tr"}),
+    "th": frozenset({"td", "th", "tr"}),
+}
+# Depth bookkeeping also skips <body>: browsers drop duplicate body
+# tags (real crawls contain them), so counting one inside a strip
+# region would add depth no end tag ever unwinds and swallow the rest
+# of the document. The FIRST body is consumed by the unclosed-head
+# rescue before this set is consulted.
+_DEPTH_SKIP = VOID_TAGS | _OPTIONAL_END | {"body"}
 SEGMENT_TAGS = frozenset({"span", "a", "b", "i", "em", "strong", "label",
                           "code", "u", "small", "sup", "sub"})
 _NEGATIVE_RE = re.compile(
@@ -113,7 +152,13 @@ class _BlockCollector(HTMLParser):
         # directive fields above are still parsed out separately
         self.metas: List[Dict[str, str]] = []
         self._link_parts: List[str] | None = None  # active <a href> text
-        self._in_title = False
+        # _in_title_elem: inside ANY <title> element — its text is
+        # never document content, captured or not. _title_capture:
+        # this title's text goes into self.title (the head's title,
+        # first non-blank one wins).
+        self._in_title_elem = False
+        self._title_capture = False
+        self._title_done = False  # first captured title wins
         self._strip_depth = 0
         self._strip_root = ""  # tag that opened the current strip
         self._anchor_depth = 0
@@ -193,10 +238,30 @@ class _BlockCollector(HTMLParser):
                     "article:published_time" and not self.published:
                 self.published = a.get("content", "").strip()
 
+    def _end_title_capture(self) -> None:
+        """Close an active title capture. A non-blank capture marks
+        the title done (first wins — later <title> elements, SEO spam
+        or duplicated heads, must not concatenate); a blank one is
+        discarded so a later real title can still claim the slot."""
+        if self._title_capture:
+            if _norm(self.title):
+                self._title_done = True
+            else:
+                self.title = ""
+        self._title_capture = False
+
     def handle_starttag(self, tag: str, attrs) -> None:
         # any new tag ends title capture — an unclosed <title> (real
-        # crawls have them) must not swallow the document's content
-        self._in_title = tag == "title"
+        # crawls have them) must not swallow the document's content.
+        self._end_title_capture()
+        self._in_title_elem = tag == "title"
+        # Capture only the head's title (or a top-level one), once:
+        # inline <svg><title> is an accessibility label, not the
+        # document title.
+        self._title_capture = (self._in_title_elem
+                               and not self._title_done
+                               and (self._strip_depth == 0
+                                    or self._strip_root == "head"))
         if tag == "a":
             # captured BEFORE the strip check: nav/footer/aside links
             # are web-graph edges even though their text is stripped
@@ -213,9 +278,17 @@ class _BlockCollector(HTMLParser):
             # would swallow the whole document into the strip.
             if tag == "body" and self._strip_root == "head":
                 self._strip_depth = 0
+            elif (self._strip_depth == 1
+                  and self._strip_root in _OPTIONAL_END
+                  and tag in _IMPLIES_CLOSE.get(
+                      self._strip_root, (self._strip_root,))):
+                # a strip rooted at an optional-end element (negative-
+                # class <li>/<p>/<td>) ends where a browser implies
+                # its close: the sibling start falls through to normal
+                # processing (it may itself open a fresh strip)
+                self._strip_depth = 0
             else:
-                if tag not in ("br", "img", "hr", "input", "meta",
-                               "link"):
+                if tag not in _DEPTH_SKIP:
                     self._strip_depth += 1
                 return
         if tag in STRIP_TAGS:
@@ -229,6 +302,10 @@ class _BlockCollector(HTMLParser):
                 if v and k in ("class", "id", "role") \
                         and _NEGATIVE_RE.search(v):
                     self._strip_depth = 1
+                    # without this, a stale root (e.g. 'head') would
+                    # let the unclosed-head <body> rescue terminate
+                    # THIS strip region on a stray duplicate <body>
+                    self._strip_root = tag
                     return
         if tag in BLOCK_TAGS:
             self._flush_block()
@@ -245,11 +322,17 @@ class _BlockCollector(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "title":
-            self._in_title = False
+            self._end_title_capture()
+            self._in_title_elem = False
         elif tag == "a":
             self._close_link()
         if self._strip_depth:
-            self._strip_depth -= 1
+            if tag not in _DEPTH_SKIP:
+                self._strip_depth -= 1
+            elif (tag == self._strip_root and self._strip_depth == 1
+                  and tag in _OPTIONAL_END):
+                # explicit close of an optional-end strip root
+                self._strip_depth = 0
             return
         if tag in BLOCK_TAGS:
             self._flush_block()
@@ -262,10 +345,15 @@ class _BlockCollector(HTMLParser):
                 self._anchor_depth -= 1
 
     def handle_data(self, data: str) -> None:
-        if self._in_title:
+        if self._title_capture:
             # title text is metadata, not a content block — captured
             # even though <head> is stripped for content
             self.title += data
+            return
+        if self._in_title_elem:
+            # a NON-captured title (second title, body-level title) is
+            # still never-rendered metadata: discard, don't let it
+            # leak into extracted_text as a content block
             return
         if self._link_parts is not None:
             # anchor text accumulates even inside stripped containers
@@ -525,7 +613,14 @@ def extract_html(payload: bytes) -> Dict[str, Any]:
     offset = 0
     for row_idx, block in enumerate(kept):
         page = 1 + row_idx // ROWS_PER_PAGE
-        y1 = ROW_TOP + (row_idx % ROWS_PER_PAGE) * ROW_PITCH
+        # y is MONOTONIC across the whole document, not per-page: the
+        # downstream row clusterer intentionally ignores page_num
+        # (bug-compatible with the reference's spatial_analysis, which
+        # clusters all pages together), so a per-page y reset would
+        # give block k and block k+ROWS_PER_PAGE identical centers and
+        # merge them into one garbled cross-page row on any document
+        # with 41+ blocks.
+        y1 = ROW_TOP + row_idx * ROW_PITCH
         x = LEFT_MARGIN
         for seg_idx, seg in enumerate(block["segments"]):
             text = seg["text"]

@@ -22,12 +22,18 @@ construction. See SURVEY.md §2.3 G1/G3.
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
 from typing import Any, Dict, List
 
 Element = Dict[str, Any]
 
 ROW_TOLERANCE = 15.0          # max |y-center| distance for same-row
 ROW_REL_TOLERANCE = 0.5       # ... and < this × mean element height
+# cluster_rows switches from the straight O(n²) tail scan (best
+# constants on the typical tens-of-elements document — the hot path)
+# to the y-sorted bisect window (O(n log n) on pathological pages)
+# above this element count; both branches produce identical output
+_WINDOW_THRESHOLD = 512
 MERGE_MAX_GAP = 20.0          # max horizontal gap between fragments
 MERGE_MIN_LEN = 3             # both fragments at least this long
 MERGE_MAX_DY = 5.0            # max |y1| difference between fragments
@@ -81,6 +87,39 @@ def cluster_rows(elements: List[Element],
         hs[i] = y2 - y1
     rows: List[List[Element]] = []
     alive = [True] * n
+    if n <= _WINDOW_THRESHOLD:
+        # typical documents (tens to a few hundred elements): the
+        # straight tail scan has the best constants — this is the
+        # extraction hot path, measured at sf0.1
+        for seed_idx in range(n):
+            if not alive[seed_idx]:
+                continue
+            alive[seed_idx] = False
+            row = [elements[seed_idx]]
+            seed_cy = cys[seed_idx]
+            seed_h = hs[seed_idx]
+            for j in range(seed_idx + 1, n):
+                if not alive[j]:
+                    continue
+                dy = abs(seed_cy - cys[j])
+                mean_h = (seed_h + hs[j]) / 2
+                if dy < tolerance and dy < mean_h * ROW_REL_TOLERANCE:
+                    row.append(elements[j])
+                    alive[j] = False
+            row.sort(key=lambda e: e["bbox"]["x1"])
+            rows.append(row)
+        return rows
+    # Large pages: a y-sorted index. Absorption requires dy <
+    # tolerance, so each seed only examines the ±tolerance window
+    # around its center (bisect), not the whole tail. Output is
+    # IDENTICAL to the full scan — window candidates are re-filtered
+    # by the exact predicate and appended in original-index order (the
+    # window is a superset of the absorbable set) — but a document
+    # whose rows never collide (monotonic synthetic y) clusters in
+    # O(n log n) instead of O(n²): a 25k-block crawl page would
+    # otherwise burn ~30 s of executor CPU in this loop.
+    order = sorted(range(n), key=cys.__getitem__)
+    scys = [cys[i] for i in order]
     for seed_idx in range(n):
         if not alive[seed_idx]:
             continue
@@ -88,8 +127,10 @@ def cluster_rows(elements: List[Element],
         row = [elements[seed_idx]]
         seed_cy = cys[seed_idx]
         seed_h = hs[seed_idx]
-        for j in range(seed_idx + 1, n):
-            if not alive[j]:
+        lo = bisect_left(scys, seed_cy - tolerance)
+        hi = bisect_right(scys, seed_cy + tolerance)
+        for j in sorted(order[lo:hi]):
+            if j <= seed_idx or not alive[j]:
                 continue
             dy = abs(seed_cy - cys[j])
             mean_h = (seed_h + hs[j]) / 2

@@ -270,7 +270,14 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 return bytes(out)  # corrupt
             out += entry
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) \
+            # EarlyChange=1 (the default): widen one code EARLY, i.e.
+            # the first 10-bit code is read once the table holds 511
+            # entries — the pdfminer/pdf.js/Acrobat convention. The
+            # old `+ early_change - 1` widened one code late, so every
+            # real-world stream desynced at the first width
+            # transition (masked by the in-repo encoder sharing the
+            # shifted convention; both now match the ecosystem).
+            if len(table) + early_change >= (1 << width) \
                     and width < 12:
                 width += 1
     return bytes(out)
@@ -279,11 +286,19 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
 def _png_unpredict(data: bytes, columns: int, colors: int,
                    bpc: int) -> bytes:
     """Reverse PNG row predictors (type tag per row) — /Predictor
-    >= 10 on Flate/LZW streams (xref streams, some ObjStms)."""
+    >= 10 on Flate/LZW streams (xref streams, some ObjStms). The
+    per-row predictor math delegates to ``codecs._unfilter_row`` (one
+    maintained copy of Sub/Up/Average/Paeth in the package); a
+    corrupt type tag passes the row through unfiltered instead of
+    raising — this surface never raises on dirty input."""
+    import numpy as np
+
+    from .codecs import _unfilter_row
+
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = (columns * colors * bpc + 7) // 8
     out = bytearray()
-    prior = bytearray(rowlen)
+    prior = np.zeros(rowlen, np.uint8)
     i = 0
     n = len(data)
     while i + 1 <= n:
@@ -291,28 +306,10 @@ def _png_unpredict(data: bytes, columns: int, colors: int,
         row = bytearray(data[i + 1:i + 1 + rowlen])
         row += bytes(rowlen - len(row))
         i += 1 + rowlen
-        if ftype == 1:  # Sub
-            for k in range(bpp, rowlen):
-                row[k] = (row[k] + row[k - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for k in range(rowlen):
-                row[k] = (row[k] + prior[k]) & 0xFF
-        elif ftype == 3:  # Average
-            for k in range(rowlen):
-                left = row[k - bpp] if k >= bpp else 0
-                row[k] = (row[k] + (left + prior[k]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for k in range(rowlen):
-                a = row[k - bpp] if k >= bpp else 0
-                b = prior[k]
-                c = prior[k - bpp] if k >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else \
-                    (b if pb <= pc else c)
-                row[k] = (row[k] + pred) & 0xFF
-        out += row
-        prior = row
+        filt = np.frombuffer(bytes(row), np.uint8)
+        prior = _unfilter_row(ftype if ftype <= 4 else 0,
+                              filt, prior, bpp)
+        out += prior.tobytes()
     return bytes(out)
 
 

@@ -41,9 +41,19 @@ def _px(col):
 
 def annotation_svg(extracted: DataFrame) -> DataFrame:
     """One SVG overlay per (url, page): a rect + truncated label per
-    element, colored by confidence band."""
+    element, colored by confidence band.
+
+    HTML synthetic geometry is document-absolute (monotonic y across
+    pages — the row clusterer needs it), so HTML shapes are rebased
+    to page-local coordinates by the fixed page span; PDF elements
+    are already page-local (their overlay sits on the page image) and
+    get offset 0. The offset is a deterministic function of
+    (doc_kind, page_num), mirrored exactly in the SQL oracle.
+    """
+    from ..kernel.html_extract import ROW_PITCH, ROWS_PER_PAGE
+
     el = extracted.select(
-        "url", F.explode("elements").alias("e")
+        "url", "doc_kind", F.explode("elements").alias("e")
     ).select(
         "url",
         F.col("e.elem_idx").alias("elem_idx"),
@@ -51,21 +61,26 @@ def annotation_svg(extracted: DataFrame) -> DataFrame:
         F.col("e.text").alias("text"),
         F.col("e.confidence").alias("confidence"),
         F.col("e.bbox").alias("bbox"),
+        F.when(F.col("doc_kind") == "html",
+               (F.col("page_num").cast("double") - 1.0)
+               * F.lit(float(ROWS_PER_PAGE * ROW_PITCH)))
+        .otherwise(F.lit(0.0)).alias("y_off"),
     )
     # reference truncation: text[:30] + '...'
     label = F.when(
         F.length("text") > 30,
         F.concat(F.substring("text", 1, 30), F.lit("...")),
     ).otherwise(F.col("text"))
+    y_local = F.col("bbox.y1") - F.col("y_off")
     shape = F.concat(
         F.lit('<rect x="'), _px(F.col("bbox.x1")),
-        F.lit('" y="'), _px(F.col("bbox.y1")),
+        F.lit('" y="'), _px(y_local),
         F.lit('" width="'), _px(F.col("bbox.width")),
         F.lit('" height="'), _px(F.col("bbox.height")),
         F.lit('" fill="none" stroke="'),
         _band_color(F.col("confidence")),
         F.lit('"/><text x="'), _px(F.col("bbox.x1")),
-        F.lit('" y="'), (F.ceil(F.col("bbox.y1")) - 2).cast("string"),
+        F.lit('" y="'), (F.ceil(y_local) - 2).cast("string"),
         F.lit('" font-size="8">'), label, F.lit("</text>"),
     )
     per_page = (
@@ -79,7 +94,8 @@ def annotation_svg(extracted: DataFrame) -> DataFrame:
                     F.struct(F.col("elem_idx"), F.col("shape")))),
                 lambda s: s["shape"])).alias("body"),
             F.max(F.ceil(F.col("bbox.x2"))).alias("max_x"),
-            F.max(F.ceil(F.col("bbox.y2"))).alias("max_y"),
+            F.max(F.ceil(F.col("bbox.y2") - F.col("y_off")))
+            .alias("max_y"),
         )
     )
     svg = F.concat(

@@ -118,7 +118,8 @@ def _kernel_goldens() -> None:
             "warc_us": int(p["warc_ts"].timestamp()) * 1_000_000,
         })
         for idx, e in enumerate(res["elements"]):
-            row = {"url": p["url"], "elem_idx": idx,
+            row = {"url": p["url"], "doc_kind": res["doc_kind"],
+                   "elem_idx": idx,
                    "page_num": e["page_num"], "text": e["text"],
                    "confidence": e["confidence"]}
             row.update({k: e["bbox"][k] for k in _BBOX_FIELDS})
@@ -162,7 +163,8 @@ def _kernel_goldens() -> None:
         ("is_image_only", pa.bool_()),
     ]))
     _write("x_elements.parquet", elem_rows, pa.schema(
-        [("url", pa.string()), ("elem_idx", pa.int32()),
+        [("url", pa.string()), ("doc_kind", pa.string()),
+         ("elem_idx", pa.int32()),
          ("page_num", pa.int32()), ("text", pa.string()),
          ("confidence", pa.float64())]
         + [(k, pa.float64()) for k in _BBOX_FIELDS]))

@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle_golden as G
+from .kernel.html_extract import ROW_PITCH as _HTML_ROW_PITCH
+from .kernel.html_extract import ROWS_PER_PAGE as _HTML_ROWS_PER_PAGE
 from .operators.portable import sql_pround
+
+# the synthetic HTML page span (annotation overlays rebase absolute y
+# to page-local by this amount per page beyond the first)
+_HTML_PAGE_SPAN = _HTML_ROWS_PER_PAGE * _HTML_ROW_PITCH
 
 from .operators import relational as R
 from .operators import textops as T
@@ -2390,21 +2396,31 @@ SELECT url, md5(rec) AS rec_md5,
 FROM rec
 """,
         "x_annotations": f"""
-WITH shaped AS (
+WITH ybased AS (
+  -- HTML synthetic geometry is document-absolute (monotonic y); the
+  -- overlay rebases it to page-local by the fixed page span, exactly
+  -- like operators/annotate.py. PDF pages are already page-local.
+  SELECT *, y1 - yoff AS yl1, y2 - yoff AS yl2 FROM (
+    SELECT *, CASE WHEN doc_kind = 'html'
+                   THEN (CAST(page_num AS DOUBLE) - 1)
+                        * {float(_HTML_PAGE_SPAN)}
+                   ELSE 0 END AS yoff
+    FROM read_parquet('{elements}'))),
+shaped AS (
   SELECT url, page_num, elem_idx,
    '<rect x="' || {px('x1')}
-   || '" y="' || {px('y1')}
+   || '" y="' || {px('yl1')}
    || '" width="' || {px('width')}
    || '" height="' || {px('height')}
    || '" fill="none" stroke="' || ({band})
    || '"/><text x="' || {px('x1')}
-   || '" y="' || CAST(CAST(ceil(y1) AS BIGINT) - 2 AS VARCHAR)
+   || '" y="' || CAST(CAST(ceil(yl1) AS BIGINT) - 2 AS VARCHAR)
    || '" font-size="8">'
    || (CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
             ELSE text END)
    || '</text>' AS shape,
-   CAST(ceil(x2) AS BIGINT) AS cx2, CAST(ceil(y2) AS BIGINT) AS cy2
-  FROM read_parquet('{elements}')),
+   CAST(ceil(x2) AS BIGINT) AS cx2, CAST(ceil(yl2) AS BIGINT) AS cy2
+  FROM ybased),
  pp AS (
   SELECT url, page_num, COUNT(*) AS n_elements,
    string_agg(shape, chr(10) ORDER BY elem_idx) AS body,

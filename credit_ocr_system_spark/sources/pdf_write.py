@@ -208,7 +208,12 @@ def _lzw_encode(data: bytes) -> bytes:
         if next_code <= 4095:
             table[wc] = next_code
             next_code += 1
-        if next_code > (1 << width) and width < 12:
+        # EarlyChange=1: the decoder's table holds next_code-1 entries
+        # after consuming the code just emitted, and it widens when
+        # len + 1 >= 1<<width — so the encoder widens when
+        # next_code >= 1<<width (NOT >, which is one code late and
+        # desyncs against standard decoders).
+        if next_code >= (1 << width) and width < 12:
             width += 1
         w = bytes([byte])
     if w:

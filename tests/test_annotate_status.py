@@ -41,3 +41,38 @@ def test_doc_status_state_mapping(spark):
               for r in doc_status(ext, "run-x").collect()}
     assert status["u_empty"] == "failed_empty"
     assert status["u_ok"] in ("done", "done_no_pairs")
+
+
+def test_html_page2_svg_is_page_local(spark):
+    """HTML geometry is document-absolute (monotonic y); the overlay
+    must rebase each page to local coordinates, so page 2's shapes
+    start near the top of its own canvas instead of a blank strip
+    ~1200px down."""
+    import re
+
+    from pyspark.sql import Row
+
+    from credit_ocr_system_spark.kernel.html_extract import (
+        ROW_PITCH,
+        ROW_TOP,
+        ROWS_PER_PAGE,
+    )
+
+    n_blocks = ROWS_PER_PAGE + 3
+    body = "".join(
+        f"<p>block number {i} has plenty of words.</p>"
+        for i in range(n_blocks))
+    pages = spark.createDataFrame(
+        [Row(url="u_big", warc_ts=None,
+             html=f"<html><body>{body}</body></html>".encode(),
+             text="", lang="en")],
+        schema="url string, warc_ts timestamp, html binary,"
+               " text string, lang string")
+    svgs = {r["page_num"]: r["svg"]
+            for r in annotation_svg(extract_pages(pages)).collect()}
+    assert set(svgs) == {1, 2}
+    page_span = ROWS_PER_PAGE * ROW_PITCH
+    for page_num, svg in svgs.items():
+        ys = [int(m) for m in re.findall(r'<rect [^>]*y="(-?\d+)"', svg)]
+        assert ys and min(ys) == int(ROW_TOP)
+        assert max(ys) < page_span

@@ -211,3 +211,35 @@ def test_normalize_shapes():
     assert it["type"] == "label_value"
     assert set(it) == {"type", "label", "value", "page", "confidence",
                        "bounding_box"}
+
+
+def test_cluster_rows_window_branch_identical():
+    """The bisect-window branch (large pages) must produce output
+    byte-identical to the straight tail scan on colliding geometry —
+    the window is a superset of the absorbable set and candidates are
+    re-filtered and appended in original order."""
+    import random
+
+    import credit_ocr_system_spark.kernel.layout as L
+
+    for trial in range(20):
+        r = random.Random(trial)
+        els = []
+        for i in range(r.choice([40, 300, 600])):
+            y1 = float(r.randrange(0, 300))
+            h = float(r.choice([8, 20, 40]))
+            x = float(r.randrange(0, 800))
+            els.append({"bbox": {"x1": x, "y1": y1, "x2": x + 40.0,
+                                 "y2": y1 + h, "width": 40.0,
+                                 "height": h},
+                        "text": str(i), "confidence": 0.9,
+                        "page_num": 1})
+        saved = L._WINDOW_THRESHOLD
+        try:
+            L._WINDOW_THRESHOLD = 10 ** 9
+            scan = L.cluster_rows(els)
+            L._WINDOW_THRESHOLD = 0
+            windowed = L.cluster_rows(els)
+        finally:
+            L._WINDOW_THRESHOLD = saved
+        assert scan == windowed, trial

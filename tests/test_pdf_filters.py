@@ -51,9 +51,10 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             w = wc
             continue
         emit(table[w])
-        table[wc] = next_code
-        next_code += 1
-        if next_code + early_change - 1 > (1 << width) and width < 12:
+        if next_code <= 4095:  # 12-bit cap: never emit a 13-bit code
+            table[wc] = next_code
+            next_code += 1
+        if next_code + early_change > (1 << width) and width < 12:
             width += 1
         w = bytes([byte])
     if w:
