@@ -71,6 +71,15 @@ def annotation_svg(extracted: DataFrame) -> DataFrame:
         F.length("text") > 30,
         F.concat(F.substring("text", 1, 30), F.lit("...")),
     ).otherwise(F.col("text"))
+    # XML-escape AFTER truncation (the reference truncated rendered
+    # text too): extracted text is entity-DECODED by the kernel, so a
+    # literal '&' or '<' would make the SVG ill-formed in any viewer.
+    # & first so it never double-escapes. Mirrored in the SQL oracle.
+    label = F.replace(
+        F.replace(
+            F.replace(label, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
     y_local = F.col("bbox.y1") - F.col("y_off")
     shape = F.concat(
         F.lit('<rect x="'), _px(F.col("bbox.x1")),

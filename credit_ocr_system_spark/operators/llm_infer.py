@@ -233,7 +233,16 @@ def http_infer(endpoint: str, timeout: float = 120.0, retries: int = 3,
 
 def parse_llm_response(responses: DataFrame) -> DataFrame:
     """Fence/comment strip + JSON parse — the reference's response
-    cleanup (``field_extractor.py:53-87``) as column expressions."""
+    cleanup (``field_extractor.py:53-87``) as column expressions.
+
+    Bug-compatible by design: the reference truncates every line at
+    its first ``//`` (``field_extractor.py:76-79``), which corrupts
+    JSON string values containing ``//`` (URLs). This operator
+    reproduces that exactly — parity with the reference is the
+    contract. A deployment whose model emits URLs should swap the
+    comment-strip for a JSON5 lexer at this seam (and accept the
+    divergence from the reference's parses).
+    """
     unfenced = F.regexp_replace(
         F.col("response"), r"(?s)^```[^\n]*\n(.*?)\n?```.*$", "$1")
     uncommented = F.regexp_replace(unfenced, r"//[^\n]*", "")

@@ -78,8 +78,12 @@ def gen_media_rows(n: int, seed: int = 42) -> list[dict]:
                 "width": 16 + h[2] % 64 if kind != "audio" else None,
                 "height": 16 + h[3] % 64 if kind != "audio" else None,
                 "sample_rate": 8000 + h[4] * 64 if kind == "audio" else None,
+                # audio has no frames — None, the same metadata
+                # contract as gen_real_media_rows, so fake and real
+                # corpora stay interchangeable at the meta level
                 "n_frames": 1 if kind == "image"
-                            else 8 + h[5] % 24,
+                            else (8 + h[5] % 24 if kind == "video"
+                                  else None),
                 "mime": _MIME[kind],
             },
         })
@@ -380,12 +384,17 @@ def sample_video_frames(media: DataFrame, every_n: int = 4,
                             schema=FRAMES_SCHEMA)
 
 
-def resized_image_row(r: dict, out_w: int, out_h: int) -> dict | None:
+def resized_image_row(r: dict, out_w: int, out_h: int,
+                      decode=fake_decode) -> dict | None:
     """Nearest-neighbour resize for one media record — pure function,
-    shared by the Spark UDF and the golden materialization."""
+    shared by the Spark UDF and the golden materialization. ``decode``
+    is the seam, like every sibling operator: pass ``decode_media``
+    to resize real PNG/BMP/JPEG payloads (the default fake decode is
+    for the opaque synthetic corpus and would otherwise reinterpret
+    compressed bytes as pixels)."""
     if r["kind"] != "image":
         return None
-    img = fake_decode(r["payload"], "image", r["meta"])
+    img = decode(r["payload"], "image", r["meta"])
     ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
     xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
     small = img[ys][:, xs]
@@ -394,7 +403,7 @@ def resized_image_row(r: dict, out_w: int, out_h: int) -> dict | None:
 
 
 def resize_images(media: DataFrame, out_w: int = 8,
-                  out_h: int = 8) -> DataFrame:
+                  out_h: int = 8, decode=fake_decode) -> DataFrame:
     """Nearest-neighbour image resize through the decode seam."""
     schema = ("media_id bigint, width int, height int, pixels binary")
     pa_schema = pa.schema([
@@ -405,7 +414,8 @@ def resize_images(media: DataFrame, out_w: int = 8,
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             rows = [row for r in batch.to_pylist()
-                    if (row := resized_image_row(r, out_w, out_h))]
+                    if (row := resized_image_row(r, out_w, out_h,
+                                                 decode=decode))]
             yield pa.RecordBatch.from_pylist(rows, schema=pa_schema)
 
     return media.mapInArrow(run, schema=schema)

@@ -702,12 +702,30 @@ def redact_pans(documents: DataFrame) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("text"),
         F.expr(_PAN_VALID_EXPR).alias("pans"))
+    # Boundary-guarded replacement: a flagged run is replaced only
+    # where it occurs as a MAXIMAL run, never as a substring of a
+    # longer digit run — '4111 1111 1111 1111' inside
+    # '94111 1111 1111 11113' must not corrupt the longer (unflagged)
+    # reference number. An occurrence is part of a larger run iff a
+    # digit connects to it through separator chars, so each side
+    # consumes '[ -]*' and then requires a non-run char or the string
+    # end ('price: 4111...' — space before the run — still redacts).
+    # No lookarounds (RE2 oracle parity), so boundary chars are
+    # consumed and preserved via backreferences; the replace runs
+    # twice per run because a consumed right boundary can hide an
+    # immediately-following occurrence ('p.p') from the first pass —
+    # after pass one every missed occurrence is isolated, so two
+    # passes are always enough. p contains only [0-9 -]:
+    # regex-literal by construction.
+    bounded = ("concat('(^|[^0-9 -])([ -]*)', p,"
+               " '([ -]*)([^0-9 -]|$)')")
+    one = f"regexp_replace(acc, {bounded}, '$1$2{PAN_TOKEN}$3$4')"
+    two = f"regexp_replace({one}, {bounded}, '$1$2{PAN_TOKEN}$3$4')"
     return with_pans.select(
         "doc_id",
         F.size("pans").alias("n_pans"),
         F.expr(
-            f"aggregate(pans, text,"
-            f" (acc, p) -> replace(acc, p, '{PAN_TOKEN}'))"
+            f"aggregate(pans, text, (acc, p) -> {two})"
         ).alias("text_redacted"))
 
 

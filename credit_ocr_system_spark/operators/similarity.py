@@ -167,10 +167,19 @@ def _seed_centroids(embeddings: DataFrame) -> DataFrame:
     """k-means seeds: the first ``N_CENTROIDS`` vectors by vec_id —
     deterministic, so the whole training run is reproducible and
     oracle-checkable. (Also the *untrained* baseline codebook the
-    recall tests compare against.)"""
-    return embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+    recall tests compare against.)
+
+    orderBy+limit (TakeOrderedAndProject, no global shuffle), NOT
+    ``where(vec_id < N)``: the filter form silently yields fewer —
+    possibly zero — seeds on sparse or offset vec_ids (re-keyed or
+    sharded corpora), and an empty codebook makes every downstream
+    IVF/SemDeDup query return empty instead of erroring. The SQL
+    oracle has always used ORDER BY/LIMIT; on dense ids the two
+    agree, on sparse ids only this form is correct."""
+    return (embeddings.select(
         F.col("vec_id").cast("bigint").alias("centroid_id"),
         _as_double(F.col("embedding")).alias("c"))
+        .orderBy("centroid_id").limit(N_CENTROIDS))
 
 
 def kmeans_codebook(embeddings: DataFrame, iters: int = KMEANS_ITERS,

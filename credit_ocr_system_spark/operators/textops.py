@@ -122,7 +122,6 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("canonical_doc_id"),
              F.count("*").alias("n_copies"))
-        .where(F.col("n_copies") >= 1)
     )
 
 
@@ -1950,8 +1949,14 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     lm_ok = F.coalesce(
         (F.col("cross_entropy") >= F.lit(QF_CE_MIN))
         & (F.col("cross_entropy") <= F.lit(QF_CE_MAX)), F.lit(False))
+    # rep joins LEFT: repetition_score emits no row for a zero-token
+    # document (its gram explode is empty), and an inner join would
+    # silently drop such documents from the verdict table instead of
+    # failing them — coalesce to not-repetitive (the quality gate is
+    # what rejects empty docs). lm is left for the same reason.
+    is_rep = F.coalesce(F.col("is_repetitive"), F.lit(False))
     return (
-        lid.join(qual, "doc_id").join(rep, "doc_id")
+        lid.join(qual, "doc_id").join(rep, "doc_id", "left")
         .join(spans, "doc_id").join(cont, "doc_id")
         .join(lm, "doc_id", "left")
         .select(
@@ -1959,9 +1964,10 @@ def quality_filter(documents: DataFrame) -> DataFrame:
             lang_ok.alias("lang_ok"),
             quality_ok.alias("quality_ok"),
             lm_ok.alias("lm_ok"),
-            "is_repetitive", "is_dup_span", "is_contaminated",
+            is_rep.alias("is_repetitive"),
+            "is_dup_span", "is_contaminated",
             (lang_ok & quality_ok & lm_ok
-             & ~F.col("is_repetitive") & ~F.col("is_dup_span")
+             & ~is_rep & ~F.col("is_dup_span")
              & ~F.col("is_contaminated")).alias("kept"))
     )
 
@@ -2157,10 +2163,17 @@ def dsir_importance(documents: DataFrame,
                F.lit(1).cast("bigint"),
                F.ceil(F.lit(float(keep_frac)) * F.col("ns"))))
            .select(F.col("log_weight").alias("thr")))
+    # max() forces EXACTLY one row (NULL when the Bernoulli sample is
+    # empty — possible on a tiny corpus at a small rate); an empty thr
+    # would otherwise cross-join every document away silently. The
+    # NULL degrades to keep-everything, the honest answer when there
+    # is no sample to rank.
+    thr1 = thr.agg(F.max("thr").alias("thr"))
     return (
-        scored.crossJoin(F.broadcast(thr))
+        scored.crossJoin(F.broadcast(thr1))
         .select("doc_id", "n_feats", "log_weight",
-                (F.col("log_weight") >= F.col("thr")).alias("kept"))
+                (F.col("log_weight") >= F.coalesce(
+                    F.col("thr"), F.lit(float("-inf")))).alias("kept"))
     )
 
 

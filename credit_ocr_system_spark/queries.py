@@ -1738,11 +1738,13 @@ WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
                        {len(T.DSIR_SAMPLE_HEX)})
                 < '{T.DSIR_SAMPLE_HEX}'),
  ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM samp),
- thr AS (SELECT log_weight AS thr FROM samp CROSS JOIN ns
-         WHERE rn = greatest(CAST(1 AS BIGINT),
-                             CAST(ceil({T.DSIR_KEEP_FRAC!r} * ns)
-                                  AS BIGINT)))
-SELECT doc_id, n_feats, log_weight, log_weight >= thr AS kept
+ thr AS (SELECT max(thr) AS thr FROM (
+          SELECT log_weight AS thr FROM samp CROSS JOIN ns
+          WHERE rn = greatest(CAST(1 AS BIGINT),
+                              CAST(ceil({T.DSIR_KEEP_FRAC!r} * ns)
+                                   AS BIGINT))))
+SELECT doc_id, n_feats, log_weight,
+ log_weight >= COALESCE(thr, CAST('-infinity' AS DOUBLE)) AS kept
 FROM scored CROSS JOIN thr
 """,
     "inverted_index": f"""
@@ -2416,8 +2418,10 @@ shaped AS (
    || '"/><text x="' || {px('x1')}
    || '" y="' || CAST(CAST(ceil(yl1) AS BIGINT) - 2 AS VARCHAR)
    || '" font-size="8">'
-   || (CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
-            ELSE text END)
+   || replace(replace(replace(
+        (CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
+              ELSE text END),
+        '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
    || '</text>' AS shape,
    CAST(ceil(x2) AS BIGINT) AS cx2, CAST(ceil(yl2) AS BIGINT) AS cy2
   FROM ybased),
@@ -2914,13 +2918,15 @@ SELECT lid.doc_id,
  quality >= {T.QF_MIN_QUALITY!r} AS quality_ok,
  COALESCE(cross_entropy >= {T.QF_CE_MIN!r}
           AND cross_entropy <= {T.QF_CE_MAX!r}, FALSE) AS lm_ok,
- is_repetitive, is_dup_span, is_contaminated,
+ COALESCE(is_repetitive, FALSE) AS is_repetitive,
+ is_dup_span, is_contaminated,
  (lang_guess <> 'unknown') AND quality >= {T.QF_MIN_QUALITY!r}
    AND COALESCE(cross_entropy >= {T.QF_CE_MIN!r}
                 AND cross_entropy <= {T.QF_CE_MAX!r}, FALSE)
-   AND NOT is_repetitive AND NOT is_dup_span AND NOT is_contaminated
+   AND NOT COALESCE(is_repetitive, FALSE)
+   AND NOT is_dup_span AND NOT is_contaminated
    AS kept
-FROM lid JOIN q USING (doc_id) JOIN rep USING (doc_id)
+FROM lid JOIN q USING (doc_id) LEFT JOIN rep USING (doc_id)
  JOIN sp USING (doc_id) JOIN ct USING (doc_id)
  LEFT JOIN lm USING (doc_id)
 """
@@ -3779,10 +3785,19 @@ list_sort(list_distinct(list_transform(list_filter(
   s -> struct_extract(s, 'orig'))))
 """
 
+# boundary-guarded two-pass replace, exactly as the Spark fold (RE2
+# backreference spelling \1; 'g' for global like Java replaceAll)
+_PAN_BOUNDED_CD = ("concat('(^|[^0-9 -])([ -]*)', p,"
+                   " '([ -]*)([^0-9 -]|$)')")
+_PAN_REPL1_CD = (f"regexp_replace(acc, {_PAN_BOUNDED_CD},"
+                 f" '\\1\\2{R.PAN_TOKEN}\\3\\4', 'g')")
+_PAN_REPL2_CD = (f"regexp_replace({_PAN_REPL1_CD}, {_PAN_BOUNDED_CD},"
+                 f" '\\1\\2{R.PAN_TOKEN}\\3\\4', 'g')")
+
 ORACLES["pan_redaction"] = f"""
 SELECT doc_id, CAST(len(pans) AS INT) AS n_pans,
  list_reduce(list_prepend(text, pans),
-             (acc, p) -> replace(acc, p, '{R.PAN_TOKEN}'))
+             (acc, p) -> {_PAN_REPL2_CD})
    AS text_redacted
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
        {_PAN_VALID_CD} AS pans

@@ -165,3 +165,31 @@ def test_real_media_corpus_carries_new_codec_variants():
     assert {"jpeg_prog", "jpeg_base", "jpeg_rst", "png_adam7",
             "png_seq", "wav_1_16", "wav_1_24", "wav_3_32",
             "video_avi", "video_mp4"} <= seen, seen
+
+
+def test_real_resize_through_decode_seam(spark):
+    """resize_images(decode=decode_media) must resize DECODED pixels
+    of real payloads, not reinterpret compressed bytes — pinned by
+    recomputing the expected nearest-neighbour grid from decode_media
+    driver-side."""
+    import numpy as np
+
+    from credit_ocr_system_spark.operators.multimodal import (
+        gen_real_media_rows,
+        real_media_df,
+        resize_images,
+    )
+
+    n = 40
+    rows = [r for r in gen_real_media_rows(n) if r["kind"] == "image"]
+    assert rows
+    got = {r.media_id: r for r in resize_images(
+        real_media_df(spark, n), out_w=4, out_h=4,
+        decode=decode_media).collect()}
+    assert set(got) == {r["media_id"] for r in rows}
+    for r in rows:
+        img = decode_media(r["payload"], "image", r["meta"])
+        ys = np.linspace(0, img.shape[0] - 1, 4).astype(int)
+        xs = np.linspace(0, img.shape[1] - 1, 4).astype(int)
+        assert bytes(got[r["media_id"]].pixels) == \
+            img[ys][:, xs].tobytes()

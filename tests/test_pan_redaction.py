@@ -115,3 +115,19 @@ def test_single_regexp_scan_in_plan(spark):
     with contextlib.redirect_stdout(buf):
         R.redact_pans(df).explain("formatted")
     assert buf.getvalue().count("regexp_extract_all") == 1
+
+
+def test_flagged_run_does_not_corrupt_longer_runs(spark):
+    """Boundary-guarded replace: a flagged PAN appearing as a
+    substring of a longer (unflagged) digit run must leave that run
+    intact, and runs delimited by spaces/punctuation must still
+    redact — including two runs separated by one char."""
+    out = _run(spark, [
+        "card 4111 1111 1111 1111 ref 94111 1111 1111 11113",
+        f"{VALID_16}.{VALID_16}",
+        f"end with {VALID_16}",
+    ])
+    assert out.loc[0, "text_redacted"] == \
+        "card <PAN> ref 94111 1111 1111 11113"
+    assert out.loc[1, "text_redacted"] == "<PAN>.<PAN>"
+    assert out.loc[2, "text_redacted"] == "end with <PAN>"
