@@ -1179,11 +1179,16 @@ def _finish_planes(h: int, w: int, comps: list, coefs: dict,
         gh, gw = grid.shape[:2]
         # batched IDCT: one stacked matmul pair over every block —
         # same per-block dgemm as idct2, so bit-identical to the
-        # block-at-a-time loop (guarded by test_idct_batch_bit_exact)
-        coef = np.zeros((gh, gw, 64))
-        coef[:, :, _ZZ] = grid
-        blocks = np.matmul(
-            np.matmul(_C.T, coef.reshape(gh, gw, 8, 8) * q), _C) + 128.0
+        # block-at-a-time loop (guarded by test_idct_batch_bit_exact).
+        # De-zigzag by GATHERING to natural order (coef[..., j] =
+        # grid[..., UNZZ[j]]) instead of scattering into a fresh float
+        # grid: one pass, no second 15 MB zeros allocation — ~2x on a
+        # cold full-page plane. Dequantization runs in int64 and
+        # converts after: |coef·q| < 2^18, exact in float64 either
+        # way, so the IDCT input is bit-identical to the float path.
+        coef = (grid[:, :, _UNZZ].reshape(gh, gw, 8, 8)
+                * q).astype(np.float64)
+        blocks = np.matmul(np.matmul(_C.T, coef), _C) + 128.0
         plane = blocks.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         if hh != hmax or vv != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vv, axis=0),
