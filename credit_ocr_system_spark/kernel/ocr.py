@@ -219,6 +219,12 @@ for _ch, _bm in _BITMAPS.items():
     _pad[:_box.shape[0], :_box.shape[1]] = _box
     _HAMMING_REF[_ch] = (_pad, int(_ys[0]))
 del _ch, _bm, _ys, _box, _pad
+# stacked fallback atlas: one vectorized != + argmin per noisy cell
+# instead of a numpy comparison per glyph. Stack order is dict order,
+# and np.argmin returns the FIRST minimum, so ties resolve to the
+# same glyph the sequential strictly-smaller scan picked.
+_HREF_STACK = np.stack([ref for ref, _dy in _HAMMING_REF.values()])
+_HREF_META = [(ch, dy) for ch, (_ref, dy) in _HAMMING_REF.items()]
 
 
 # deskew search grid: the scanner model's discrete shear steps. A
@@ -345,12 +351,10 @@ def _classify_cell(dots: np.ndarray
     pad = np.zeros((GLYPH_ROWS, GLYPH_COLS), bool)
     pad[:min(box.shape[0], GLYPH_ROWS),
         :min(box.shape[1], GLYPH_COLS)] = box[:GLYPH_ROWS, :GLYPH_COLS]
-    best, best_dy, best_d = None, 0, GLYPH_ROWS * GLYPH_COLS + 1
-    for ch, (ref, dy) in _HAMMING_REF.items():
-        dist = int(np.count_nonzero(ref != pad))
-        if dist < best_d:
-            best, best_dy, best_d = ch, dy, dist
-    return best, int(ys[0]), best_dy, best_d
+    dists = (_HREF_STACK != pad).sum(axis=(1, 2))
+    bi = int(np.argmin(dists))
+    best, best_dy = _HREF_META[bi]
+    return best, int(ys[0]), best_dy, int(dists[bi])
 
 
 def _read_line(ink: np.ndarray, r0: int, run_h: int, d: int):
@@ -365,7 +369,23 @@ def _read_line(ink: np.ndarray, r0: int, run_h: int, d: int):
     # dot-downsample the full line band once: (drows, wdots)
     w = line.shape[1] - line.shape[1] % d
     blocks = line[:, :w].reshape(drows, d, -1, d)
-    dots_full = blocks.mean(axis=(1, 3)) >= 0.5
+    # integer twin of mean(...) >= 0.5: sum/(d*d) >= 1/2 <=>
+    # 2*sum >= d*d — no float divide over the whole band
+    dots_full = 2 * blocks.sum(axis=(1, 3)) >= d * d
+    # Packed row masks for every GLYPH_COLS-wide window start, built
+    # once per line with 4 shifted vector adds: W[r, j0] has bit j set
+    # iff dots_full[r, j0 + j] — exactly the little-bitorder packbits
+    # value _pattern_key computes per cell row. The per-cell exact
+    # lookup then runs on plain Python lists (a dict probe + small
+    # slices), skipping ~5 numpy calls per cell; _classify_cell
+    # remains the arbiter for lookup misses and off-grid cells, so
+    # classification results are identical by construction.
+    V = dots_full.astype(np.int64)
+    W = V.copy()
+    for j in range(1, GLYPH_COLS):
+        W[:, :-j] += V[:, j:] << j
+    wt = W.T.tolist()
+    colany = dots_full.any(axis=0).tolist()
     col_ink = np.flatnonzero(line.any(axis=0))
     if col_ink.size == 0:
         return None
@@ -387,11 +407,29 @@ def _read_line(ink: np.ndarray, r0: int, run_h: int, d: int):
                 pw = GLYPH_COLS * d - cell.shape[1]
                 if pw > 0:
                     cell = np.pad(cell, ((0, 0), (0, pw)))
-                dots = cell.reshape(drows, d, GLYPH_COLS, d).mean(
-                    axis=(1, 3)) >= 0.5
+                dots = 2 * cell.reshape(drows, d, GLYPH_COLS, d).sum(
+                    axis=(1, 3)) >= d * d
+                ch, dy_rel, dy_abs, dist = _classify_cell(dots)
             else:
-                dots = dots_full[:, c0 // d:c0 // d + GLYPH_COLS]
-            ch, dy_rel, dy_abs, dist = _classify_cell(dots)
+                j0 = c0 // d
+                rows = wt[j0]
+                ys0 = next((r for r, v in enumerate(rows) if v), -1)
+                if ys0 < 0:
+                    ch = None
+                else:
+                    ys1 = next(r for r in range(drows - 1, -1, -1)
+                               if rows[r])
+                    width = next(
+                        (j + 1 for j in range(GLYPH_COLS - 1, -1, -1)
+                         if colany[j0 + j]), 0)
+                    hit = _LOOKUP.get(
+                        (width, *rows[ys0:ys1 + 1]))
+                    if hit is not None:
+                        ch, dy_abs = hit
+                        dy_rel, dist = ys0, 0
+                    else:
+                        ch, dy_rel, dy_abs, dist = _classify_cell(
+                            dots_full[:, j0:j0 + GLYPH_COLS])
             if ch is None:
                 chars.append(" ")
                 continue
