@@ -464,3 +464,146 @@ def domain_stats(visits: DataFrame) -> DataFrame:
     return (agg.withColumn("fetches_per_page", pround(rate, 6))
                .withColumn("is_blocked",
                            F.col("canonical_host").isin(*BLOCKLIST)))
+
+
+# --- KMV (theta-family) sketch: cross-snapshot set operations ---------------
+
+# K-minimum-values sketch (Beyer et al. 2007, "On synopses for
+# distinct-value estimation under multiset operations" — the
+# theta-sketch family): a set's sketch is its K lexicographically
+# smallest distinct md5 values. HLL registers
+# (relational.approx_user_cardinality) answer only |A|; KMV sketches
+# compose under set OPERATIONS: merging two sketches' values and
+# re-truncating to K gives the UNION's sketch, and the fraction of
+# union-sketch members present in both input sketches estimates
+# Jaccard — so intersection and difference ("how much NEW content did
+# this crawl window bring vs the committed corpus?") fall out without
+# ever shuffling the two full distinct sets against each other.
+# Lexicographic order over lowercase md5 hex IS numeric order of the
+# 128-bit value, the same engine-portability trick the MinHash family
+# uses (no engine-specific hash, no 64-bit parsing in the hot path);
+# only the Kth value is ever converted to a number, via the same
+# ascii fold every other portable operator uses.
+KMV_K = 256
+_KMV_HEX_CHARS = 15           # 60-bit prefix: exact in BIGINT and DOUBLE
+_KMV_SPACE = float(1 << 60)   # the prefix value space
+
+
+def _kmv_hexval(col):
+    """First ``_KMV_HEX_CHARS`` hex chars -> BIGINT via ascii
+    arithmetic (Horner fold) — the 60-bit numeric position of the
+    hash in its value space; any engine computes the identical
+    integer from the identical md5 hex."""
+    v = F.lit(0).cast("bigint")
+    for i in range(1, _KMV_HEX_CHARS + 1):
+        c = F.ascii(F.substring(col, i, 1))
+        hv = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
+        v = v * 16 + hv
+    return v
+
+
+def kmv_sketch(df: DataFrame, col, k: int = KMV_K) -> DataFrame:
+    """The K smallest distinct md5 values of ``col``, as ONE row
+    holding the sorted array.
+
+    Scale shape: the dedup groupBy is the only corpus-sized exchange
+    (bounded by the distinct count, map-side partial — the
+    exact_dedup shape), and the top-K prunes to K rows per partition
+    before the single-partition tail, so the driver-side state is K
+    strings regardless of corpus size. At 10^12 rows the sketch is
+    what you persist per crawl snapshot; comparing two snapshots then
+    touches only the two K-row sketches."""
+    return (df.select(F.md5(col).alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h").limit(k)
+            .agg(F.sort_array(F.collect_list("h")).alias("sk")))
+
+
+def _kmv_estimate(sk, k: int):
+    """Distinct-count estimate from a sketch array: exact (the array
+    size) while the sketch absorbed the whole set, else the KMV
+    estimator (K-1)/U(h_K) with U the unit-interval position of the
+    Kth smallest value. The non-taken CASE branch is never evaluated,
+    so the element_at stays in bounds by construction."""
+    kth = _kmv_hexval(F.element_at(sk, k))
+    return F.when(
+        F.size(sk) < k, F.size(sk).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth.cast("double"))
+
+
+def kmv_content_overlap(visits: DataFrame, cut_id: int,
+                        k: int = KMV_K) -> DataFrame:
+    """Cross-snapshot set arithmetic over crawl content: sketch the
+    distinct ``content_sha`` sets of two crawl windows (fetch-ok
+    visits before/after ``cut_id``; ``warc_ts`` is monotonic in
+    ``visit_id``, so this is a time split), then estimate |A|, |B|,
+    |A∪B|, Jaccard, |A∩B| and |B\\A| — the "how much genuinely new
+    content did the new window bring" number an incremental corpus
+    pipeline budgets by — purely from the two K-value sketches.
+
+    The exact counterparts ride along as the in-plan auditor (the
+    same pattern as ``approx_user_cardinality``: at 10^12 you drop
+    the auditor, here it proves the estimator), plus a 4-sigma bound
+    check on the union estimate (RSE of KMV ~ 1/sqrt(K-2)).
+
+    Output (one row): (k, n_sketch_a, n_sketch_b, est_a, est_b,
+    est_union, jaccard_est, est_intersection, est_new_in_b, exact_a,
+    exact_b, exact_union, exact_intersection, exact_new_in_b,
+    union_in_bounds). All estimates pround(6) for hash-stable
+    cross-engine comparison.
+    """
+    ok = visits.where(F.col("fetch_status") == 200)
+    a = ok.where(F.col("visit_id") < cut_id)
+    b = ok.where(F.col("visit_id") >= cut_id)
+    ska = kmv_sketch(a, F.col("content_sha"), k) \
+        .select(F.col("sk").alias("ska"))
+    skb = kmv_sketch(b, F.col("content_sha"), k) \
+        .select(F.col("sk").alias("skb"))
+    # exact auditor: one count-distinct pass per window + one over
+    # the union (all map-side-combinable aggregates)
+    ea = a.agg(F.countDistinct("content_sha").alias("exact_a"))
+    eb = b.agg(F.countDistinct("content_sha").alias("exact_b"))
+    eu = ok.agg(F.countDistinct("content_sha").alias("exact_union"))
+
+    row = (ska.crossJoin(skb).crossJoin(F.broadcast(ea))
+           .crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eu)))
+
+    merged = F.array_sort(F.array_distinct(F.concat("ska", "skb")))
+    union_k = F.slice(merged, 1, k)
+    ku = F.size(union_k)
+    in_both = F.size(F.filter(
+        union_k,
+        lambda x: F.array_contains(F.col("ska"), x)
+        & F.array_contains(F.col("skb"), x)))
+    est_a = _kmv_estimate(F.col("ska"), k)
+    est_b = _kmv_estimate(F.col("skb"), k)
+    est_union = F.when(
+        F.size(merged) < k, F.size(merged).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+        / _kmv_hexval(F.element_at(union_k, k)).cast("double"))
+    jacc = in_both.cast("double") / ku.cast("double")
+    est_inter = jacc * est_union
+    exact_inter = (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_union"))
+    # 4-sigma acceptance on the union estimate: RSE ~ 1/sqrt(K-2)
+    bound = 4.0 / float((k - 2) ** 0.5)
+    return row.select(
+        F.lit(k).alias("k"),
+        F.size("ska").alias("n_sketch_a"),
+        F.size("skb").alias("n_sketch_b"),
+        pround(est_a, 6).alias("est_a"),
+        pround(est_b, 6).alias("est_b"),
+        pround(est_union, 6).alias("est_union"),
+        pround(jacc, 6).alias("jaccard_est"),
+        pround(est_inter, 6).alias("est_intersection"),
+        pround(est_b - est_inter, 6).alias("est_new_in_b"),
+        F.col("exact_a"), F.col("exact_b"), F.col("exact_union"),
+        exact_inter.alias("exact_intersection"),
+        (F.col("exact_union") - F.col("exact_a"))
+        .alias("exact_new_in_b"),
+        (F.abs(est_union - F.col("exact_union").cast("double"))
+         <= F.lit(bound) * F.col("exact_union").cast("double"))
+        .alias("union_in_bounds"))

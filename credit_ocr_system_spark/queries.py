@@ -707,6 +707,17 @@ def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(_visits(spark))
 
 
+def q_kmv_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled: KMV (theta) sketch set arithmetic over two crawl
+    windows' distinct content_sha sets. DuckDB recomputes the sketches
+    (same md5 / lexicographic top-K rule) and replays the identical
+    estimator expressions; the exact auditor columns re-derive from
+    plain COUNT(DISTINCT ...)."""
+    from .operators.weburl import kmv_content_overlap
+
+    return kmv_content_overlap(_visits(spark), G.X_N_VISITS // 2)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the extraction engine applied to driver testdata —
     documents wrapped as HTML pages, through kernel + field join."""
@@ -2621,6 +2632,7 @@ def build_queries() -> Dict[str, QueryFn]:
         "domain_stats": q_domain_stats,
         "resolve_redirects": q_resolve_redirects,
         "incremental_canonical_pages": q_incremental_canonical_pages,
+        "kmv_content_overlap": q_kmv_content_overlap,
         "robots_verdicts": q_robots_verdicts,
         "robots_sitemaps": q_robots_sitemaps,
         "x_indexable_crawl": x_indexable_crawl,
@@ -2747,6 +2759,8 @@ _DRIVER_PRIORITY = [
     "x_indexable_crawl",
     "indexable_docs", "sitemap_frontier", "sitemap_frontier_bloom",
     "incremental_canonical_pages",
+    # new in r4 (ninth pass): KMV theta-sketch set operations
+    "kmv_content_overlap",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -3128,6 +3142,88 @@ ev AS (SELECT {carry}, canonical_host,
        FROM j)"""
 
 
+def _sql_kmv_hexval(expr: str, n_chars: int) -> str:
+    """DuckDB twin of ``weburl._kmv_hexval``: the same Horner ascii
+    fold over the first ``n_chars`` hex chars, term for term."""
+    v = "CAST(0 AS BIGINT)"
+    for i in range(1, n_chars + 1):
+        c = f"ascii(substr({expr}, {i}, 1))"
+        hv = f"({c} - 48 - CASE WHEN {c} >= 97 THEN 39 ELSE 0 END)"
+        v = f"({v} * 16 + {hv})"
+    return v
+
+
+def _kmv_overlap_sql(visits_path: str) -> str:
+    """DuckDB twin of ``weburl.kmv_content_overlap``: recompute the
+    two KMV sketches from the raw visits golden (same md5 +
+    lexicographic top-K rule) and replay the identical estimator
+    expressions — exact-while-absorbed CASE, (K-1)·2^60/h_K
+    otherwise, Jaccard from the union sketch — in the same IEEE
+    operation order. The exact auditor columns re-derive from plain
+    COUNT(DISTINCT ...)."""
+    from .operators.weburl import _KMV_HEX_CHARS, _KMV_SPACE, KMV_K
+
+    k = KMV_K
+    cut = G.X_N_VISITS // 2
+    scale = f"({float(k - 1)!r} * {_KMV_SPACE!r})"
+    bound = 4.0 / float((k - 2) ** 0.5)
+
+    def est(arr: str, n: str) -> str:
+        kth = _sql_kmv_hexval(f"{arr}[{k}]", _KMV_HEX_CHARS)
+        return (f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+                f"ELSE {scale} / CAST({kth} AS DOUBLE) END")
+
+    est_a = est("ska", "len(ska)")
+    est_b = est("skb", "len(skb)")
+    est_union = est("union_k", "n_merged")
+    jacc = "(CAST(in_both AS DOUBLE) / CAST(ku AS DOUBLE))"
+    est_inter = f"({jacc} * ({est_union}))"
+    return f"""
+WITH ok AS (SELECT visit_id, content_sha
+            FROM read_parquet('{visits_path}')
+            WHERE fetch_status = 200),
+pa AS (SELECT DISTINCT md5(content_sha) AS h FROM ok
+       WHERE visit_id < {cut}),
+pb AS (SELECT DISTINCT md5(content_sha) AS h FROM ok
+       WHERE visit_id >= {cut}),
+ska_t AS (SELECT list(h ORDER BY h) AS ska
+          FROM (SELECT h FROM pa ORDER BY h LIMIT {k})),
+skb_t AS (SELECT list(h ORDER BY h) AS skb
+          FROM (SELECT h FROM pb ORDER BY h LIMIT {k})),
+ex AS (SELECT
+  (SELECT COUNT(DISTINCT content_sha) FROM ok
+   WHERE visit_id < {cut}) AS exact_a,
+  (SELECT COUNT(DISTINCT content_sha) FROM ok
+   WHERE visit_id >= {cut}) AS exact_b,
+  (SELECT COUNT(DISTINCT content_sha) FROM ok) AS exact_union),
+m AS (SELECT ska, skb,
+       list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+                  1, {k}) AS union_k,
+       len(list_distinct(list_concat(ska, skb))) AS n_merged
+      FROM ska_t, skb_t),
+c AS (SELECT *, len(union_k) AS ku,
+       len(list_filter(union_k,
+           x -> list_contains(ska, x) AND list_contains(skb, x)))
+         AS in_both
+      FROM m, ex)
+SELECT CAST({k} AS INT) AS k,
+ CAST(len(ska) AS INT) AS n_sketch_a,
+ CAST(len(skb) AS INT) AS n_sketch_b,
+ {sql_pround(est_a, 6)} AS est_a,
+ {sql_pround(est_b, 6)} AS est_b,
+ {sql_pround(est_union, 6)} AS est_union,
+ {sql_pround(jacc, 6)} AS jaccard_est,
+ {sql_pround(est_inter, 6)} AS est_intersection,
+ {sql_pround(f"(({est_b}) - {est_inter})", 6)} AS est_new_in_b,
+ exact_a, exact_b, exact_union,
+ exact_a + exact_b - exact_union AS exact_intersection,
+ exact_union - exact_a AS exact_new_in_b,
+ abs(({est_union}) - CAST(exact_union AS DOUBLE))
+   <= {bound!r} * CAST(exact_union AS DOUBLE) AS union_in_bounds
+FROM c
+"""
+
+
 def _weburl_oracles() -> Dict[str, str]:
     from .operators.weburl import BLOCKLIST
 
@@ -3143,6 +3239,7 @@ def _weburl_oracles() -> Dict[str, str]:
         # append-mode collapse: the oracle IS the batch SQL — merged
         # state must equal the full recompute exactly
         "incremental_canonical_pages": _canonical_pages_sql(visits),
+        "kmv_content_overlap": _kmv_overlap_sql(visits),
         # structural reuse: the blocklist variant IS the same collapse
         # SQL with the host predicate injected before aggregation
         "blocklist_filter": _canonical_pages_sql(
