@@ -535,3 +535,29 @@ def test_content_gate_single_kernel_pass(spark):
     assert plan.count("MapInArrow") == 2   # one node: tree + detail
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan     # per-host rules broadcast
+
+
+def test_kmv_sketch_dedups_map_side_then_takes_ordered(spark):
+    """KMV sketch: the only corpus-sized exchange is the dedup
+    (partial HashAggregate on both sides of ONE exchange), the top-K
+    prunes per partition via TakeOrderedAndProject, and the sketch
+    comparison itself joins 1-row sides only (no shuffle join)."""
+    from pyspark.sql import functions as F
+
+    from credit_ocr_system_spark.operators.weburl import (
+        kmv_content_overlap,
+        kmv_sketch,
+    )
+    from credit_ocr_system_spark.sources.visits import visits_df
+
+    v = visits_df(spark, 2_000, partitions=4)
+    sk = plan_of(kmv_sketch(
+        v.where(F.col("fetch_status") == 200), F.col("content_sha")))
+    assert "TakeOrderedAndProject" in sk and "256" in sk
+    # exactly one hash exchange, keyed on the hash value (the dedup);
+    # formatted mode prints the partitioning in the details section
+    assert sk.count("hashpartitioning(") == 1
+    assert "hashpartitioning(h" in sk
+    full = plan_of(kmv_content_overlap(v, 1_000))
+    assert "SortMergeJoin" not in full
+    assert "ShuffledHashJoin" not in full
