@@ -63,8 +63,10 @@ PAGES_PATH = f"/tmp/cos_bench_pages_{N_BENCH_PAGES}_{_gen_version()}"
 # 4N level — at 10^12 rows that floor is noise, and the gate should
 # measure the steady-state regime, not job-startup amortization. Each
 # kernel speedup shrinks compute relative to that floor, so the corpus
-# has grown with the kernel (262k -> 786k at ~0.65 ms/doc).
-N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "786432"))
+# has grown with the kernel (262k -> 786k -> 1.57M as the r4 passes
+# landed: at 786k the post-speedup 4N job was only ~76% compute and
+# measured 0.798 best-of-12; doubling restored compute dominance).
+N_SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1572864"))
 SCALE_PAGES_PATH = f"/tmp/cos_bench_pages_{N_SCALE_PAGES}_{_gen_version()}"
 
 MASTER_PORT = 7077
