@@ -172,6 +172,8 @@ HEADLINE = [
     "incremental_canonical_pages",
     # KMV theta-sketch set ops: new-content estimate across windows
     "kmv_content_overlap",
+    # A-ES weighted sampling (map-side key + TakeOrdered top-K)
+    "weighted_sample",
     # round 4, eighth pass: CMS heavy-hitter detection (the hot-key
     # front door for repartition_salted) and write-time Z-order keys
     "hot_keys",

@@ -43,3 +43,28 @@ def pround_signed(col, digits: int):
     the identical IEEE sequence, so the tie direction is shared.
     ``sql_pround`` is the twin for this too."""
     return pround(col, digits)
+
+
+def hex_prefix_val(col, n_chars: int):
+    """First ``n_chars`` lowercase-hex chars of ``col`` -> BIGINT via
+    a Horner ascii fold ('0'-'9' -> 48..57, 'a'-'f' -> 97..102) — the
+    numeric position of a hash prefix in its value space, computed
+    identically by any engine (no engine-specific parsing). 15 chars
+    (60 bits) stays exact in both BIGINT and DOUBLE."""
+    v = F.lit(0).cast("bigint")
+    for i in range(1, n_chars + 1):
+        c = F.ascii(F.substring(col, i, 1))
+        hv = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
+        v = v * 16 + hv
+    return v
+
+
+def sql_hex_prefix_val(expr: str, n_chars: int) -> str:
+    """The SQL twin of :func:`hex_prefix_val` — same fold, term for
+    term."""
+    v = "CAST(0 AS BIGINT)"
+    for i in range(1, n_chars + 1):
+        c = f"ascii(substr({expr}, {i}, 1))"
+        hv = f"({c} - 48 - CASE WHEN {c} >= 97 THEN 39 ELSE 0 END)"
+        v = f"({v} * 16 + {hv})"
+    return v

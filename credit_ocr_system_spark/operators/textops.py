@@ -696,6 +696,55 @@ def deterministic_sample(documents: DataFrame,
     )
 
 
+# --- weighted sampling without replacement (A-ES) --------------------------
+
+WS_SAMPLE_K = 500          # sample size of the registered query
+_WS_HEX_CHARS = 15         # 60-bit uniform draw: exact in BIGINT+DOUBLE
+_WS_SPACE = float(1 << 60)
+
+
+def weighted_sample(documents: DataFrame,
+                    k: int = WS_SAMPLE_K) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 (A-ES), the distributed algorithm for "sample K documents
+    with probability proportional to weight" that every
+    quality-weighted data mixture needs (``deterministic_sample`` is
+    its uniform-rate sibling; ``temperature_mixture`` reweights
+    sources, this samples individual documents by their own weight).
+
+    Per document: one uniform draw ``u`` from the md5 of the doc id
+    (hex prefix -> 60-bit fraction — no RNG, stable under
+    repartitioning) and key ``ln(u)/w`` with ``w = n_chars + 1`` (the
+    +1 keeps empty documents finite); the K LARGEST keys are the
+    sample — distributionally identical to taking ``u^(1/w)`` ranks.
+    ln() is the one non-portable operation, so the key is snapped to
+    9 decimals (``portable.pround``) before ranking, with doc_id as
+    the deterministic tie-break.
+
+    Scale shape: the key is a pure map-side expression and the rank
+    is a ``TakeOrderedAndProject`` — per-partition top-K, then one
+    K-row merge; nothing corpus-sized ever shuffles. This is exactly
+    how A-ES is deployed over 10^12 rows.
+
+    Output: the K sampled (doc_id, n_chars, es_key), es_key the
+    ranking key for auditability.
+    """
+    from .portable import hex_prefix_val
+
+    hexv = hex_prefix_val(
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+        _WS_HEX_CHARS)
+    u = (hexv + F.lit(1)).cast("double") / F.lit(_WS_SPACE)
+    w = (F.col("n_chars").cast("bigint") + F.lit(1)).cast("double")
+    key = pround_signed(F.log(u) / w, 9)
+    return (documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(k))
+
+
 # --- SimHash -------------------------------------------------------------
 
 # 64 bits (Manku et al.'s standard width): one parity vote per hex

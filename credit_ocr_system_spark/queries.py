@@ -1504,6 +1504,8 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                                    doc_id) AS rn
       FROM documents)
 """,
+    # ("weighted_sample" is assigned below the dict literal — its SQL
+    # needs the portable hex-fold helper)
     # Okapi BM25: same tokenize prefix; the per-doc score re-derived
     # with the identical formula parenthesization and the SAME
     # term-ordered fold (list_reduce over list(s ORDER BY term))
@@ -2588,6 +2590,8 @@ def build_queries() -> Dict[str, QueryFn]:
             R.load(s, d, "documents")),
         "approx_percentiles": lambda s, d: T.approx_corpus_percentiles(
             R.load(s, d, "documents")).drop("approx_value"),
+        "weighted_sample": lambda s, d: T.weighted_sample(
+            R.load(s, d, "documents")),
         "deterministic_sample": lambda s, d: T.deterministic_sample(
             R.load(s, d, "documents")),
         "bigram_lm_score": lambda s, d: T.bigram_lm_score(
@@ -2759,8 +2763,9 @@ _DRIVER_PRIORITY = [
     "x_indexable_crawl",
     "indexable_docs", "sitemap_frontier", "sitemap_frontier_bloom",
     "incremental_canonical_pages",
-    # new in r4 (ninth pass): KMV theta-sketch set operations
-    "kmv_content_overlap",
+    # new in r4 (ninth pass): KMV theta-sketch set operations and
+    # A-ES weighted sampling
+    "kmv_content_overlap", "weighted_sample",
     # new in r4
     "x_extract_scanned",  # the OCR (image-only PDF) path
     "incremental_dedup", "approx_percentiles", "x_media_real_frames",
@@ -2793,6 +2798,30 @@ _DRIVER_PRIORITY = [
 # BY CONSTRUCTION — one oracle string, referenced twice, so an edit to
 # the banding SQL can never drift the value-identity proof
 ORACLES["value_banding_salted"] = ORACLES["value_banding"]
+
+# A-ES weighted sampling: identical md5 draw (ascii hex fold), the
+# same ln(u)/w key parenthesization, 9-digit snap, (key DESC, doc_id)
+# tie-break
+def _weighted_sample_sql() -> str:
+    from .operators.portable import sql_hex_prefix_val
+    from .operators.textops import _WS_HEX_CHARS, _WS_SPACE, WS_SAMPLE_K
+
+    v = sql_hex_prefix_val(
+        "md5('ws:' || CAST(doc_id AS VARCHAR))", _WS_HEX_CHARS)
+    u = f"(CAST(({v} + 1) AS DOUBLE) / {_WS_SPACE!r})"
+    w = "CAST((CAST(n_chars AS BIGINT) + 1) AS DOUBLE)"
+    key = sql_pround(f"(ln({u}) / {w})", 9)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       {key} AS es_key
+FROM documents
+ORDER BY es_key DESC, CAST(doc_id AS BIGINT)
+LIMIT {WS_SAMPLE_K}
+"""
+
+
+ORACLES["weighted_sample"] = _weighted_sample_sql()
 
 # CCNet head/middle/tail: the score CTE IS the unigram_lm_score
 # oracle (structural reuse); the cutoff rule is the same
