@@ -50,7 +50,12 @@ def hex_prefix_val(col, n_chars: int):
     a Horner ascii fold ('0'-'9' -> 48..57, 'a'-'f' -> 97..102) — the
     numeric position of a hash prefix in its value space, computed
     identically by any engine (no engine-specific parsing). 15 chars
-    (60 bits) stays exact in both BIGINT and DOUBLE."""
+    (60 bits) stays exact in BIGINT; a later cast to DOUBLE rounds
+    values above 2^53 (53-bit mantissa), but both engines apply the
+    identical IEEE round-to-nearest on the identical integer, so
+    cross-engine results are deterministically identical after
+    rounding — use <=13 chars (52 bits) where true DOUBLE exactness
+    is required."""
     v = F.lit(0).cast("bigint")
     for i in range(1, n_chars + 1):
         c = F.ascii(F.substring(col, i, 1))

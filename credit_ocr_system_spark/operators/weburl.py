@@ -485,21 +485,19 @@ def domain_stats(visits: DataFrame) -> DataFrame:
 # only the Kth value is ever converted to a number, via the same
 # ascii fold every other portable operator uses.
 KMV_K = 256
-_KMV_HEX_CHARS = 15           # 60-bit prefix: exact in BIGINT and DOUBLE
+_KMV_HEX_CHARS = 15           # 60-bit prefix: exact in BIGINT; DOUBLE
+#                               rounds >2^53 identically in both engines
 _KMV_SPACE = float(1 << 60)   # the prefix value space
 
 
 def _kmv_hexval(col):
-    """First ``_KMV_HEX_CHARS`` hex chars -> BIGINT via ascii
-    arithmetic (Horner fold) — the 60-bit numeric position of the
-    hash in its value space; any engine computes the identical
-    integer from the identical md5 hex."""
-    v = F.lit(0).cast("bigint")
-    for i in range(1, _KMV_HEX_CHARS + 1):
-        c = F.ascii(F.substring(col, i, 1))
-        hv = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
-        v = v * 16 + hv
-    return v
+    """First ``_KMV_HEX_CHARS`` hex chars -> BIGINT — the 60-bit
+    numeric position of the hash in its value space. Delegates to the
+    shared portable Horner ascii fold so the KMV estimator and every
+    other hash-prefix consumer use one definition (ADVICE r4)."""
+    from .portable import hex_prefix_val
+
+    return hex_prefix_val(col, _KMV_HEX_CHARS)
 
 
 def kmv_sketch(df: DataFrame, col, k: int = KMV_K) -> DataFrame:

@@ -2723,74 +2723,64 @@ def build_queries() -> Dict[str, QueryFn]:
     return ordered
 
 
-# Driver-coverage rotation (VERDICT r3 next-round item #2): the
+# Driver-coverage rotation (VERDICT r4 next-round item #1): the
 # per-round driver verifies the FIRST ~50 registry entries, so the
-# front of the registry carries (a) queries that have never had a
-# driver CORRECTNESS row (kmeans_codebook, x_media_real), (b) queries
-# new or changed this round (incremental_dedup, approx_percentiles,
-# the hyperplane-LSH family, sampled kmeans, the x_* extraction tail
-# whose corpus now carries CID-font PDFs), then (c) r2-verified rows
-# due a refresh. The tail queries pushed past the cap are all
-# unchanged since their green r3 rows (the stable relational family);
-# every registered query still runs in the pytest mini-driver
-# (tests/test_oracle_parity.py) each session regardless of position.
+# front of the registry carries (a) the six queries that have never
+# had a driver CORRECTNESS row (they landed after the r4 driver check
+# ran), (b) the 14 queries whose last green driver row is r2 (oldest,
+# due a refresh), then (c) the 50 queries last checked in r3, oldest
+# families first. The tail pushed past the cap is exactly the 50
+# queries the r4 driver just verified green; every registered query
+# still runs in the pytest mini-driver (tests/test_oracle_parity.py)
+# each session regardless of position. Ordering derived from the
+# union of CORRECTNESS_r0{2,3,4}.json: last-checked round per name,
+# ascending (never < r2 < r3 < r4).
 _DRIVER_PRIORITY = [
-    # never driver-checked
-    "kmeans_codebook", "x_media_real",
-    # new in r4 (fourth pass): CCNet bucketing, fuzzy decontamination,
-    # SemDeDup, BPE tokenizer training
-    "perplexity_buckets", "fuzzy_decontaminate", "semdedup",
-    "bpe_merges", "bpe_vocab",
-    # new in r4 (sixth pass): trained weak-label quality classifier
-    "qc_weights", "quality_classifier",
-    # new in r4 (seventh pass): product quantization (IVF-PQ fine stage)
-    # and the interpolated bigram LM scorer
-    "pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
-    "bigram_lm_score", "approx_user_cardinality", "pan_redaction",
-    # new in r4 (eighth pass): CMS heavy-hitter detection (the hot-key
-    # front door for repartition_salted), C4 line filter, soft-404
-    "hot_keys", "x_c4_filter", "x_soft404", "x_content_gate",
-    "zorder_keys",
-    # new in r4 (third pass): the outlink / web-graph family
-    "x_page_links", "x_host_graph", "x_host_pagerank", "x_anchor_topk",
-    # new in r4 (late): WARC container scan + web-URL crawl-log family
-    "x_warc_pages", "x_warc_sliced", "x_wet_records", "x_wat_records",
-    "x_strip_boilerplate_lines", "x_line_dedup", "x_meta_tags",
-    "x_head_meta",
-    "x_canonical_groups", "x_published_mix",
-    "canonical_pages", "blocklist_filter", "domain_stats",
-    "resolve_redirects", "robots_verdicts", "robots_sitemaps",
-    "x_indexable_crawl",
-    "indexable_docs", "sitemap_frontier", "sitemap_frontier_bloom",
-    "incremental_canonical_pages",
-    # new in r4 (ninth pass): KMV theta-sketch set operations and
-    # A-ES weighted sampling
-    "kmv_content_overlap", "weighted_sample",
-    # new in r4
-    "x_extract_scanned",  # the OCR (image-only PDF) path
-    "incremental_dedup", "approx_percentiles", "x_media_real_frames",
-    "pack_sequences", "dsir_importance", "leakage_safe_split",
-    # changed in r4 (hyperplane LSH / sampled training / CID corpus)
-    "bucketed_near_dup", "media_near_dup", "bucketed_topk",
-    "cosine_near_dup", "cosine_topk", "ivf_assign", "ivf_topk",
-    "x_extract_pages", "x_extract_fields", "x_extract_lineage",
-    "x_processing_summary",
-    # r2-verified, due a driver refresh
+    # never driver-checked (VERDICT r4 "What's missing" #1)
+    "approx_percentiles", "x_media_real_frames", "pack_sequences",
+    "dsir_importance", "leakage_safe_split", "bm25_topk",
+    # last green row is r2 — oldest, due refresh (media + ivf +
+    # extraction/llm/annotation tails)
+    "media_near_dup", "ivf_assign", "ivf_topk", "x_extract_pages",
+    "x_extract_fields", "x_extract_lineage", "x_processing_summary",
     "x_media_features", "x_media_frames", "x_media_resize",
     "x_llm_prompts", "x_llm_extract", "x_confidence_stats",
     "x_annotations",
-    # r3-verified compound/dedup/curation operators (keep fresh)
-    "minhash_signatures", "minhash_candidates",
-    "minhash_candidates_b4r2", "exact_dedup", "jaccard_pairs",
-    "shingle_jaccard_pairs", "dedup_clusters",
-    "verified_near_dup_pairs", "verified_dedup_clusters",
+    # last green row is r3 — similarity/dedup/curation families first
+    "bucketed_near_dup", "bucketed_topk", "cosine_near_dup",
+    "cosine_topk",
+    "minhash_signatures", "minhash_candidates", "minhash_candidates_b4r2",
+    "exact_dedup", "jaccard_pairs", "shingle_jaccard_pairs",
+    "dedup_clusters", "verified_near_dup_pairs", "verified_dedup_clusters",
     "dedup_keep_best", "duplicate_spans", "remove_duplicate_spans",
     "decontaminate", "deterministic_sample", "quality_filter",
     "unigram_lm_score", "temperature_mixture", "language_id",
-    "quality_score", "repetition_score", "token_counts",
-    "fingerprints", "bm25_topk", "tfidf_top_terms", "inverted_index",
-    "candidate_pagerank", "corpus_percentiles", "simhash",
-    "simhash_candidates",
+    "quality_score", "repetition_score", "token_counts", "fingerprints",
+    "tfidf_top_terms", "inverted_index", "candidate_pagerank",
+    "corpus_percentiles", "simhash", "simhash_candidates",
+    # last green row is r3 — stable relational family
+    "pricing_summary", "value_banding", "value_banding_salted",
+    "latest_event_per_user", "first_doc_containing", "recent_orders_page",
+    "missing_event_types", "clean_currency", "validate_dates",
+    "validate_german_numbers", "clean_labels", "pii_scrub", "asof_join",
+    "time_rollup", "session_error_counts", "parse_json_props",
+    "revenue_by_region_year", "sessionize_events",
+    # last green row is r4 (just verified; freshest, so last)
+    "kmeans_codebook", "x_media_real", "perplexity_buckets",
+    "fuzzy_decontaminate", "semdedup", "bpe_merges", "bpe_vocab",
+    "qc_weights", "quality_classifier", "pq_codebooks", "pq_encode",
+    "pq_topk", "ivfpq_topk", "bigram_lm_score", "approx_user_cardinality",
+    "pan_redaction", "hot_keys", "x_c4_filter", "x_soft404",
+    "x_content_gate", "zorder_keys", "x_page_links", "x_host_graph",
+    "x_host_pagerank", "x_anchor_topk", "x_warc_pages", "x_warc_sliced",
+    "x_wet_records", "x_wat_records", "x_strip_boilerplate_lines",
+    "x_line_dedup", "x_meta_tags", "x_head_meta", "x_canonical_groups",
+    "x_published_mix", "canonical_pages", "blocklist_filter",
+    "domain_stats", "resolve_redirects", "robots_verdicts",
+    "robots_sitemaps", "x_indexable_crawl", "indexable_docs",
+    "sitemap_frontier", "sitemap_frontier_bloom",
+    "incremental_canonical_pages", "kmv_content_overlap",
+    "weighted_sample", "x_extract_scanned", "incremental_dedup",
 ]
 
 
@@ -3172,14 +3162,12 @@ ev AS (SELECT {carry}, canonical_host,
 
 
 def _sql_kmv_hexval(expr: str, n_chars: int) -> str:
-    """DuckDB twin of ``weburl._kmv_hexval``: the same Horner ascii
-    fold over the first ``n_chars`` hex chars, term for term."""
-    v = "CAST(0 AS BIGINT)"
-    for i in range(1, n_chars + 1):
-        c = f"ascii(substr({expr}, {i}, 1))"
-        hv = f"({c} - 48 - CASE WHEN {c} >= 97 THEN 39 ELSE 0 END)"
-        v = f"({v} * 16 + {hv})"
-    return v
+    """DuckDB twin of ``weburl._kmv_hexval`` — one shared definition
+    (``portable.sql_hex_prefix_val``), not a second copy that can
+    drift (ADVICE r4)."""
+    from .operators.portable import sql_hex_prefix_val
+
+    return sql_hex_prefix_val(expr, n_chars)
 
 
 def _kmv_overlap_sql(visits_path: str) -> str:
