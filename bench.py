@@ -229,10 +229,13 @@ def run_extraction(spark, slots: int, reps: int = 1,
     extract_pages(pages.limit(4096).repartition(slots)).count()
 
     best = None
+    best_steal = None
     walls = []
     steals = []
     n_parts = partitions if partitions else slots * 4
-    for _ in range(reps):
+
+    def one_rep():
+        nonlocal best, best_steal
         s0, j0 = _cpu_jiffies()
         t0 = time.time()
         ext = extract_pages(repartition_salted(pages, n_parts))
@@ -244,11 +247,25 @@ def run_extraction(spark, slots: int, reps: int = 1,
         ).collect()[0]
         wall = time.time() - t0
         s1, j1 = _cpu_jiffies()
-        steals.append(
-            round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1))
+        steal = round(100.0 * (s1 - s0) / max(j1 - j0, 1), 1)
+        steals.append(steal)
         walls.append(round(wall, 2))
         if best is None or wall < best[0]:
             best = (wall, agg)
+            best_steal = steal
+
+    for _ in range(reps):
+        one_rep()
+    # Steal-gated retry: if no rep landed in a clean window (<5%
+    # steal), keep sampling — bounded — rather than committing a
+    # number measured under hypervisor contention. Multi-rep runs
+    # (the artifact path) get the retries; single-rep callers (the
+    # scaling gate does its own interleaving) do not.
+    extra = 0
+    while (reps > 1 and min(steals) >= STEAL_GATE_PCT
+           and extra < max(reps, 5)):
+        one_rep()
+        extra += 1
     wall, agg = best
     return {
         "slots": slots,
@@ -258,6 +275,12 @@ def run_extraction(spark, slots: int, reps: int = 1,
         "wall_sec": round(wall, 2),
         "walls": walls,
         "steal_pct": steals,
+        "steal_gate": {
+            "threshold_pct": STEAL_GATE_PCT,
+            "best_rep_steal_pct": best_steal,
+            "passed": bool(best_steal is not None
+                           and best_steal < STEAL_GATE_PCT),
+        },
         "docs_per_sec": round(agg["docs"] / wall, 1),
         "kernel_cpu_sec": round(agg["kernel_us"] / 1e6, 1),
     }
@@ -486,7 +509,20 @@ Reproduce: `python3 bench.py --skew`
 """)
 
 
-def run_headline(spark) -> tuple[dict, dict]:
+# One rep count for EVERY headline query (see noise-guard note in
+# run_headline); 2 keeps the suite under ~2x single-pass wall while
+# still absorbing one neighbor burst per query.
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+
+# Hypervisor-steal gate for the committed extraction artifact: the
+# best (minimum-wall) rep must land in a window below this steal%.
+# A failing run must never overwrite a previously gated artifact
+# (VERDICT r4 "What's wrong" #1: the r4 driver bench overwrote the
+# 7,605 docs/sec gated run with a 7.6-9.4%-steal window).
+STEAL_GATE_PCT = 5.0
+
+
+def run_headline(spark) -> tuple[dict, dict, dict]:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -496,22 +532,25 @@ def run_headline(spark) -> tuple[dict, dict]:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     queries[HEADLINE[0]](spark, SF_DIR).count()
 
+    # Noise guard: this is a shared VM, and a neighbor burst can land
+    # on any single query. EVERY headline query gets the same rep
+    # count (best-of-QUERY_REPS, all walls recorded in the artifact) —
+    # one protocol for the whole table, so per-query numbers are
+    # comparable across rounds (ADVICE r4: the old rerun-the-8-slowest
+    # guard mixed best-of-1 and warm best-of-2 within one artifact).
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        rows[name] = queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-    # Noise guard: this is a shared VM, and a neighbor burst can land
-    # on any single query (extraction reps in the same artifact spread
-    # 5-16 s wall at 0-9% steal). Re-time the slowest handful once and
-    # keep the per-query minimum — the same steady-state-minimum
-    # protocol the scaling gate uses, bounded to ~1 min of extra wall.
-    for name in sorted(timings, key=timings.get, reverse=True)[:8]:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).count()
-        timings[name] = min(timings[name], round(time.time() - t0, 3))
-    return timings, rows
+    walls: dict[str, list[float]] = {}
+    for rep in range(QUERY_REPS):
+        for name in HEADLINE:
+            t0 = time.time()
+            n = queries[name](spark, SF_DIR).count()
+            w = round(time.time() - t0, 3)
+            if rep == 0:
+                rows[name] = n
+            walls.setdefault(name, []).append(w)
+            timings[name] = min(timings.get(name, w), w)
+    return timings, rows, walls
 
 
 def _spark_home() -> str:
@@ -996,33 +1035,64 @@ def main() -> None:
     spark = _session(args.cpus)
     ensure_pages(spark)
     t_all = time.time()
-    timings, rows = run_headline(spark)
-    # best-of-5: single-rep walls swing ~20% on this shared VM, and
-    # whole multi-rep windows have been caught at 5-8% steal (the r4
-    # "final artifact" run recorded 1951 docs/sec on a corpus the same
-    # code moves at 6300+ in a clean window) — more reps widen the
-    # chance at least one lands clean; per-rep steal%% is recorded so
-    # a reader can see which
+    timings, rows, query_walls = run_headline(spark)
+    # best-of-5 (+ steal-gated retries in run_extraction): single-rep
+    # walls swing ~20% on this shared VM, and whole multi-rep windows
+    # have been caught at 5-8% steal (the r4 "final artifact" run
+    # recorded 1951 docs/sec on a corpus the same code moves at 6300+
+    # in a clean window) — more reps widen the chance at least one
+    # lands clean; per-rep steal%% is recorded so a reader can see
+    # which
     extraction = run_extraction(spark, args.cpus, reps=5)
     total = round(time.time() - t_all, 2)
     spark.stop()
 
     out["value"] = total
     out["queries"] = timings
+    out["query_reps"] = QUERY_REPS
     out["extraction"] = extraction
     # Full detail (per-query output cardinalities — selectivity
-    # evidence — plus the cached scaling record) goes to a file; the
-    # single stdout line stays compact so the driver's tail capture
-    # never truncates it (round-2 lesson: BENCH_r02.json parsed=null).
+    # evidence — every per-query wall, plus the cached scaling record)
+    # goes to a file; the single stdout line stays compact so the
+    # driver's tail capture never truncates it (round-2 lesson:
+    # BENCH_r02.json parsed=null).
     full = dict(out)
     full["rows"] = rows
+    full["query_walls"] = query_walls
     if os.path.exists(_scaling_cache_path()):
         with open(_scaling_cache_path(), encoding="utf-8") as fh:
             full["scaling"] = json.load(fh)
     last_run = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH", "last_run.json")
     os.makedirs(os.path.dirname(last_run), exist_ok=True)
-    with open(last_run, "w", encoding="utf-8") as fh:
+    # Artifact steal-gate (VERDICT r4 finding #1): a run whose best
+    # extraction rep failed the <5%-steal gate must not overwrite a
+    # previously gated last_run.json — it goes to a sidecar instead,
+    # and the stdout line says so plus carries the gated reference
+    # numbers for comparison.
+    gate_ok = extraction["steal_gate"]["passed"]
+    prior_gated = False
+    if not gate_ok and os.path.exists(last_run):
+        try:
+            with open(last_run, encoding="utf-8") as fh:
+                prior = json.load(fh)
+            prior_gated = bool(prior.get("extraction", {})
+                               .get("steal_gate", {}).get("passed"))
+            if prior_gated:
+                out["gated_reference"] = {
+                    "docs_per_sec":
+                        prior["extraction"]["docs_per_sec"],
+                    "wall_sec": prior["extraction"]["wall_sec"],
+                }
+        except (OSError, ValueError, KeyError):
+            prior_gated = False
+    target = last_run
+    if not gate_ok and prior_gated:
+        target = os.path.join(os.path.dirname(last_run),
+                              "last_run_noisy.json")
+        out["artifact"] = "BENCH/last_run_noisy.json (steal gate " \
+            "failed; gated BENCH/last_run.json preserved)"
+    with open(target, "w", encoding="utf-8") as fh:
         json.dump(full, fh, indent=2)
     print(json.dumps(out))
 
