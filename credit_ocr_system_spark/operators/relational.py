@@ -763,6 +763,55 @@ def _cms_cells(key, depth: int, width: int):
         for d in range(depth)])
 
 
+def detect_hot_keys(df: DataFrame, key_expr, rec_id_expr,
+                    depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH,
+                    hot_one_in: int = HOT_ONE_IN) -> DataFrame:
+    """Deployment-mode CMS heavy-hitter detection: the ``hot_keys``
+    sketch/candidate/probe core WITHOUT the exact-count auditor —
+    what a 10^12-row job actually runs per batch (the auditor is a
+    correctness harness, not a production stage).
+
+    ``key_expr`` is the potential skew key (e.g. the url host for an
+    extraction batch), ``rec_id_expr`` a deterministic record id for
+    the candidate sample. Returns ``(key, est_count, n_total,
+    is_hot)`` for the sampled candidates; consumers keep the
+    ``is_hot`` rows. Same bounded-exchange scale shape as
+    ``hot_keys`` (sketch exchange = depth x width slots, candidate
+    set = rate-3/16 sample distinct, probe joins the broadcast
+    sketch)."""
+    base = df.select(key_expr.cast("string").alias("key"),
+                     rec_id_expr.cast("string").alias("rec_id"))
+
+    cells = (
+        base.select(F.explode(_cms_cells(F.col("key"), depth, width))
+                    .alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count("*").alias("cnt")))
+
+    total = base.agg(F.count("*").alias("n_total"))
+
+    cands = (
+        base.filter(F.substring(F.md5(F.concat(F.lit("hh:"),
+                                               F.col("rec_id"))), 1, 1)
+                    .isin(*CMS_SAMPLE_HEX))
+        .select("key").distinct())
+
+    probe = cands.select(
+        "key", F.explode(_cms_cells(F.col("key"), depth, width)).alias("c")
+    ).select("key", F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+
+    est = (probe.join(F.broadcast(cells), ["d", "slot"])
+           .groupBy("key").agg(F.min("cnt").alias("est_count")))
+
+    return (est.crossJoin(F.broadcast(total))
+            .select("key",
+                    F.col("est_count").cast("bigint").alias("est_count"),
+                    F.col("n_total").cast("bigint").alias("n_total"),
+                    (F.col("est_count") * hot_one_in >= F.col("n_total"))
+                    .alias("is_hot")))
+
+
 def hot_keys(events: DataFrame,
              key_col: str = "user_id",
              depth: int = CMS_DEPTH,
@@ -802,13 +851,9 @@ def hot_keys(events: DataFrame,
         key.alias("key"),
         F.col("event_id").cast("string").alias("rec_id"))
 
-    cells = (
-        base.select(F.explode(_cms_cells(F.col("key"), depth, width))
-                    .alias("c"))
-        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
-        .agg(F.count("*").alias("cnt")))
-
-    total = base.agg(F.count("*").alias("n_total"))
+    det = detect_hot_keys(base, F.col("key"), F.col("rec_id"),
+                          depth=depth, width=width,
+                          hot_one_in=hot_one_in)
 
     cands = (
         base.filter(F.substring(F.md5(F.concat(F.lit("hh:"),
@@ -816,24 +861,15 @@ def hot_keys(events: DataFrame,
                     .isin(*CMS_SAMPLE_HEX))
         .select("key").distinct())
 
-    probe = cands.select(
-        "key", F.explode(_cms_cells(F.col("key"), depth, width)).alias("c")
-    ).select("key", F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
-
-    est = (probe.join(F.broadcast(cells), ["d", "slot"])
-           .groupBy("key").agg(F.min("cnt").alias("est_count")))
-
     exact = (base.join(F.broadcast(cands), "key")
              .groupBy("key").agg(F.count("*").alias("exact_count")))
 
     return (
-        est.join(exact, "key")
-        .crossJoin(F.broadcast(total))
+        det.join(exact, "key")
         .select(
             "key",
-            F.col("est_count").cast("bigint").alias("est_count"),
+            "est_count",
             F.col("exact_count").cast("bigint").alias("exact_count"),
-            (F.col("est_count") * hot_one_in >= F.col("n_total"))
-            .alias("is_hot"),
+            "is_hot",
             (F.col("est_count") >= F.col("exact_count"))
             .alias("never_under")))

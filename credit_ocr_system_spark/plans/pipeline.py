@@ -598,6 +598,31 @@ def read_canonical_pages(spark: SparkSession,
     return None if state is None else state_to_pages(state)
 
 
+def detect_hot_domains(pages: DataFrame) -> DataFrame:
+    """CMS heavy-hitter detection over the batch's url hosts — the
+    skew guard in front of the extraction job (VERDICT r4 item #7).
+
+    The extraction path itself is hot-key-immune by construction
+    (``repartition_salted`` hashes ``xxhash64(url, salt)``, never a
+    domain-derived key — see BENCH/SKEW.md for the measured 32.06 →
+    1.11 balance evidence), so this is an *observability* guard: any
+    host exceeding ~1/160 of the batch is recorded in the run's
+    ``hot_keys`` sidecar, the signal that a domain-keyed DOWNSTREAM
+    consumer (host-graph aggregation, per-domain stats, crawl
+    politeness buckets) needs its own salting or AQE skew handling.
+
+    Deployment shape (``relational.detect_hot_keys``): the only
+    corpus-sized exchanges are bounded by the CMS slot space and the
+    sampled-candidate distinct — nothing driver-side grows with the
+    corpus, and the input scan is column-pruned to ``url``."""
+    from ..operators.relational import detect_hot_keys
+
+    host = F.lower(F.substring_index(
+        F.regexp_replace(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://",
+                         ""), "/", 1))
+    return detect_hot_keys(pages.select("url"), host, F.col("url"))
+
+
 def run_extraction_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -606,6 +631,7 @@ def run_extraction_job(
     salt: int = SALT_DEFAULT,
     wet_dir: str | None = None,
     wat_dir: str | None = None,
+    detect_hot: bool = True,
 ) -> dict:
     """One resumable extraction run; returns commit stats.
 
@@ -621,11 +647,13 @@ def run_extraction_job(
     sink_fields = SnapshotSink(os.path.join(output_root, "fields"))
     sink_lineage = SnapshotSink(os.path.join(output_root, "lineage"))
     sink_status = SnapshotSink(os.path.join(output_root, "doc_status"))
+    sink_hotkeys = SnapshotSink(os.path.join(output_root, "hot_keys"))
 
     todo = resume_filter(preflight(pages),
                          sink_extracted.read_committed(spark))
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    hot = detect_hot_domains(todo) if detect_hot else None
     todo = repartition_salted(todo, num_partitions, salt)
 
     extracted = extract_pages(todo)
@@ -644,6 +672,18 @@ def run_extraction_job(
         n_fields = fields.count()
         sink_fields.write_snapshot(fields, run_id, {"n_rows": n_fields})
         sink_lineage.write_snapshot(lineage, run_id)
+        if hot is not None:
+            # Skew-guard sidecar: detected hot domains for THIS run's
+            # batch (empty snapshot = clean batch, still recorded so
+            # the absence of skew is auditable, not assumed).
+            hot_rows = (hot.filter(F.col("is_hot"))
+                        .withColumn("run_id", F.lit(run_id)))
+            sink_hotkeys.write_snapshot(hot_rows, run_id)
+            n_hot = (sink_hotkeys.read_snapshot(spark, run_id)
+                     .count())
+            stats_hot = n_hot
+        else:
+            stats_hot = None
         # doc_status is keyed state, not an event log: a re-extracted
         # url must UPDATE its row (reference MERGE semantics,
         # src/dms/adapters.py:130-167), so the status sink upserts.
@@ -661,6 +701,8 @@ def run_extraction_job(
         sink_status.merge_upsert(spark, status, run_id, keys=["url"])
         stats = {"run_id": run_id, "n_docs": n_docs,
                  "n_fields": n_fields, "skipped": False}
+        if stats_hot is not None:
+            stats["n_hot_domains"] = stats_hot
         if wet_dir is not None:
             from ..sources.warc import write_wet
 
