@@ -45,7 +45,7 @@ from ..operators.textops import (
     temperature_mixture,
     verified_near_dup_clusters,
 )
-from .pipeline import SnapshotSink
+from .pipeline import SnapshotSink, maybe_compact
 
 
 def corpus_fingerprint(documents: DataFrame) -> str:
@@ -190,6 +190,7 @@ def run_incremental_dedup_job(
     spark: SparkSession,
     documents: DataFrame,
     output_root: str,
+    compact_max_files: int = 256,
 ) -> dict:
     """Append-mode dedup across crawl snapshots: maintain a committed
     signature table and cluster assignment, folding each call's NEW
@@ -211,6 +212,13 @@ def run_incremental_dedup_job(
 
     Returns {run_id, mode, n_docs, n_new}: mode "batch" on first run,
     "noop" when every doc_id is already committed, else "incremental".
+
+    Small-files maintenance: every delta APPENDS signature part files
+    and every MERGE leaves the cluster table re-shuffled — with daily
+    crawls that is unbounded file growth. After its commit, the job
+    compacts any of its two state sinks whose current view exceeds
+    ``compact_max_files`` data files (``pipeline.maybe_compact``,
+    binpack replace snapshot, value-identical).
     """
     run_id = uuid.uuid4().hex[:12]
     sig_sink = SnapshotSink(
@@ -254,5 +262,12 @@ def run_incremental_dedup_job(
         minhash_signatures(delta), run_id, {"n_new": n_new})
     cl_sink.merge_upsert(spark, changed, run_id, ["doc_id"],
                          {"n_new": n_new})
-    return {"run_id": run_id, "mode": "incremental",
-            "n_docs": n_docs, "n_new": n_new}
+    stats = {"run_id": run_id, "mode": "incremental",
+             "n_docs": n_docs, "n_new": n_new}
+    maint = maybe_compact(spark, run_id,
+                          [("dedup_signatures", sig_sink),
+                           ("dedup_clusters", cl_sink)],
+                          compact_max_files)
+    if maint:
+        stats["compacted"] = maint
+    return stats

@@ -535,6 +535,7 @@ def run_crawl_collapse_job(
     spark: SparkSession,
     visits: DataFrame,
     output_root: str,
+    compact_max_files: int = 256,
 ) -> dict:
     """Resumable append-mode crawl collapse: fold the fetch log into
     a committed ``canonical_state`` table (``operators/weburl.py``)
@@ -548,7 +549,12 @@ def run_crawl_collapse_job(
     untouched committed rows survive as-is), so the write also scales
     with the delta, not the corpus. Batch equality (merged state ≡
     full recompute) is the oracle-checked contract of the underlying
-    merge operator."""
+    merge operator.
+
+    Small-files maintenance: after the commit, the state sink
+    compacts whenever its current view exceeds ``compact_max_files``
+    data files (:func:`maybe_compact`) — daily-delta MERGEs would
+    otherwise accrete part files without bound."""
     from ..operators.weburl import (
         canonical_state,
         merge_canonical_state,
@@ -583,8 +589,14 @@ def run_crawl_collapse_job(
     n = merged.count()
     sink.merge_upsert(spark, merged, run_id, keys=keys,
                       meta={"n_touched": n, "hwm": hwm})
-    return {"run_id": run_id, "n_pages": n, "skipped": False,
-            "hwm": hwm}
+    stats = {"run_id": run_id, "n_pages": n, "skipped": False,
+             "hwm": hwm}
+    maint = maybe_compact(spark, run_id,
+                          [("canonical_state", sink)],
+                          compact_max_files)
+    if maint:
+        stats["compacted"] = maint
+    return stats
 
 
 def read_canonical_pages(spark: SparkSession,
@@ -596,6 +608,30 @@ def read_canonical_pages(spark: SparkSession,
     sink = SnapshotSink(os.path.join(output_root, "canonical_state"))
     state = sink.read_committed(spark)
     return None if state is None else state_to_pages(state)
+
+
+def maybe_compact(spark: SparkSession, run_id: str,
+                  sinks, max_files: int) -> dict:
+    """Compaction cadence for incremental jobs (VERDICT r4 item #8).
+
+    Every delta MERGE/append leaves its own part files; with daily
+    crawls at 10^12 rows that is unbounded small-file growth unless
+    maintenance runs on a cadence. The cadence here is file-count
+    triggered: after its commit, a job calls this with its state
+    sinks, and any sink whose CURRENT view exceeds ``max_files`` data
+    files is rewritten via :meth:`SnapshotSink.compact` (binpack to
+    128 MB targets, one ``replace`` snapshot, value-identical). The
+    trigger reads only the manifest/file listing — no data pass when
+    nothing exceeds the bound — so steady-state cost is one listing
+    per run and file count stays ≤ max_files + one delta's files.
+
+    Returns {sink_name: compact stats} for the sinks that compacted.
+    """
+    out = {}
+    for name, sink in sinks:
+        if len(sink.data_files()) > max_files:
+            out[name] = sink.compact(spark, f"{run_id}-compact")
+    return out
 
 
 def detect_hot_domains(pages: DataFrame) -> DataFrame:
