@@ -102,6 +102,13 @@ def _http_response(payload: bytes, chunked: bool, status: int = 200,
             payload = co.compress(payload) + co.flush()
         elif content_encoding == "deflate":
             payload = zlib.compress(payload, 6)
+        elif content_encoding == "br":
+            from ..kernel.brotli import brotli_compress
+
+            # deterministic split across the writer's two stream
+            # shapes so readers see both container forms
+            mode = "store" if (payload and payload[0] & 1) else "literal"
+            payload = brotli_compress(payload, mode)
         else:
             raise ValueError(f"unsupported encoding {content_encoding}")
         lines.append(b"Content-Encoding: "
@@ -237,12 +244,14 @@ def _content_decode(payload: bytes, encoding: bytes) -> bytes:
     """Undo the HTTP Content-Encoding of a framed body. gzip and
     deflate inflate via zlib — including the classic broken-server
     raw-deflate (servers that send DEFLATE data without the zlib
-    wrapper; browsers tolerate it, so crawls contain it). br/zstd
-    need external codecs this container does not ship: their bytes
-    pass through UNDECODED (the encoding survives in the ``charset``-
-    sibling ``content_encoding`` column so a downstream stage can
-    gate or route them — the honest seam). A body that fails to
-    inflate yields ``b""`` (poison-guard contract)."""
+    wrapper; browsers tolerate it, so crawls contain it); ``br``
+    decodes through the from-scratch RFC 7932 decoder
+    (``kernel/brotli.py`` — full format incl. the static dictionary,
+    closing the r4 seam). zstd remains the one outstanding codec:
+    its bytes pass through UNDECODED with the encoding surviving in
+    the ``content_encoding`` column so a downstream stage can gate
+    or route them. A body that fails to decode yields ``b""``
+    (poison-guard contract)."""
     enc = encoding.strip().lower()
     if enc in (b"", b"identity"):
         return payload
@@ -256,7 +265,14 @@ def _content_decode(payload: bytes, encoding: bytes) -> bytes:
                 return zlib.decompress(payload, -zlib.MAX_WBITS)
     except zlib.error:
         return b""
-    return payload  # br / zstd / unknown: pass through, column names it
+    if enc == b"br":
+        from ..kernel.brotli import BrotliError, brotli_decompress
+
+        try:
+            return brotli_decompress(payload)
+        except BrotliError:
+            return b""
+    return payload  # zstd / unknown: pass through, column names it
 
 
 def _parse_http_payload(block: bytes) -> Optional[Dict[str, Any]]:
@@ -990,8 +1006,8 @@ def corpus_rows(lo: int, hi: int,
     """Synthetic crawl rows [lo, hi): the pages source decorated with
     the envelope realities a real fetch log carries — ~1/19 of URLs
     came back 404 (an error page body, no extractable content), ~1/19
-    redirected 301 (empty body + Location), ~2/9 of successful bodies
-    ship Content-Encoding gzip/deflate, and pages the generator
+    redirected 301 (empty body + Location), ~3/9 of successful bodies
+    ship Content-Encoding gzip/deflate/br, and pages the generator
     encoded as windows-1252 (``pages._encode_html``, SAME hash key)
     carry the matching — or classically lying ``iso-8859-1`` —
     charset parameter on Content-Type. Draws key on the URL via
@@ -1018,6 +1034,8 @@ def corpus_rows(lo: int, hi: int,
                 row["content_encoding"] = "gzip"
             elif e == 1:
                 row["content_encoding"] = "deflate"
+            elif e == 2:
+                row["content_encoding"] = "br"
             # ~1/23 of OK responses carry the header-level indexing
             # directive (X-Robots-Tag) — the compliance signal that
             # never appears in the HTML

@@ -383,9 +383,11 @@ def test_broken_raw_deflate_tolerated():
     assert got[0]["html"] == payload
 
 
-def test_unknown_encoding_passes_through():
+def _one_response(body: bytes, encoding: str):
     block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-             b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX")
+             b"Content-Encoding: " + encoding.encode("ascii")
+             + b"\r\nContent-Length: " + str(len(body)).encode("ascii")
+             + b"\r\n\r\n" + body)
     rec = W._warc_record("response", [
         ("WARC-Target-URI", "https://x/"),
         ("WARC-Date", "2024-01-01T00:00:00Z"),
@@ -394,8 +396,28 @@ def test_unknown_encoding_passes_through():
     import zlib as _z
 
     co = _z.compressobj(6, _z.DEFLATED, W._GZ_WBITS)
-    got = _parse(co.compress(rec) + co.flush())
+    return _parse(co.compress(rec) + co.flush())
+
+
+def test_br_bodies_decode():
+    # br now decodes through the from-scratch RFC 7932 decoder
+    # (r4 seam closed); a body that is NOT valid brotli despite the
+    # header poisons to b"" (the same contract as a corrupt gzip)
+    from credit_ocr_system_spark.kernel.brotli import brotli_compress
+
+    plain = b"<html><body>hello brotli body</body></html>"
+    for mode in ("store", "literal"):
+        got = _one_response(brotli_compress(plain, mode), "br")
+        assert got[0]["html"] == plain
+        assert got[0]["content_encoding"] == "br"
+    assert _one_response(b"XXXX", "br")[0]["html"] == b""
+
+
+def test_unknown_encoding_passes_through():
+    # zstd stays the honest pass-through seam, named by the column
+    got = _one_response(b"XXXX", "zstd")
     assert got[0]["html"] == b"XXXX"  # undecoded, not dropped
+    assert got[0]["content_encoding"] == "zstd"
 
 
 def test_charset_param_and_location_surface(rows):
