@@ -422,12 +422,16 @@ def _fast_feed(h: "_BlockCollector", rawdata: str) -> None:
     while i < n:
         if cdata_elem is not None:
             m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
-            j = m.start() if m is not None else n
+            if m is None:
+                # stdlib (HTMLParser.goahead) DISCARDS unterminated
+                # CDATA content at EOF — it breaks before emitting —
+                # so the fast path must drop this tail too (caught by
+                # hypothesis: anchor text inside an unclosed script)
+                break
+            j = m.start()
             if i < j:
                 h.handle_data(rawdata[i:j])  # raw: no charref conversion
             i = j
-            if m is None:
-                break
             em = _endtagfind.match(rawdata, i)
             if em is None:
                 gt = rawdata.find(">", i)
