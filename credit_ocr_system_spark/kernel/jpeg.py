@@ -463,7 +463,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
                 restart_interval: int = 0,
                 progressive: bool = False,
-                scan_split: str = "interleaved") -> bytes:
+                scan_split: str = "interleaved",
+                arithmetic: bool = False) -> bytes:
     """JFIF bytes for an (h, w, 3) uint8 RGB array (or (h, w)
     greyscale). Baseline: one scan, data-derived huffman tables.
 
@@ -491,6 +492,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         raise ValueError(f"unknown scan_split {scan_split!r}")
     if progressive and scan_split != "interleaved":
         raise ValueError("scan_split applies to baseline only")
+    if arithmetic and (progressive or scan_split != "interleaved"):
+        raise ValueError(
+            "arithmetic coding: single interleaved sequential scan "
+            "(SOF9) only")
     grey = img.ndim == 2
     if grey:
         img = img[..., None]
@@ -582,6 +587,50 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         sched = [(ci, bi) for bi in range(len(comp_blocks[0]))
                  for ci in range(len(planes))]
         per_mcu = len(planes)
+
+    if arithmetic:
+        from .jpeg_arith import (
+            DEFAULT_AC_KX,
+            DEFAULT_DC_L,
+            DEFAULT_DC_U,
+            encode_arith_scan,
+        )
+
+        n_tables = 1 if len(planes) == 1 else 2
+        dc_cond = {t: (DEFAULT_DC_L, DEFAULT_DC_U) for t in range(4)}
+        ac_cond = {t: DEFAULT_AC_KX for t in range(4)}
+        entropy = encode_arith_scan(comp_blocks, sched, per_mcu,
+                                    restart_interval, dc_cond, ac_cond)
+        out = bytearray()
+        out += _marker(0xD8)
+        out += _marker(0xE0,
+                       b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for ti, q in enumerate(qtabs):
+            out += _marker(0xDB, bytes([ti])
+                           + bytes(int(x) for x in q.ravel()[_ZZ]))
+        sof = struct.pack(">BHHB", 8, h, w, len(planes))
+        for ci in range(len(planes)):
+            sof += bytes([ci + 1,
+                          (samp[ci][0] << 4) | samp[ci][1],
+                          plane_q[ci]])
+        out += _marker(0xC9, sof)          # SOF9: arithmetic sequential
+        dac = b""
+        for t in range(n_tables):
+            low, up = dc_cond[t]
+            dac += bytes([t, (up << 4) | low])          # Tc=0 (DC)
+            dac += bytes([0x10 | t, ac_cond[t]])        # Tc=1 (AC)
+        out += _marker(0xCC, dac)
+        if restart_interval:
+            out += _marker(0xDD, struct.pack(">H", restart_interval))
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += _marker(0xDA, sos)
+        out += entropy
+        out += _marker(0xD9)
+        return bytes(out)
 
     RESTART = None  # sentinel between MCU groups in the event stream
     stream: list = []
@@ -680,11 +729,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
+    from .jpeg_arith import (
+        DEFAULT_AC_KX,
+        DEFAULT_DC_L,
+        DEFAULT_DC_U,
+        decode_arith_scan,
+    )
+
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    arithmetic = False
+    arith_dc_cond: dict[int, tuple[int, int]] = {}
+    arith_ac_cond: dict[int, int] = {}
     scans: list[dict] = []
     scan_comps = None
     restart_interval = 0
@@ -720,11 +779,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huffval = list(body[at + 17:at + 17 + n])
                 huff[(cls, ti)] = _codebook_from_dht(bits, huffval)
                 at += 17 + n
-        elif tag in (0xC0, 0xC2):
+        elif tag in (0xC0, 0xC2, 0xC9):
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             progressive = tag == 0xC2
+            arithmetic = tag == 0xC9
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -737,10 +797,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hh, vv, tq))
             frame = (h, w, comps)
         elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                     0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"SOF 0xFF{tag:02X} out of scope "
-                "(baseline SOF0 / progressive SOF2 only)")
+                "(baseline SOF0 / progressive SOF2 / "
+                "arithmetic-sequential SOF9 only)")
+        elif tag == 0xCC:                 # DAC: arithmetic conditioning
+            at = 0
+            while at + 1 < len(body):
+                tc, tb = body[at] >> 4, body[at] & 0xF
+                v = body[at + 1]
+                if tc == 0:
+                    arith_dc_cond[tb] = (v & 0xF, v >> 4)   # (L, U)
+                else:
+                    arith_ac_cond[tb] = v                   # Kx
+                at += 2
         elif tag == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:
@@ -749,6 +820,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                            body[2 + 2 * i] & 0xF) for i in range(ns)]
             data_start = pos
             # scan data runs to the next non-stuffed, non-RST marker
+            # (arithmetic scans use the same X'FF00' byte stuffing as
+            # Huffman scans — T.81 §D.1.6)
             end = pos
             while end < len(payload) - 1:
                 if (payload[end] == 0xFF and payload[end + 1] != 0x00
@@ -772,6 +845,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
+    if arithmetic:
+        if len(scans) != 1:
+            raise ValueError(
+                "multi-scan arithmetic JPEG out of scope "
+                "(single interleaved SOF9 scan only)")
+        for _cid, _hh, _vv, _tq in comps:
+            if _tq not in qtabs:
+                raise ValueError(
+                    f"component references undefined quant table {_tq}")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        sampling = {cid: (hh, vv) for cid, hh, vv, _tq in comps}
+        coefs = {cid: np.zeros((mcuy * vv, mcux * hh, 64),
+                               dtype=np.int64)
+                 for cid, hh, vv, _tq in comps}
+        dc_cond = {t: arith_dc_cond.get(t, (DEFAULT_DC_L,
+                                            DEFAULT_DC_U))
+                   for t in range(4)}
+        ac_cond = {t: arith_ac_cond.get(t, DEFAULT_AC_KX)
+                   for t in range(4)}
+        decode_arith_scan(scans[0]["data"], scan_comps, sampling,
+                          coefs, scans[0]["dri"], mcux, mcuy,
+                          dc_cond, ac_cond)
+        return _finish_planes(h, w, comps, coefs, qtabs)
     if progressive or len(scans) > 1:
         # progressive (SOF2) or multi-scan non-interleaved baseline
         # (valid T.81: one full-band scan per component): both decode

@@ -8,7 +8,7 @@ synthetic media source, feature extraction, image resize, video frame
 sampling (1→N explode) — with the *codec* behind a seam:
 
 * ``decode_media`` really decodes PNG / BMP / WAV / JPEG (baseline
-  and progressive, 4:4:4 and 4:2:0/4:2:2) / MJPEG-AVI payloads via
+  progressive, and arithmetic, 4:4:4 and 4:2:0/4:2:2) / MJPEG-AVI payloads via
   the codecs in ``kernel/codecs.py`` + ``kernel/jpeg.py`` (zlib
   inflate + scanline unfilter, DIB row handling, PCM scaling,
   huffman + IDCT, RIFF walk); out-of-scope variants (MP4/H.264) raise
@@ -164,7 +164,10 @@ def gen_real_media_rows(n: int, seed: int = 42) -> list[dict]:
                     # style one-scan-per-component layout
                     scan_split="per_component"
                     if h[9] % 2 and h[11] % 4 == 0
-                    else "interleaved"))
+                    else "interleaved",
+                    # and another slice arrives arithmetic-coded
+                    # (SOF9, kernel/jpeg_arith.py — the r4 seam)
+                    arithmetic=bool(h[9] % 2 and h[11] % 4 == 1)))
             rows.append({
                 "media_id": i, "kind": "image", "payload": payload,
                 "meta": {"width": w, "height": ht, "sample_rate": None,
@@ -206,10 +209,12 @@ def decode_media(payload: bytes, kind: str, meta: dict) -> np.ndarray:
     PCM-scaled actual bytes, not a stand-in (the reference consumes
     media through PIL, ``/root/reference/src/ocr/easyocr_client.py:
     17-58``; these return the same ``(h, w, 3) uint8`` /
-    float32-sample / ``(n, h, w, 3) uint8`` ndarrays). Out-of-scope
-    variants (arithmetic-coded JPEG, H.264/HEVC sample entries,
-    non-MJPEG AVI streams) still raise with the codec named; a
-    cluster with PIL/pyav swaps them in at this same seam.
+    float32-sample / ``(n, h, w, 3) uint8`` ndarrays). Arithmetic-
+    coded JPEG (SOF9) decodes for real too (``kernel/jpeg_arith.py``,
+    libjpeg-conformance-tested). The remaining out-of-scope variants
+    (H.264/HEVC sample entries, non-MJPEG AVI streams) still raise
+    with the codec named; a cluster with pyav swaps them in at this
+    same seam.
     ``fake_decode`` remains the deterministic stand-in for the opaque
     synthetic payloads.
     """

@@ -335,7 +335,9 @@ def test_module_has_no_nonstdlib_imports_beyond_numpy():
         line = line.strip()
         if line.startswith(("import ", "from ")) and "__future__" not in line:
             mod = line.split()[1].split(".")[0]
-            assert mod in {"heapq", "struct", "numpy"}, line
+            # "" = a relative import of a sibling kernel module (the
+            # arithmetic entropy coder), itself stdlib-only
+            assert mod in {"heapq", "struct", "numpy", ""}, line
 
 
 # --- 4:2:0 chroma subsampling ------------------------------------------------
