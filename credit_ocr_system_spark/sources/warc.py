@@ -109,6 +109,10 @@ def _http_response(payload: bytes, chunked: bool, status: int = 200,
             # shapes so readers see both container forms
             mode = "store" if (payload and payload[0] & 1) else "literal"
             payload = brotli_compress(payload, mode)
+        elif content_encoding == "zstd":
+            from ..kernel.zstd import zstd_compress_store
+
+            payload = zstd_compress_store(payload)
         else:
             raise ValueError(f"unsupported encoding {content_encoding}")
         lines.append(b"Content-Encoding: "
@@ -241,17 +245,18 @@ def _iter_member_bytes(read: Callable[[int], bytes]
 
 
 def _content_decode(payload: bytes, encoding: bytes) -> bytes:
-    """Undo the HTTP Content-Encoding of a framed body. gzip and
-    deflate inflate via zlib — including the classic broken-server
+    """Undo the HTTP Content-Encoding of a framed body. All four
+    encodings a real crawl contains decode for real: gzip and
+    deflate via zlib — including the classic broken-server
     raw-deflate (servers that send DEFLATE data without the zlib
     wrapper; browsers tolerate it, so crawls contain it); ``br``
-    decodes through the from-scratch RFC 7932 decoder
-    (``kernel/brotli.py`` — full format incl. the static dictionary,
-    closing the r4 seam). zstd remains the one outstanding codec:
-    its bytes pass through UNDECODED with the encoding surviving in
-    the ``content_encoding`` column so a downstream stage can gate
-    or route them. A body that fails to decode yields ``b""``
-    (poison-guard contract)."""
+    through the from-scratch RFC 7932 decoder (``kernel/brotli.py``,
+    full format incl. the static dictionary); ``zstd`` through the
+    from-scratch RFC 8878 decoder (``kernel/zstd.py``). Both r4
+    codec seams are closed; truly unknown encodings pass through
+    with the name surviving in the ``content_encoding`` column. A
+    body that fails to decode yields ``b""`` (poison-guard
+    contract)."""
     enc = encoding.strip().lower()
     if enc in (b"", b"identity"):
         return payload
@@ -272,7 +277,14 @@ def _content_decode(payload: bytes, encoding: bytes) -> bytes:
             return brotli_decompress(payload)
         except BrotliError:
             return b""
-    return payload  # zstd / unknown: pass through, column names it
+    if enc == b"zstd":
+        from ..kernel.zstd import ZstdError, zstd_decompress
+
+        try:
+            return zstd_decompress(payload)
+        except ZstdError:
+            return b""
+    return payload  # unknown coding: pass through, column names it
 
 
 def _parse_http_payload(block: bytes) -> Optional[Dict[str, Any]]:
@@ -1006,8 +1018,8 @@ def corpus_rows(lo: int, hi: int,
     """Synthetic crawl rows [lo, hi): the pages source decorated with
     the envelope realities a real fetch log carries — ~1/19 of URLs
     came back 404 (an error page body, no extractable content), ~1/19
-    redirected 301 (empty body + Location), ~3/9 of successful bodies
-    ship Content-Encoding gzip/deflate/br, and pages the generator
+    redirected 301 (empty body + Location), ~4/9 of successful bodies
+    ship Content-Encoding gzip/deflate/br/zstd, and pages the generator
     encoded as windows-1252 (``pages._encode_html``, SAME hash key)
     carry the matching — or classically lying ``iso-8859-1`` —
     charset parameter on Content-Type. Draws key on the URL via
@@ -1036,6 +1048,8 @@ def corpus_rows(lo: int, hi: int,
                 row["content_encoding"] = "deflate"
             elif e == 2:
                 row["content_encoding"] = "br"
+            elif e == 3:
+                row["content_encoding"] = "zstd"
             # ~1/23 of OK responses carry the header-level indexing
             # directive (X-Robots-Tag) — the compliance signal that
             # never appears in the HTML

@@ -413,11 +413,23 @@ def test_br_bodies_decode():
     assert _one_response(b"XXXX", "br")[0]["html"] == b""
 
 
-def test_unknown_encoding_passes_through():
-    # zstd stays the honest pass-through seam, named by the column
-    got = _one_response(b"XXXX", "zstd")
-    assert got[0]["html"] == b"XXXX"  # undecoded, not dropped
+def test_zstd_bodies_decode():
+    # zstd now decodes through the from-scratch RFC 8878 decoder —
+    # the last real-crawl Content-Encoding seam is closed
+    from credit_ocr_system_spark.kernel.zstd import zstd_compress_store
+
+    plain = b"<html><body>hello zstd body</body></html>"
+    got = _one_response(zstd_compress_store(plain), "zstd")
+    assert got[0]["html"] == plain
     assert got[0]["content_encoding"] == "zstd"
+    assert _one_response(b"XXXX", "zstd")[0]["html"] == b""
+
+
+def test_unknown_encoding_passes_through():
+    # a coding no crawl reader knows stays the named pass-through
+    got = _one_response(b"XXXX", "compress")
+    assert got[0]["html"] == b"XXXX"  # undecoded, not dropped
+    assert got[0]["content_encoding"] == "compress"
 
 
 def test_charset_param_and_location_surface(rows):
