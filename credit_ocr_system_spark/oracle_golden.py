@@ -375,9 +375,40 @@ def _warc_golden() -> None:
     ]))
 
 
+def _annotation_png_golden() -> None:
+    # raster overlays rendered driver-side by the SAME pure renderer
+    # the Spark operator maps (plumbing-check pattern, cf. module
+    # docstring): the oracle compares md5/byte-count per page
+    import hashlib
+
+    from .kernel.extract import extract_document
+    from .operators.annotate import render_annotation_pages
+    from .sources.pages import gen_page
+
+    rows = []
+    for i in range(X_N_PAGES):
+        p = gen_page(i)
+        res = extract_document(p["url"], p["html"])
+        if not res["elements"]:
+            continue
+        for page, png, n in render_annotation_pages(
+                res["elements"], res["doc_kind"]):
+            rows.append({
+                "url": p["url"], "page_num": page, "n_elements": n,
+                "png_md5": hashlib.md5(png).hexdigest(),
+                "png_bytes": len(png),
+            })
+    _write("x_annotations_png.parquet", rows, pa.schema([
+        ("url", pa.string()), ("page_num", pa.int32()),
+        ("n_elements", pa.int32()), ("png_md5", pa.string()),
+        ("png_bytes", pa.int64()),
+    ]))
+
+
 def materialize() -> str:
     """(Re)write every golden parquet; returns the directory."""
     _kernel_goldens()
+    _annotation_png_golden()
     _config_golden()
     _media_goldens()
     _visits_golden()

@@ -383,6 +383,21 @@ def x_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotation_svg(extract_pages(_x_pages(spark)))
 
 
+def x_annotations_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checked: the raster (real-PNG) annotation overlays —
+    the reference's matplotlib-PNG sink parity
+    (``ocr_visualization.py:9-107``), rendered via the engine's own
+    PNG encoder + glyph atlas; the oracle reads the driver-side
+    render of the same pages (plumbing-check pattern)."""
+    from .operators.annotate import annotation_png
+    from .operators.extraction import extract_pages
+
+    return annotation_png(extract_pages(_x_pages(spark))).select(
+        "url", "page_num", "n_elements",
+        F.md5("png").alias("png_md5"),
+        F.length("png").cast("bigint").alias("png_bytes"))
+
+
 def x_llm_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled: DuckDB re-assembles the reference-style prompts
     from the materialized kernel pairs (U2 orchestration, stage 1)."""
@@ -2189,6 +2204,10 @@ SELECT media_id, kind, n_bytes, feat_json, mean_val, std_val,
        width, height, n_frames
 FROM read_parquet('{real}')
 """,
+        "x_annotations_png": f"""
+SELECT url, page_num, n_elements, png_md5, png_bytes
+FROM read_parquet('{G.golden_path("x_annotations_png.parquet")}')
+""",
         "x_media_real_frames": f"""
 SELECT media_id, frame_idx, md5(hex(frame)) AS frame_md5,
        CAST(octet_length(frame) AS INT) AS frame_bytes, width, height
@@ -2691,6 +2710,8 @@ def build_queries() -> Dict[str, QueryFn]:
         # U2 batched-inference orchestration (deterministic seam)
         "x_llm_prompts": x_llm_prompts,
         "x_llm_extract": x_llm_extract,
+        # raster PNG annotation sink (reference S8 parity, r5)
+        "x_annotations_png": x_annotations_png,
         # metrics sidecar family (G10/G11)
         "x_confidence_stats": x_confidence_stats,
         "x_processing_summary": x_processing_summary,
@@ -2739,6 +2760,8 @@ _DRIVER_PRIORITY = [
     # never driver-checked (VERDICT r4 "What's missing" #1)
     "approx_percentiles", "x_media_real_frames", "pack_sequences",
     "dsir_importance", "leakage_safe_split", "bm25_topk",
+    # new in r5: raster PNG annotation sink (reference S8 parity)
+    "x_annotations_png",
     # last green row is r2 — oldest, due refresh (media + ivf +
     # extraction/llm/annotation tails)
     "media_near_dup", "ivf_assign", "ivf_topk", "x_extract_pages",
