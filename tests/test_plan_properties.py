@@ -561,3 +561,16 @@ def test_kmv_sketch_dedups_map_side_then_takes_ordered(spark):
     full = plan_of(kmv_content_overlap(v, 1_000))
     assert "SortMergeJoin" not in full
     assert "ShuffledHashJoin" not in full
+
+
+def test_annotation_png_adds_no_exchange(spark, pages_path):
+    # the raster overlay renders inside the extraction output's
+    # per-document rows: two chained MapInArrow stages, and the ONLY
+    # exchange in the whole plan is whatever the input already had
+    # (none here — parquet scan straight into the kernel)
+    from credit_ocr_system_spark.operators.annotate import annotation_png
+
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(annotation_png(extract_pages(pages)))
+    assert plan.count("MapInArrow") == 4  # two nodes: tree + detail
+    assert "Exchange" not in plan
